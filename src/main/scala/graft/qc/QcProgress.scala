@@ -1,0 +1,108 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A1-A4: per-variable QC progress aggregation — the Spark equivalent of
+  * qctimeseries R/qc_summary.R.
+  *
+  * The reference loops variables and scans the table once per variable
+  * (R/qc_summary.R:45-93). Here all variables are folded into ONE
+  * multi-expression hash aggregate — a single scan + a single (tiny,
+  * one-row) exchange regardless of variable count, then the one-row
+  * result is reshaped to one row per variable with `inline`. At 100 TB
+  * this is a full-scan job whose cost is the scan itself; the aggregate
+  * state is a few longs per variable, map-side combined.
+  */
+object QcProgress {
+
+  import FlagSchema._
+
+  /** Output columns. The reference's tibble contract
+    * (R/qc_summary.R:84-92) uses R-only names like `%approved(1)`;
+    * these are the SQL-safe equivalents, same order, same semantics:
+    * variable, total (= count of NON-missing values), pct_checked
+    * (share of non-missing values with flag not in {0,-1}), and
+    * pct_approved / pct_unchecked / pct_missing / pct_flagged (shares
+    * of ALL rows with flag = 1 / 0 / -1 / -2), all rounded to 2dp. */
+  val Columns: Seq[String] = Seq("variable", "total", "pct_checked",
+    "pct_approved", "pct_unchecked", "pct_missing", "pct_flagged")
+
+  /** A1 + A4 `qc_progress` (R/qc_summary.R:38-97). One row per flagged
+    * variable. `hideComplete` keeps only rows with pct_checked < 100
+    * (R/qc_summary.R:95-97). Zero-valid-value variables get null
+    * pct_checked (R's NA_real_, R/qc_summary.R:72-77). */
+  def summary(
+      df: DataFrame,
+      vars: Seq[String] = Nil,
+      suffix: String = DefaultSuffix,
+      hideComplete: Boolean = false): DataFrame = {
+    val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
+    require(vs.nonEmpty, "summary: no flagged variables found")
+
+    def cif(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+    val aggs = count(lit(1)).as("__n_all") +: vs.flatMap { v =>
+      val f = col(flagCol(v, suffix))
+      val miss = QcFlags.isMissing(df, v)
+      Seq(
+        cif(miss).as(s"__na@$v"),
+        cif(f === Approved).as(s"__ap@$v"),
+        cif(f === Unchecked).as(s"__un@$v"),
+        cif(f === OrigNA).as(s"__fn@$v"),
+        cif(f === ManualFlag).as(s"__fl@$v"),
+        // %checked numerator: non-missing AND flag not in {Unchecked, OrigNA}
+        // (R/qc_summary.R:73-74; null flags excluded like R's na.rm)
+        cif(f =!= Unchecked && f =!= OrigNA && !miss).as(s"__ck@$v"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    val nAll = col("__n_all")
+    def pct(n: Column, d: Column): Column =
+      round(lit(100.0) * n / when(d > 0, d), 2) // d<=0 → null (R NA_real_)
+
+    val rows = vs.map { v =>
+      val nValid = nAll - col(s"__na@$v")
+      struct(
+        lit(v).as("variable"),
+        nValid.as("total"),
+        pct(col(s"__ck@$v"), nValid).as("pct_checked"),
+        pct(col(s"__ap@$v"), nAll).as("pct_approved"),
+        pct(col(s"__un@$v"), nAll).as("pct_unchecked"),
+        pct(col(s"__fn@$v"), nAll).as("pct_missing"),
+        pct(col(s"__fl@$v"), nAll).as("pct_flagged"))
+    }
+    val res = one.select(inline(array(rows: _*)))
+    if (hideComplete) res.filter(col("pct_checked") < 100) else res
+  }
+
+  /** A2 + A3 consistency checks (R/qc_summary.R:51-66), as data instead
+    * of R warnings: one row per variable with the NA-vs-flag(-1) counts
+    * and any flag values outside the legal domain. Same single-pass
+    * shape as [[summary]]. */
+  def consistency(
+      df: DataFrame,
+      vars: Seq[String] = Nil,
+      suffix: String = DefaultSuffix): DataFrame = {
+    val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
+    require(vs.nonEmpty, "consistency: no flagged variables found")
+    val aggs = vs.flatMap { v =>
+      val f = col(flagCol(v, suffix))
+      Seq(
+        sum(when(QcFlags.isMissing(df, v), 1L).otherwise(0L)).as(s"__na@$v"),
+        sum(when(f === OrigNA, 1L).otherwise(0L)).as(s"__fn@$v"),
+        sort_array(collect_set(when(!f.isin(Domain.map(lit): _*), f)))
+          .as(s"__bad@$v"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = vs.map { v =>
+      struct(
+        lit(v).as("variable"),
+        col(s"__na@$v").as("na_count"),
+        col(s"__fn@$v").as("flag_na_count"),
+        (col(s"__na@$v") === col(s"__fn@$v")).as("na_consistent"),
+        filter(col(s"__bad@$v"), _.isNotNull).as("bad_flags"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+}
