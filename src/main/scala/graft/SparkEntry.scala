@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.qc._
+import graft.pipeline._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (and the LLM-pipeline extensions) is
+  * registered here as a named query over the driver's parquet tables,
+  * with a DuckDB-runnable ANSI oracle where the semantics are
+  * SQL-expressible. Column names and types match the oracle exactly
+  * (the driver compare sorts columns by name and hashes values);
+  * integer outputs are cast to long where DuckDB yields BIGINT, and
+  * timestamps crossing the compare boundary are rendered to strings on
+  * both sides.
+  */
 object SparkEntry {
+
+  import FlagSchema._
+
+  // ------------------------------------------------------------ helpers
+
+  /** The driver's events.parquet stores `ts` as TIMESTAMP(NANOS), which
+    * Spark's reader rejects; read nanos as long and truncate to
+    * microsecond timestamps (integer DIV — no double round-trip), the
+    * same truncation DuckDB applies when it reads TIMESTAMP_NS. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** The driver's events table has no missing values, so QC scenarios
+    * synthesize `value2`: null on event_id % 19 == 0, NaN on % 23 == 0
+    * (exercising the NA-vs-NaN trichotomy, SURVEY §1.3). */
+  private def withValue2(df: DataFrame): DataFrame =
+    df.withColumn("value2",
+      when(pmod(col("event_id"), lit(19)) === 0, lit(null).cast("double"))
+        .when(pmod(col("event_id"), lit(23)) === 0, lit(Double.NaN))
+        .otherwise(col("value")))
+
+  /** Deterministic seeded flag state: addFlags (missing → -1), then
+    * M1-flag outliers (> 150 → -2), then M2-approve the low range
+    * (< 100 → 1); [100, 150] stays unchecked (0). */
+  private def seeded(df: DataFrame): DataFrame = {
+    val f = QcFlags.addFlags(withValue2(df), Seq("value2"))
+    val flagged = QcActions.flagSelected(f, "value2", col("value2") > 150)
+    QcActions.approveSelected(flagged, "value2", col("value2") < 100)
+  }
+
+  /** DuckDB twin of [[withValue2]] + [[seeded]] (CASE order mirrors the
+    * guard order: missing wins, then outlier, then approve). */
+  private val SeededCte =
+    """WITH e2 AS (
+      |  SELECT *, CASE WHEN event_id % 19 = 0 THEN NULL
+      |                 WHEN event_id % 23 = 0 THEN 'NaN'::DOUBLE
+      |                 ELSE value END AS value2
+      |  FROM events),
+      |seeded AS (
+      |  SELECT *, CASE WHEN value2 IS NULL OR isnan(value2) THEN -1
+      |                 WHEN value2 > 150 THEN -2
+      |                 WHEN value2 < 100 THEN 1
+      |                 ELSE 0 END AS value2_qcflag
+      |  FROM e2)""".stripMargin
+
+  private val WinCte = // 24 h tumbling windows from the global min time
+    """win AS (
+      |  SELECT *, CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
+      |  FROM seeded)""".stripMargin
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" // Spark side
+  private val TsFmtDk = "%Y-%m-%d %H:%M:%S.%f" // DuckDB side
+
+  private def seededWin(s: SparkSession, dir: String): DataFrame =
+    QcWindows.withWinId(seeded(events(s, dir)), "ts", 24.0)
+
+  private val selPred: Column = pmod(col("event_id"), lit(7)) === 0
+  private val win3: Column = col(QcWindows.WinIdCol) === 3
+
+  private def mOut(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
+
+  private def mOracle(caseExpr: String): String =
+    s"""$SeededCte, $WinCte
+       |SELECT event_id, $caseExpr AS value2_qcflag FROM win ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("qc_e2e")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- sanity / bench headline -------------------------------------
+    "q1_agg" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- P operators (flag lifecycle) --------------------------------
+    "p1_add_flags" -> ((s, dir) =>
+      QcFlags.addFlags(withValue2(events(s, dir)), Seq("value2"))
+        .select(col("event_id"), col("value2"), col("value2_qcflag"))
+        .orderBy("event_id")),
+    "p3_remove_flags" -> ((s, dir) =>
+      QcFlags.removeFlags(QcFlags.addFlags(withValue2(events(s, dir)), Seq("value2")))
+        .select(col("event_id"), col("value2")).orderBy("event_id")),
+    "p4_transfer" -> ((s, dir) =>
+      QcFlags.transfer(seeded(events(s, dir)), "value2", "value")
+        .select(col("event_id"), col("value_qcflag")).orderBy("event_id")),
+    "p5_apply_flags" -> ((s, dir) =>
+      QcFlags.applyFlags(seeded(events(s, dir)))
+        .select(col("event_id"), col("value2")).orderBy("event_id")),
+    "p6_clean_mask" -> ((s, dir) =>
+      QcFlags.cleanForPlot(seeded(events(s, dir)))
+        .select(col("event_id"), col("value2")).orderBy("event_id")),
+    "p7_hide_bad" -> ((s, dir) =>
+      QcPlotFeed.hideBad(seeded(events(s, dir)), "value2")
+        .select(col("event_id")).orderBy("event_id")),
+    "p9_flag_class" -> ((s, dir) =>
+      QcPlotFeed.flagClass(seeded(events(s, dir)), "value2", Approved)
+        .select(col("event_id")).orderBy("event_id")),
+    "p10_secondary" -> ((s, dir) =>
+      QcPlotFeed.secondaryOverlay(seeded(events(s, dir)), "value2")
+        .select(col("event_id")).orderBy("event_id")),
+
+    // --- A operators (aggregations) ----------------------------------
+    "a1_progress" -> ((s, dir) =>
+      QcProgress.summary(seeded(events(s, dir)), Seq("value2"))
+        .orderBy("variable")),
+    "a2_consistency" -> ((s, dir) =>
+      QcProgress.consistency(seeded(events(s, dir)), Seq("value2"))
+        .select(col("variable"), col("na_count"), col("flag_na_count"),
+          col("na_consistent"))
+        .orderBy("variable")),
+    "a5_min_time" -> ((s, dir) =>
+      events(s, dir).agg(date_format(min(col("ts")), TsFmt).as("t0"))),
+    "a8_y_range" -> ((s, dir) =>
+      QcWindows.yRangePadded(events(s, dir), "value")
+        .select(round(col("y_min"), 6).as("y_min"),
+          round(col("y_max"), 6).as("y_max"))),
+    "a9_win_count" -> ((s, dir) =>
+      QcWindows.windowCatalog(
+        QcWindows.withWinId(events(s, dir), "ts", 24.0), "ts", "value")
+        .agg(count(lit(1)).as("n"))),
+
+    // --- W operators (windowing) -------------------------------------
+    "w1_rowid" -> ((s, dir) =>
+      QcWindows.withRowId(events(s, dir), Seq("ts", "event_id"))
+        .select(col("event_id"), qcol(QcWindows.RowIdCol).as("rowid"))
+        .orderBy("event_id")),
+    "w2_win_id" -> ((s, dir) =>
+      QcWindows.withWinId(events(s, dir), "ts", 24.0)
+        .select(col("event_id"), col("win_id")).orderBy("event_id")),
+    "w3_catalog" -> ((s, dir) =>
+      QcWindows.windowCatalog(
+        QcWindows.withWinId(events(s, dir), "ts", 24.0), "ts", "value")
+        .select(col("win_id"), col("win_dense"), col("n_rows"),
+          date_format(col("t_min"), TsFmt).as("t_min_s"),
+          date_format(col("t_max"), TsFmt).as("t_max_s"))
+        .orderBy("win_id")),
+    "a6_win_filter" -> ((s, dir) =>
+      QcWindows.windowCatalog(seededWin(s, dir), "ts", "value2",
+          include = Seq(Unchecked))
+        .select(col("win_id")).orderBy("win_id")),
+
+    // --- M operators (mutation algebra) ------------------------------
+    "m1_flag_selected" -> ((s, dir) =>
+      mOut(QcActions.flagSelected(seededWin(s, dir), "value2", selPred))),
+    "m2_approve_selected" -> ((s, dir) =>
+      mOut(QcActions.approveSelected(seededWin(s, dir), "value2", selPred))),
+    "m3_unflag_selected" -> ((s, dir) =>
+      mOut(QcActions.unflagSelected(seededWin(s, dir), "value2", selPred))),
+    "m4_flag_window" -> ((s, dir) =>
+      mOut(QcActions.flagWindow(seededWin(s, dir), "value2", win3))),
+    "m5_approve_unflagged" -> ((s, dir) =>
+      mOut(QcActions.approveUnflagged(seededWin(s, dir), "value2", win3))),
+    "m6_reset_window" -> ((s, dir) =>
+      mOut(QcActions.resetWindow(seededWin(s, dir), "value2", win3))),
+    "m7_flag_approve_next" -> ((s, dir) =>
+      mOut(QcActions.flagAndApproveRest(seededWin(s, dir), "value2",
+        selPred && win3, win3))),
+    "m8_reset_all" -> ((s, dir) =>
+      mOut(QcActions.resetAll(seededWin(s, dir), "value2"))),
+
+    // --- U / S operators ---------------------------------------------
+    "u1_union" -> ((s, dir) =>
+      QcPlotFeed.rawCleanUnion(seeded(events(s, dir)))
+        .select(col("event_id"), col("panel"), col("value2"))
+        .orderBy("event_id", "panel")),
+    "s3_iso_utc" -> ((s, dir) =>
+      QcExport.isoUtc(events(s, dir), "ts")
+        .select(col("event_id"), col("ts")).orderBy("event_id")),
+
+    // --- flagship end-to-end -----------------------------------------
+    "qc_e2e" -> ((s, dir) => {
+      val flagged = QcFlags.addFlags(withValue2(events(s, dir)), Seq("value2"))
+      val swept = QcActions.approveUnflagged(
+        QcActions.flagSelected(flagged, "value2", col("value2") > 150),
+        "value2", lit(true))
+      QcFlags.applyFlags(swept)
+        .groupBy(col("event_type"))
+        .agg(count(col("value2")).as("n_clean"),
+          round(avg(col("value2")), 4).as("avg_clean"))
+        .orderBy("event_type")
+    }),
+
+    // --- LLM pipeline: dedup -----------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactCanonical(documents(s, dir), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_dups")).orderBy("doc_id")),
+    "dedup_minhash" -> ((s, dir) => {
+      // Near-dups are planted deterministically (docs 0-49 re-appear with
+      // their last two tokens dropped, ids offset by 1e6) so the LSH path
+      // has guaranteed positives at every scale factor.
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val perturbed = documents(s, dir).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+            .as("text"))
+      Dedup.minHashNearDupPairs(docs.unionByName(perturbed), "doc_id", "text",
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.withSimHash(documents(s, dir), "text")
+        .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
+    "dedup_ngram" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      // token SETS pre-hashed to longs: the pairwise intersect compares
+      // longs instead of strings (same jaccard value; collisions are
+      // negligible and would equally affect numerator and denominator)
+      val toks = (c: Column) =>
+        array_distinct(transform(TextAnalysis.tokens(c), t => xxhash64(t)))
+      val a = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id_a"), toks(col("text")).as("__ta"))
+      val b = docs.select(col("doc_id").as("id_b"), toks(col("text")).as("__tb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard", Dedup.jaccard(col("__ta"), col("__tb")))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- LLM pipeline: similarity ------------------------------------
+    "sim_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteTopKWindow(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+    "sim_topk_agg" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+    "sim_ann" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      // 6-bit tables: bucket occupancy stays useful at the test corpus
+      // sizes (hundreds-thousands of vectors); production corpora raise
+      // bitsPerTable with corpus size.
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10, dim = 64,
+          tables = 8, bitsPerTable = 6)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+    "embed_norm" -> ((s, dir) =>
+      embeddings(s, dir)
+        .select(col("vec_id"),
+          round(Vec.norm(col("embedding")), 6).as("norm"))
+        .orderBy("vec_id")),
+
+    // --- LLM pipeline: text analysis ---------------------------------
+    "text_tokens" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+          TextAnalysis.stopwordRatio(col("text"), Seq("the", "a"))
+            .as("stopword_ratio"))
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // --- LLM pipeline: multimodal plumbing ---------------------------
+    "mm_meta" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.byteLength(encode(col("text"), "UTF-8")).cast("long")
+            .as("n_bytes"))
+        .orderBy("doc_id")),
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.withMediaMeta(
+          documents(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+          "payload")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("media.format").as("format"), col("media.width").as("width"),
+          col("media.height").as("height"))
+        .orderBy("doc_id")))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the hash-family-dependent /
+    * approximate operators (dedup_minhash, dedup_simhash, sim_ann,
+    * text_langid, text_fingerprint, mm_decode, sim_topk_agg) → driver
+    * records a rows-only check; those are locked down by the scalatest
+    * suite instead (recall vs brute force, cross-impl equality). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "p1_add_flags" ->
+      s"""$SeededCte SELECT event_id, value2,
+         |  CASE WHEN value2 IS NULL OR isnan(value2) THEN -1 ELSE 0 END AS value2_qcflag
+         |FROM e2 ORDER BY event_id""".stripMargin,
+    "p3_remove_flags" ->
+      s"""$SeededCte SELECT event_id, value2 FROM seeded ORDER BY event_id""",
+    "p4_transfer" ->
+      s"""$SeededCte SELECT event_id, value2_qcflag AS value_qcflag
+         |FROM seeded ORDER BY event_id""".stripMargin,
+    "p5_apply_flags" ->
+      s"""$SeededCte SELECT event_id,
+         |  CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END AS value2
+         |FROM seeded ORDER BY event_id""".stripMargin,
+    "p6_clean_mask" ->
+      s"""$SeededCte SELECT event_id,
+         |  CASE WHEN value2_qcflag < 1 THEN NULL ELSE value2 END AS value2
+         |FROM seeded ORDER BY event_id""".stripMargin,
+    "p7_hide_bad" ->
+      s"""$SeededCte SELECT event_id FROM seeded
+         |WHERE value2_qcflag >= 0 ORDER BY event_id""".stripMargin,
+    "p9_flag_class" ->
+      s"""$SeededCte SELECT event_id FROM seeded
+         |WHERE value2_qcflag = 1 ORDER BY event_id""".stripMargin,
+    "p10_secondary" ->
+      s"""$SeededCte SELECT event_id FROM seeded
+         |WHERE NOT (value2 IS NULL OR isnan(value2)) AND value2_qcflag >= 0
+         |ORDER BY event_id""".stripMargin,
+    "a1_progress" ->
+      s"""$SeededCte SELECT 'value2' AS variable,
+         |  count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))) AS total,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag NOT IN (0, -1)
+         |      AND NOT (value2 IS NULL OR isnan(value2))))
+         |    / nullif(count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))), 0), 2)
+         |    AS pct_checked,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = 1)) / count(*), 2) AS pct_approved,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = 0)) / count(*), 2) AS pct_unchecked,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = -1)) / count(*), 2) AS pct_missing,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = -2)) / count(*), 2) AS pct_flagged
+         |FROM seeded""".stripMargin,
+    "a2_consistency" ->
+      s"""$SeededCte SELECT 'value2' AS variable,
+         |  count(*) FILTER (WHERE value2 IS NULL OR isnan(value2)) AS na_count,
+         |  count(*) FILTER (WHERE value2_qcflag = -1) AS flag_na_count,
+         |  count(*) FILTER (WHERE value2 IS NULL OR isnan(value2))
+         |    = count(*) FILTER (WHERE value2_qcflag = -1) AS na_consistent
+         |FROM seeded""".stripMargin,
+    "a5_min_time" ->
+      s"SELECT strftime(min(ts), '$TsFmtDk') AS t0 FROM events",
+    "a8_y_range" ->
+      """SELECT round(min(value) - (max(value) - min(value)) * 0.02, 6) AS y_min,
+        |  round(max(value) + (max(value) - min(value)) * 0.02, 6) AS y_max
+        |FROM events""".stripMargin,
+    "a9_win_count" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
+        |  FROM events
+        |  GROUP BY 1
+        |  HAVING count(*) FILTER (WHERE NOT (value IS NULL OR isnan(value))) > 0)""".stripMargin,
+    "w1_rowid" ->
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY ts, event_id) - 1 AS rowid
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w2_win_id" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w3_catalog" ->
+      s"""WITH w AS (
+         |  SELECT *, CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
+         |  FROM events),
+         |k AS (
+         |  SELECT win_id, count(*) AS n_rows, min(ts) AS tmin, max(ts) AS tmax
+         |  FROM w GROUP BY 1
+         |  HAVING count(*) FILTER (WHERE NOT (value IS NULL OR isnan(value))) > 0)
+         |SELECT win_id,
+         |  CAST(dense_rank() OVER (ORDER BY win_id) - 1 AS BIGINT) AS win_dense,
+         |  n_rows, strftime(tmin, '$TsFmtDk') AS t_min_s,
+         |  strftime(tmax, '$TsFmtDk') AS t_max_s
+         |FROM k ORDER BY win_id""".stripMargin,
+    "a6_win_filter" ->
+      s"""$SeededCte, $WinCte
+         |SELECT win_id FROM win GROUP BY win_id
+         |HAVING count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))) > 0
+         |   AND count(*) FILTER (WHERE value2_qcflag = 0) > 0
+         |ORDER BY win_id""".stripMargin,
+    "m1_flag_selected" -> mOracle(
+      "CASE WHEN event_id % 7 = 0 AND value2_qcflag <> -1 THEN -2 ELSE value2_qcflag END"),
+    "m2_approve_selected" -> mOracle(
+      "CASE WHEN event_id % 7 = 0 AND value2_qcflag <> -1 THEN 1 ELSE value2_qcflag END"),
+    "m3_unflag_selected" -> mOracle(
+      "CASE WHEN event_id % 7 = 0 AND value2_qcflag <> -1 THEN 0 ELSE value2_qcflag END"),
+    "m4_flag_window" -> mOracle(
+      "CASE WHEN win_id = 3 AND value2_qcflag <> -1 THEN -2 ELSE value2_qcflag END"),
+    "m5_approve_unflagged" -> mOracle(
+      """CASE WHEN win_id = 3 AND value2_qcflag = 0
+        |  AND NOT (value2 IS NULL OR isnan(value2)) THEN 1
+        |  ELSE value2_qcflag END""".stripMargin),
+    "m6_reset_window" -> mOracle(
+      "CASE WHEN win_id = 3 AND value2_qcflag <> -1 THEN 0 ELSE value2_qcflag END"),
+    "m7_flag_approve_next" -> mOracle(
+      """CASE WHEN event_id % 7 = 0 AND win_id = 3 THEN -2
+        |  WHEN win_id = 3 AND value2_qcflag = 0
+        |    AND NOT (value2 IS NULL OR isnan(value2)) THEN 1
+        |  ELSE value2_qcflag END""".stripMargin),
+    "m8_reset_all" -> mOracle(
+      "CASE WHEN value2_qcflag <> -1 THEN 0 ELSE value2_qcflag END"),
+    "u1_union" ->
+      s"""$SeededCte
+         |SELECT event_id, panel, value2 FROM (
+         |  SELECT event_id, 'raw' AS panel, value2 FROM seeded
+         |  UNION ALL
+         |  SELECT event_id, 'clean' AS panel,
+         |    CASE WHEN value2_qcflag < 1 THEN NULL ELSE value2 END AS value2
+         |  FROM seeded)
+         |ORDER BY event_id, panel""".stripMargin,
+    "s3_iso_utc" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "qc_e2e" ->
+      s"""$SeededCte
+         |SELECT event_type,
+         |  count(CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END) AS n_clean,
+         |  round(avg(CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END), 4) AS avg_clean
+         |FROM (SELECT event_type, value2,
+         |        CASE WHEN value2_qcflag IN (-1, -2) THEN value2_qcflag
+         |             ELSE 1 END AS value2_qcflag
+         |      FROM seeded)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 200
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.probe_id
+        |      ORDER BY list_cosine_similarity(p.pv, e.embedding::DOUBLE[]) DESC,
+        |        e.vec_id) AS rank
+        |  FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, rank, nbr_id FROM scored
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "embed_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |  END AS avg_token_len,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
+        |  END AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,315 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard — each shaped for 100 TB:
+  *
+  *  - exact dedup is ONE hash shuffle on the key (map-side combined);
+  *  - near-dup candidate generation is LSH-BUCKETED (explode to band
+  *    keys → equi-join on the band key), never an O(n²) all-pairs
+  *    cross join; the only pairs materialized are same-bucket ones.
+  *    Pathological buckets (e.g. millions of identical docs) are the
+  *    skew case — AQE skew-join handles the join side, and
+  *    `maxBucket` caps runaway buckets explicitly.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup keeping the full first-by-`orderCol` row per key group
+    * (deterministic, unlike `dropDuplicates`): one hash shuffle on
+    * `keys`, no join. */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Exact dedup as canonical-id + multiplicity (min id per key group) —
+    * the aggregation-only shape (map-side combine, smallest shuffle). */
+  def exactCanonical(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  // ---------------------------------------------------- shingles / minhash
+
+  /** Word n-gram shingles (distinct), space-joined. A JVM loop rather
+    * than a transform()/slice() expression tree: higher-order functions
+    * are interpreted per element and dominated the near-dup pipeline's
+    * runtime at bench scale. */
+  def wordShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val out = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i <= toks.length - n) {
+            out += toks.slice(i, i + n).mkString(" ")
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }
+
+  def wordShingles(text: Column, n: Int): Column = wordShinglesUdf(n)(text)
+
+  /** MinHash universe: the 2^31−1 Mersenne field. Shingle hashes are
+    * reduced into the field BEFORE the affine permutation so a·h + b
+    * stays < 2^62 — no long overflow under ANSI mode (Spark 4
+    * default). */
+  private val MinHashPrime = 2147483647L // 2^31 − 1
+
+  /** Deterministic MinHash parameter pairs (aᵢ, bᵢ) from `seed`. */
+  private def hashParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    def gen() = rnd.nextInt(Int.MaxValue - 1).toLong + 1
+    (Array.fill(numHashes)(gen()), Array.fill(numHashes)(gen()))
+  }
+
+  /** FNV-1a 64-bit string hash — platform-stable, allocation-free. */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature of a shingle array: for each of `numHashes`
+    * permutations, min over shingles of (aᵢ·h(s) + bᵢ) mod p with
+    * h(s) = fnv1a64(s) mod p. Deliberately a UDF: Catalyst higher-order
+    * functions are interpreted (not codegen'd), and the nested
+    * 128-permutations × shingles loop ran ~1000× slower as a transform()
+    * tree than as this tight JVM loop (measured: 482 s → sub-second per
+    * 5k docs at bench scale). Still a narrow per-row map — one hash of
+    * each shingle, then numHashes affine mins. Empty shingle sets get
+    * the sentinel signature (p everywhere). */
+  def minHashSigUdf(numHashes: Int = 128, seed: Long = 42L)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val (as, bs) = hashParams(numHashes, seed)
+    val p = MinHashPrime
+    udf { shingles: Seq[String] =>
+      val sig = Array.fill(numHashes)(p)
+      if (shingles != null) shingles.foreach { s =>
+        val h = { val m = fnv1a64(s) % p; if (m < 0) m + p else m }
+        var i = 0
+        while (i < numHashes) {
+          val v = (as(i) * h + bs(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+  }
+
+  /** Column-expression form of [[minHashSigUdf]]. */
+  def minHashSignature(
+      shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    minHashSigUdf(numHashes, seed)(shingles)
+
+  /** Estimated Jaccard from two signatures: share of agreeing
+    * positions. */
+  def sigSimilarity(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), _ + _) / size(sigA)
+
+  /** Exact Jaccard on two (distinct) shingle arrays; 0 when both empty.
+    * Built-in array_intersect/array_union (they operate on unboxed
+    * UTF8Strings in place — measurably faster than a UDF, which pays
+    * string deserialization per element per pair). For large pairwise
+    * stages, pre-hash elements to longs (cheaper comparisons, same
+    * jaccard value modulo negligible collisions). */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u > 0, size(array_intersect(a, b)).cast("double") / u)
+      .otherwise(lit(0.0))
+  }
+
+  // ------------------------------------------------------------- LSH bands
+
+  /** Explode a signature into `bands` (bandIdx, bandHash) keys: docs
+    * sharing ANY band key are candidates. Output: idCol, band, bh. */
+  def bandsOf(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, sigLen: Int): DataFrame = {
+    require(sigLen % bands == 0, "bandsOf: bands must divide signature length")
+    val r = sigLen / bands
+    val keys = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col(sigCol), b * r + 1, r)).as("bh"))
+    }
+    df.select(col(idCol), explode(array(keys: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("band"), col("__bk.bh").as("bh"))
+  }
+
+  /** Candidate pairs (idA < idB) that share at least one LSH band
+    * bucket — a self-equi-join on the band key, NOT an all-pairs cross
+    * join. `maxBucket` drops degenerate buckets (a bucket of m docs
+    * yields m²/2 pairs; at 100 TB a runaway bucket is a job-killer —
+    * better to cap and let the exact-dedup pass own identical docs). */
+  def lshCandidatePairs(
+      banded: DataFrame, idCol: String, maxBucket: Int = 10000): DataFrame = {
+    val pruned = banded
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val a = pruned.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline over a text column: shingle →
+    * sign → band → bucket-join → verify candidates with EXACT Jaccard
+    * (two broadcast-friendly joins back to the shingle sets) → pairs
+    * with jaccard ≥ threshold. */
+  def minHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    val sh = df.select(
+      col(idCol),
+      wordShingles(col(textCol), shingleN).as("__sh"))
+    val sig = sh.select(
+      col(idCol),
+      col("__sh"),
+      minHashSignature(col("__sh"), numHashes, seed).as("__sig"))
+    val banded = bandsOf(sig, idCol, "__sig", bands, numHashes)
+    val cand = lshCandidatePairs(banded, idCol)
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Survivors after near-dup removal: drop the higher id of each dup
+    * pair (single-step min-id canonicalization; chains longer than one
+    * hop are rare at sensible thresholds and converge under
+    * iteration). */
+  def dropNearDups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of a token array. Scalar loop over tokens with
+    * per-bit counters — inherently imperative, so this is the one
+    * deliberate UDF in the pipeline (a native codegen Expression is the
+    * upgrade path; the UDF is still a narrow per-row map). Token hash =
+    * FNV-1a 64 (self-contained, platform-stable). */
+  val simHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { tokens: Seq[String] =>
+      if (tokens == null) 0L
+      else {
+        val counts = new Array[Int](64)
+        tokens.foreach { t =>
+          var h = 0xcbf29ce484222325L // FNV offset basis
+          var i = 0
+          while (i < t.length) {
+            h ^= t.charAt(i).toLong
+            h *= 0x100000001b3L // FNV prime
+            i += 1
+          }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) {
+          if (counts(b) > 0) out |= (1L << b)
+          b += 1
+        }
+        out
+      }
+    }
+
+  def withSimHash(df: DataFrame, textCol: String,
+      outCol: String = "simhash"): DataFrame =
+    df.withColumn(outCol, simHash64(TextAnalysis.tokens(col(textCol))))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
+    * pigeonhole banding on four 16-bit chunks — if two hashes differ in
+    * ≤ 3 bits, at least one chunk is identical, so the equi-join on
+    * (chunk index, chunk value) finds every such pair without an
+    * all-pairs scan; `bit_count(xor)` verifies exactly. */
+  def simHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 16, "pigeonhole banding needs maxHamming < chunks*? (use more chunks)")
+    val hashed = withSimHash(df, textCol)
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+    }
+    val banded = hashed.select(col(idCol), col("simhash"),
+      explode(array(chunks: _*)).as("__bk"))
+      .select(col(idCol), col("simhash"),
+        col("__bk.band").as("band"), col("__bk.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"),
+      col(idCol).as("id_a"), col("simhash").as("__ha"))
+    val b = banded.select(col("band"), col("bh"),
+      col(idCol).as("id_b"), col("simhash").as("__hb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  // ----------------------------------------------------- embedding cosine
+
+  /** Embedding near-dup pairs: cosine ≥ threshold among LSH-bucketed
+    * candidates (random hyperplane signatures via [[Similarity]]), with
+    * exact cosine verification. Brute-force all-pairs is available for
+    * tests via `bruteForce = true` — never use it at scale. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      dim: Int = 64,
+      bruteForce: Boolean = false,
+      seed: Long = 7L): DataFrame = {
+    val pairs =
+      if (bruteForce) {
+        val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+        val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        val banded = Similarity.hyperplaneBands(df, idCol, vecCol, dim,
+          tables = 8, bitsPerTable = 12, seed = seed)
+        val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
+        val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
+        // dedup candidate ids BEFORE re-attaching vectors (distinct on two
+        // longs, not on array columns)
+        a.join(b, Seq("band", "bh"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+          .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      }
+    pairs.withColumn("cosine", Vec.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / top-k similarity search over an
+  * embedding column.
+  *
+  * Three tiers, by scale:
+  *  1. [[bruteTopK]] — exact: broadcast the (small) probe set over the
+  *     corpus, rank per probe. The per-probe ranking uses the
+  *     [[TopKAgg]] bounded-heap aggregator, which partial-aggregates
+  *     map-side: each shuffle partition ships at most k candidates per
+  *     probe, so the shuffle is O(probes·k·partitions), never O(corpus).
+  *  2. [[bruteTopKWindow]] — exact, window-ranked: simplest plan,
+  *     deterministic tie-breaks; fine when probes·corpus fits a
+  *     shuffle. Used as the oracle-matched reference implementation.
+  *  3. [[annTopK]] — approximate: random-hyperplane LSH bucketing; only
+  *     same-bucket candidates are scored. The 100 TB path.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per probe, window-ranked (deterministic:
+    * ties broken by neighbor id). Returns probe_id, rank, nbr_id,
+    * cosine. */
+  def bruteTopKWindow(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      includeSelf: Boolean = false): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(if (includeSelf) lit(true) else col("nbr_id") =!= col("probe_id"))
+      .withColumn("cosine", Vec.cosine(col("__pv"), col("__cv")))
+    scored.withColumn("rank",
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("nbr_id"))))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "nbr_id", "cosine")
+  }
+
+  /** Bounded top-k heap aggregator: merges (score, id) pairs keeping
+    * only the best k — partial-aggregates map-side so no partition ever
+    * ships more than k rows per group. Ties prefer the smaller id
+    * (matching [[bruteTopKWindow]]'s ordering). */
+  class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+    private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sorted(ord).take(k)
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact top-k via the bounded-heap aggregator — the scale-out shape
+    * (shuffle carries ≤ k candidates per probe per partition). Same
+    * output contract as [[bruteTopKWindow]]. */
+  def bruteTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        struct(Vec.cosine(col("__pv"), col("__cv")).as("_1"),
+          col("nbr_id").cast("long").as("_2")).as("__sc"))
+      .groupBy("probe_id")
+      .agg(topk(col("__sc._1"), col("__sc._2")).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("probe_id"), (col("__pos") + 1).as("rank"),
+        col("__t._2").as("nbr_id"), col("__t._1").as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: `tables` × `bitsPerTable` unit
+    * gaussians of dimension `dim`, seeded. */
+  private[pipeline] def hyperplanes(
+      dim: Int, tables: Int, bitsPerTable: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH band keys: for each of `tables` hash tables,
+    * the key is the `bitsPerTable`-bit sign pattern of projections onto
+    * fixed hyperplanes. Output: idCol, band (table idx), bh (bit key). */
+  def hyperplaneBands(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 12, seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
+    val keys = planes.toIndexedSeq.zipWithIndex.map { case (tbl, ti) =>
+      val key = tbl.toIndexedSeq.zipWithIndex
+        .map { case (h, bi) => Vec.signBit(col(vecCol), h) * (1L << bi) }
+        .reduce(_ + _)
+      struct(lit(ti).as("band"), key.as("bh"))
+    }
+    df.select(col(idCol), explode(array(keys: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("band"), col("__bk.bh").as("bh"))
+  }
+
+  /** Approximate top-k: LSH-bucketed candidate generation (union of the
+    * probe's buckets across all tables), exact cosine on candidates
+    * only, rank ≤ k. Recall is tunable via tables/bitsPerTable;
+    * measured against [[bruteTopKWindow]] in the test suite. */
+  def annTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 12, seed: Long = 7L): DataFrame = {
+    val cb = hyperplaneBands(corpus, idCol, vecCol, dim, tables, bitsPerTable, seed)
+      .withColumnRenamed(idCol, "nbr_id")
+    val pb = hyperplaneBands(probes, idCol, vecCol, dim, tables, bitsPerTable, seed)
+      .withColumnRenamed(idCol, "probe_id")
+    val cand = cb.join(broadcast(pb), Seq("band", "bh"))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .select("probe_id", "nbr_id").distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv")), Seq("nbr_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))),
+        Seq("probe_id"))
+      .withColumn("cosine", Vec.cosine(col("__pv"), col("__cv")))
+    scored.withColumn("rank",
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("nbr_id"))))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "nbr_id", "cosine")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, n-gram language ID, and document
+  * fingerprinting. All per-row, narrow, built from codegen-friendly
+  * built-ins and higher-order functions — at 100 TB these are
+  * scan-bound maps with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text → empty array (not
+    * `[""]`, which `split` would give). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** Mean token length in characters (null for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    val total = aggregate(transform(t, length(_).cast("long")), lit(0L), _ + _)
+    when(size(t) > 0, total.cast("double") / size(t))
+  }
+
+  /** Share of tokens found in `stops` (null for empty docs). */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      size(filter(t, _.isInCollection(stops))).cast("double") / size(t))
+  }
+
+  /** Punctuation-character ratio over all characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      (n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length in a sane band, average
+    * word length in a natural-language band, some stopwords, little
+    * punctuation — the usual cheap pre-training heuristics. */
+  def qualityScore(text: Column, stops: Seq[String]): Column = {
+    val nt = nTokens(text).cast("double")
+    val lenOk = when(nt >= 10 && nt <= 100000, 1.0).otherwise(nt / 10.0)
+    val awl = coalesce(avgTokenLen(text), lit(0.0))
+    val awlOk = when(awl >= 2 && awl <= 12, 1.0).otherwise(0.25)
+    val stopOk = when(coalesce(stopwordRatio(text, stops), lit(0.0)) > 0.01, 1.0)
+      .otherwise(0.5)
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    least(lenOk, lit(1.0)) * 0.25 + awlOk * 0.2 + stopOk * 0.15 + punctOk * 0.4
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately minimal — the point is the
+    * distributed argmax shape, not lexicography. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"))
+
+  /** Language ID: score each profile by stopword hits (ties broken by
+    * language code), take the argmax; "und" (undetermined) when nothing
+    * matches. One pass over the token array per profile — still a
+    * narrow map. */
+  def langId(text: Column,
+      profiles: Map[String, Seq[String]] = LangProfiles): Column = {
+    val t = tokens(text)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(
+        size(filter(t, _.isInCollection(stops))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = element_at(array_sort(
+      array(scored: _*),
+      (a, b) => when(a("score") > b("score"), -1)
+        .when(a("score") < b("score"), 1)
+        .when(a("lang") < b("lang"), -1)
+        .when(a("lang") > b("lang"), 1)
+        .otherwise(0)), 1)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * token hashes in a ~2^57 prime field (modular fold — no long
+    * overflow under ANSI mode) — equal fingerprints ⇔ near-certainly
+    * equal token sequences. Cheap exact dedup key that ignores
+    * whitespace differences. */
+  private val FpPrime = 144115188075855859L // prime just below 2^57; 31·p < 2^63
+
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(FpPrime)), lit(FpPrime)))
+}

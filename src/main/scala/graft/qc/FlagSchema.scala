@@ -39,6 +39,12 @@ object FlagSchema {
   /** Flag-column name for a variable. */
   def flagCol(v: String, suffix: String = DefaultSuffix): String = v + suffix
 
+  /** Column reference by exact name, backtick-quoted so names containing
+    * dots (common in data exported from R, the reference's domain) are
+    * not parsed as struct-field access. */
+  def qcol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("`" + n.replace("`", "``") + "`")
+
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
     case _              => false

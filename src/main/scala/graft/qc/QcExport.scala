@@ -1,0 +1,120 @@
+package graft.qc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+/** Sources and sinks — the Spark equivalents of qctimeseries
+  * R/qc_exports.R and the vignette's CSV ingest
+  * (vignettes/overall_workflow.Rmd:98-111).
+  *
+  * Scale notes: all sinks are plain distributed `df.write` (one file per
+  * partition); the MD5 manifest walks the output directory on the
+  * driver, hashing FILES (a driver-side concern, exactly like the
+  * reference's `tools::md5sum`, R/qc_exports.R:135-145) — data never
+  * flows through the driver.
+  */
+object QcExport {
+
+  import FlagSchema._
+
+  /** S2: CSV source with header, timestamp cast, and optional column
+    * projection (overall_workflow.Rmd:98-111: read.csv → POSIXct cast →
+    * column subset). */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      timeCol: String = "DateTime",
+      timeFormat: Option[String] = None,
+      select: Seq[String] = Nil): DataFrame = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path)
+    val ts = timeFormat match {
+      case Some(fmt) => to_timestamp(qcol(timeCol), fmt)
+      case None      => to_timestamp(qcol(timeCol))
+    }
+    val cast = raw.withColumn(timeCol, ts)
+    if (select.isEmpty) cast else cast.select(select.map(qcol): _*)
+  }
+
+  /** S1: Parquet checkpoint load (the engine's analogue of resuming from
+    * a saved RData workspace, overall_workflow.Rmd:86-89). */
+  def readCheckpoint(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** ISO-8601 UTC rendering of the time column for text sinks
+    * (R/qc_exports.R:61-66: `format(t, "%Y-%m-%dT%H:%M:%SZ", tz="UTC")`). */
+  def isoUtc(df: DataFrame, timeCol: String): DataFrame =
+    df.withColumn(timeCol,
+      date_format(qcol(timeCol), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  /** S3: CSV sink — header, "NA" null marker, ISO-8601 UTC timestamps,
+    * optional gzip (R/qc_exports.R:71-79). */
+  def writeCsv(
+      df: DataFrame,
+      path: String,
+      timeCol: Option[String] = None,
+      gzip: Boolean = false): Unit = {
+    val rendered = timeCol.fold(df)(isoUtc(df, _))
+    val w = rendered.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "NA")
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  /** S4: Parquet sink with selectable compression
+    * (R/qc_exports.R:82-89; zstd default like the reference). */
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+  /** S7: dual-variant export (R/qc_exports.R:53-58): writes
+    * `<stem>_qc.*` (flags retained) AND `<stem>_clean.*` (flags applied
+    * with the `< 0` mask, then dropped) in each requested format, then
+    * S8's MD5 manifest over everything written. Returns the manifest
+    * path. */
+  def writeExports(
+      df: DataFrame,
+      dir: String,
+      stem: String,
+      formats: Seq[String] = Seq("csv", "parquet"),
+      timeCol: Option[String] = None,
+      suffix: String = DefaultSuffix,
+      gzip: Boolean = false): String = {
+    require(formats.nonEmpty && formats.forall(Set("csv", "parquet")),
+      "writeExports: formats must be csv and/or parquet")
+    val variants = Seq(
+      s"${stem}_qc" -> df,
+      s"${stem}_clean" -> QcFlags.applyFlags(df, suffix, dropFlags = true))
+    for ((name, d) <- variants; fmt <- formats) fmt match {
+      case "csv"     => writeCsv(d, s"$dir/$name.csv", timeCol, gzip)
+      case "parquet" => writeParquet(d, s"$dir/$name.parquet")
+    }
+    md5Manifest(dir, stem)
+  }
+
+  /** S8: MD5 checksum manifest over every regular file under `dir`
+    * (R/qc_exports.R:135-145) → `<dir>/<stem>_checksums.md5`, one
+    * `<hex>  <relpath>` line per file, sorted for determinism. */
+  def md5Manifest(dir: String, stem: String): String = {
+    val base = Paths.get(dir)
+    val manifest = base.resolve(s"${stem}_checksums.md5")
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.isFile) Seq(f) else Nil
+    val lines = walk(base.toFile)
+      .filterNot(f => f.toPath == manifest || f.getName.startsWith(".") ||
+        f.getName == "_SUCCESS")
+      .map { f =>
+        val md = MessageDigest.getInstance("MD5")
+        val hex = md.digest(Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+        s"$hex  ${base.relativize(f.toPath)}"
+      }.sorted
+    Files.writeString(manifest, lines.mkString("", "\n", "\n"))
+    manifest.toString
+  }
+}

@@ -23,8 +23,8 @@ object QcFlags {
     * so for floating-point columns test both. */
   private[graft] def isMissing(df: DataFrame, v: String): Column =
     df.schema(v).dataType match {
-      case DoubleType | FloatType => col(v).isNull || isnan(col(v))
-      case _                      => col(v).isNull
+      case DoubleType | FloatType => qcol(v).isNull || isnan(qcol(v))
+      case _                      => qcol(v).isNull
     }
 
   /** P1/P2 `qc_add_flags` (R/qc_flags.R:20-93): for each selected numeric
@@ -57,8 +57,11 @@ object QcFlags {
         vars
       }
     if (requireNumeric) {
-      val numeric = numericCols(df, suffix).toSet ++ flagCols(df, suffix)
-      val nonNum = selected.filterNot(numeric.contains)
+      // Test the ACTUAL DataType of each selected column (qc_flags.R:47-56);
+      // a non-numeric column is rejected even if its name ends in suffix.
+      val nonNum = selected.filterNot { v =>
+        df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      }
       require(nonNum.isEmpty, s"addFlags: non-numeric vars: ${nonNum.mkString(", ")}")
     }
     val newFlagNames = selected.map(flagCol(_, suffix))
@@ -66,13 +69,18 @@ object QcFlags {
     require(existing.isEmpty || overwrite,
       s"addFlags: flag columns already exist: ${existing.mkString(", ")} (set overwrite=true)")
 
-    val replaced = existing.toSet
-    val kept = names.filterNot(replaced.contains).map(col)
-    val flags = selected.map { v =>
-      when(isMissing(df, v), lit(OrigNA)).otherwise(lit(Unchecked))
-        .cast(IntegerType).as(flagCol(v, suffix))
-    }
-    df.select(kept ++ flags: _*)
+    // In-place overwrite preserving column position, like the reference's
+    // data.table::set (qc_flags.R:77-84); only genuinely-new flag columns
+    // are appended at the end.
+    val flagExprs: Map[String, Column] = selected.map { v =>
+      flagCol(v, suffix) ->
+        when(isMissing(df, v), lit(OrigNA)).otherwise(lit(Unchecked))
+          .cast(IntegerType)
+    }.toMap
+    val inPlace = names.map(n => flagExprs.get(n).map(_.as(n)).getOrElse(qcol(n)))
+    val appended = newFlagNames.filterNot(names.contains)
+      .map(n => flagExprs(n).as(n))
+    df.select(inPlace ++ appended: _*)
   }
 
   /** P3 `qc_remove_flags` (R/qc_flags.R:107-145): drop flag columns for
@@ -91,7 +99,7 @@ object QcFlags {
       s"removeFlags: not found: ${missing.mkString(", ")}")
     val rm = target.toSet
     if (!present.exists(rm.contains)) df
-    else df.select(df.schema.fieldNames.filterNot(rm.contains).map(col): _*)
+    else df.select(df.schema.fieldNames.filterNot(rm.contains).map(qcol).toSeq: _*)
   }
 
   /** P4 `qc_transfer` (R/qc_flags.R:159-182): copy the flag column of
@@ -104,7 +112,7 @@ object QcFlags {
     val src = flagCol(from, suffix)
     val dst = flagCol(to, suffix)
     require(df.schema.fieldNames.contains(src), s"transfer: flag column not found: $src")
-    df.withColumn(dst, col(src))
+    df.withColumn(dst, qcol(src))
   }
 
   /** P5 `qc_apply_flags` (R/qc_flags.R:193-219): for each flag column
@@ -142,8 +150,8 @@ object QcFlags {
     val dropped = if (dropFlags) fcols.toSet else Set.empty[String]
     val out = names.filterNot(dropped.contains).map { n =>
       if (maskedVars.contains(n))
-        when(col(flagCol(n, suffix)) < threshold, lit(null)).otherwise(col(n)).as(n)
-      else col(n)
+        when(qcol(flagCol(n, suffix)) < threshold, lit(null)).otherwise(qcol(n)).as(n)
+      else qcol(n)
     }
     df.select(out: _*)
   }

@@ -43,7 +43,7 @@ object QcProgress {
     def cif(c: Column): Column = sum(when(c, 1L).otherwise(0L))
 
     val aggs = count(lit(1)).as("__n_all") +: vs.flatMap { v =>
-      val f = col(flagCol(v, suffix))
+      val f = qcol(flagCol(v, suffix))
       val miss = QcFlags.isMissing(df, v)
       Seq(
         cif(miss).as(s"__na@$v"),
@@ -58,15 +58,19 @@ object QcProgress {
     val one = df.agg(aggs.head, aggs.tail: _*)
 
     val nAll = col("__n_all")
+    // bround = HALF_EVEN, matching R's IEEE round(x, 2) (ADVICE r1).
+    // Only pct_checked's denominator is null-guarded (R/qc_summary.R:72-77
+    // yields NA_real_ for n_valid==0); the all-rows percentages divide
+    // unguarded like R, giving NaN on a 0-row table.
     def pct(n: Column, d: Column): Column =
-      round(lit(100.0) * n / when(d > 0, d), 2) // d<=0 → null (R NA_real_)
+      bround(lit(100.0) * n / d, 2)
 
     val rows = vs.map { v =>
       val nValid = nAll - col(s"__na@$v")
       struct(
         lit(v).as("variable"),
         nValid.as("total"),
-        pct(col(s"__ck@$v"), nValid).as("pct_checked"),
+        pct(col(s"__ck@$v"), when(nValid > 0, nValid)).as("pct_checked"),
         pct(col(s"__ap@$v"), nAll).as("pct_approved"),
         pct(col(s"__un@$v"), nAll).as("pct_unchecked"),
         pct(col(s"__fn@$v"), nAll).as("pct_missing"),
@@ -87,7 +91,7 @@ object QcProgress {
     val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
     require(vs.nonEmpty, "consistency: no flagged variables found")
     val aggs = vs.flatMap { v =>
-      val f = col(flagCol(v, suffix))
+      val f = qcol(flagCol(v, suffix))
       Seq(
         sum(when(QcFlags.isMissing(df, v), 1L).otherwise(0L)).as(s"__na@$v"),
         sum(when(f === OrigNA, 1L).otherwise(0L)).as(s"__fn@$v"),

@@ -1,0 +1,126 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The qc_window_app server loop minus the pixels
+  * (R/qc_window_app.R:194-448): an immutable session value holding the
+  * current table version, the window catalog, and the navigation
+  * cursor. Every mutation returns a NEW session (Spark dfs are
+  * immutable — SURVEY §7.3); `render` returns the current window's rows
+  * for the UI layer.
+  *
+  * Scale: the main df is ingested once (explicit time sort → row ids →
+  * window ids) and cached; the catalog is tiny and collected lazily.
+  * Each render is a filter on `win_dense` — partition-prunable when the
+  * underlying layout is time-bucketed. Each action is a narrow
+  * projection; `checkpointEvery` taming of the `when`-fold plan depth
+  * mirrors the reference's periodic save advice
+  * (overall_workflow.Rmd:144-165).
+  */
+final case class QcSession(
+    df: DataFrame,
+    y: String,
+    t: String,
+    winHrs: Double,
+    t0: java.sql.Timestamp,
+    catalog: DataFrame,
+    cursor: Long = 0L,
+    suffix: String = FlagSchema.DefaultSuffix,
+    appliedActions: Int = 0) {
+
+  import FlagSchema._
+
+  private def winScope: Column = col(QcWindows.WinDenseCol) === cursor
+
+  /** Rows of the current window (navigation slice). */
+  def render(hideBadRows: Boolean = false): DataFrame = {
+    val slice = QcWindows.slice(df, cursor)
+    if (hideBadRows) QcPlotFeed.hideBad(slice, y, suffix) else slice
+  }
+
+  def windowCount: Long = QcWindows.windowCount(catalog)
+
+  def next: QcSession = copy(cursor = math.min(cursor + 1, windowCount - 1))
+  def prev: QcSession = copy(cursor = math.max(cursor - 1, 0L))
+  def goto(k: Long): QcSession = copy(cursor = k)
+
+  private def withDf(d: DataFrame): QcSession =
+    copy(df = d, appliedActions = appliedActions + 1)
+
+  /** M1-M3 on a brushed id selection within the current window. */
+  def flagSelected(ids: Seq[Long]): QcSession =
+    withDf(QcActions.flagSelected(df, y, QcPlotFeed.selScope(ids), suffix))
+  def approveSelected(ids: Seq[Long]): QcSession =
+    withDf(QcActions.approveSelected(df, y, QcPlotFeed.selScope(ids), suffix))
+  def unflagSelected(ids: Seq[Long]): QcSession =
+    withDf(QcActions.unflagSelected(df, y, QcPlotFeed.selScope(ids), suffix))
+
+  /** M4-M6 on the whole current window. */
+  def flagWindow(): QcSession =
+    withDf(QcActions.flagWindow(df, y, winScope, suffix))
+  def approveUnflagged(): QcSession =
+    withDf(QcActions.approveUnflagged(df, y, winScope, suffix))
+  def resetWindow(): QcSession =
+    withDf(QcActions.resetWindow(df, y, winScope, suffix))
+
+  /** M7 workhorse: flag selection, approve the window's rest, advance. */
+  def flagAndNext(ids: Seq[Long]): QcSession =
+    withDf(QcActions.flagAndApproveRest(
+      df, y, QcPlotFeed.selScope(ids), winScope, suffix)).next
+
+  /** M8. */
+  def resetAll(): QcSession = withDf(QcActions.resetAll(df, y, suffix))
+
+  /** Restructure path (R/qc_window_app.R:426-439): recompute window ids
+    * at a new width / include-filter — narrow recompute, no shuffle. */
+  def rewindow(newWinHrs: Double, include: Seq[Int] = Nil): QcSession = {
+    val base = df.drop(QcWindows.WinIdCol, QcWindows.WinDenseCol)
+    val wdf = QcWindows.withWinId(base, t, newWinHrs, Some(t0))
+    val cat = QcWindows.windowCatalog(wdf, t, y, include, suffix)
+    copy(df = QcWindows.withDenseId(wdf, cat), winHrs = newWinHrs,
+      catalog = cat, cursor = 0L)
+  }
+
+  /** Long interactive sessions fold many `when`-projections onto the
+    * plan; localCheckpoint truncates the lineage (the engine analogue of
+    * the reference's periodic re-save). */
+  def compact(): QcSession =
+    copy(df = df.localCheckpoint(eager = true))
+
+  /** Exit path (R/qc_window_app.R:442-447): strip synthetic columns and
+    * return the flagged table. */
+  def done(): DataFrame =
+    df.drop(QcWindows.RowIdCol, QcWindows.WinIdCol, QcWindows.WinDenseCol)
+}
+
+object QcSession {
+
+  /** Ingest (R/qc_window_app.R:42-85): validate, explicit time sort with
+    * row ids, window ids from the global min time, window catalog, cache. */
+  def open(
+      data: DataFrame,
+      y: String,
+      t: String,
+      winHrs: Double = 168.0,
+      include: Seq[Int] = Nil,
+      tiebreakers: Seq[String] = Nil,
+      suffix: String = FlagSchema.DefaultSuffix,
+      cache: Boolean = true): QcSession = {
+    require(data.schema.fieldNames.contains(t), s"open: no time column $t")
+    require(
+      data.schema(t).dataType == org.apache.spark.sql.types.TimestampType,
+      s"open: $t must be TimestampType (the reference errors on non-POSIXct, R/qc_window_app.R:52-57)")
+    require(data.schema.fieldNames.contains(FlagSchema.flagCol(y, suffix)),
+      s"open: run QcFlags.addFlags first — no flag column for $y (R/qc_window_app.R:59-62)")
+    val t0 = QcWindows.minTime(data, t)
+    val withIds = QcWindows.withRowId(data, t +: tiebreakers)
+    val wdf = QcWindows.withWinId(withIds, t, winHrs, Some(t0))
+    val cat = QcWindows.windowCatalog(wdf, t, y, include, suffix)
+    val full = QcWindows.withDenseId(wdf, cat)
+    val cached =
+      if (cache) full.persist(StorageLevel.MEMORY_AND_DISK) else full
+    QcSession(cached, y, t, winHrs, t0, cat, 0L, suffix)
+  }
+}

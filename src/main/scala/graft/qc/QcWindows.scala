@@ -1,0 +1,184 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Tumbling-window partitioning + window catalog — the Spark equivalent
+  * of qctimeseries `make_windows` (R/qc_window_app.R:64-79,
+  * R/ts_viewer.R:59-69).
+  *
+  * Scale design (100 TB): the per-row operators (`withRowId`,
+  * `withWinId`) are narrow or range-partitioned — no single-partition
+  * global `Window.orderBy`. The window CATALOG (one row per kept window,
+  * A6/W3/A7) is tiny relative to the data (hours-wide buckets over
+  * years of data → thousands of rows), so the dense renumbering runs on
+  * the catalog and is joined back with a broadcast hash join — the main
+  * table is never globally sorted for navigation.
+  */
+object QcWindows {
+
+  import FlagSchema._
+
+  /** Synthetic column names (stripped before returning to users,
+    * R/qc_window_app.R:443-445). */
+  val RowIdCol = ".rowid"
+  val WinIdCol = "win_id"
+  val WinDenseCol = "win_dense"
+
+  /** A5: global min time — the tumbling-window origin
+    * (R/qc_window_app.R:68). Eager (one tiny agg job). */
+  def minTime(df: DataFrame, t: String): java.sql.Timestamp =
+    df.agg(min(qcol(t))).head.getTimestamp(0)
+
+  /** Lazy variant of A5: attach the global min time as a literal column
+    * via a broadcast single-row cross join, keeping the whole pipeline
+    * one declarative query (no driver action). */
+  private def withMinTime(df: DataFrame, t: String, as: String): DataFrame =
+    df.crossJoin(broadcast(df.select(min(qcol(t)).as(as))))
+
+  /** W1: stable, deterministic 0-based row id in `(orderCols)` order —
+    * the engine's replacement for R's insertion-order `.rowid := .I`
+    * (R/qc_window_app.R:65). The reference relies on rows arriving
+    * time-sorted; Spark has no insertion order, so the sort is explicit
+    * and `orderCols` should include a unique tiebreaker (SURVEY §7.6.2).
+    *
+    * NOT a single-partition `row_number().over(Window.orderBy(...))`:
+    * the data is range-partitioned on the order columns, numbered
+    * per-partition in parallel, and per-partition offsets (a tiny
+    * driver-side cumulative sum over partition counts) are added back —
+    * the same plan at 600k rows or 100 TB.
+    */
+  def withRowId(
+      df: DataFrame,
+      orderCols: Seq[String],
+      idCol: String = RowIdCol): DataFrame = {
+    require(orderCols.nonEmpty, "withRowId: need at least one order column")
+    val oc = orderCols.map(qcol)
+    val sorted = df.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
+    // zipWithIndex = one O(partitions) count job over the range shuffle
+    // (whose map output is then REUSED by the main job — the sort is
+    // computed once), then dense per-partition offsets with no second
+    // shuffle. This is the scale-safe replacement for a single-partition
+    // `row_number().over(Window.orderBy(...))`.
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** W2: tumbling window id `floor((t − t0) / winHrs·3600)` with the
+    * origin at the data's global min time (R/qc_window_app.R:67-71).
+    * Sub-second precision is kept (timestamp → fractional epoch seconds),
+    * matching R's `difftime(..., units = "secs")` on POSIXct doubles.
+    *
+    * @param t0 window origin; None = derive lazily from the data (A5)
+    */
+  def withWinId(
+      df: DataFrame,
+      t: String,
+      winHrs: Double,
+      t0: Option[java.sql.Timestamp] = None,
+      idCol: String = WinIdCol): DataFrame = {
+    require(winHrs > 0, "withWinId: winHrs must be positive")
+    val widthSecs = winHrs * 3600.0
+    def winId(origin: Column): Column =
+      floor((qcol(t).cast("double") - origin.cast("double")) / widthSecs)
+        .cast(LongType)
+    t0 match {
+      case Some(ts) => df.withColumn(idCol, winId(lit(ts)))
+      case None =>
+        withMinTime(df, t, "__t0")
+          .withColumn(idCol, winId(col("__t0"))).drop("__t0")
+    }
+  }
+
+  /** A6 + W3 + A7 + A9: the window catalog. One row per KEPT window —
+    * windows with at least one non-missing `y` and (if `include` is
+    * non-empty and a flag column exists) at least one flag in the
+    * include-set survive (R/qc_window_app.R:72-76); survivors are
+    * densely renumbered 0..n-1 in win_id order (W3), with each window's
+    * time range (A7) and row count.
+    *
+    * Input must already carry `winIdCol` (from [[withWinId]]). The
+    * catalog is small (one row per window) — safe to collect/broadcast.
+    */
+  def windowCatalog(
+      df: DataFrame,
+      t: String,
+      y: String,
+      include: Seq[Int] = Nil,
+      suffix: String = DefaultSuffix,
+      winIdCol: String = WinIdCol): DataFrame = {
+    val f = flagCol(y, suffix)
+    val hasFlag = df.schema.fieldNames.contains(f)
+    val yOk = max(when(!QcFlags.isMissing(df, y), 1).otherwise(0)) === 1
+    val flagOk =
+      if (include.nonEmpty && hasFlag)
+        max(when(qcol(f).isin(include.map(Integer.valueOf): _*), 1).otherwise(0)) === 1
+      else lit(true)
+    val kept = df.groupBy(qcol(winIdCol).as(winIdCol))
+      .agg(
+        yOk.as("__y_ok"), flagOk.as("__f_ok"),
+        min(qcol(t)).as("t_min"), max(qcol(t)).as("t_max"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("__y_ok") && col("__f_ok"))
+      .drop("__y_ok", "__f_ok")
+    // Dense renumber on the SMALL catalog only (single-partition window
+    // over ~thousands of rows, not the data).
+    kept.withColumn(WinDenseCol,
+      (dense_rank().over(Window.orderBy(winIdCol)) - 1).cast(LongType))
+      .select(col(winIdCol), col(WinDenseCol), col("t_min"), col("t_max"),
+        col("n_rows"))
+  }
+
+  /** W3 applied to the data: broadcast-join the catalog's dense ids back
+    * onto the main table (inner join = rows of dropped windows are
+    * filtered out, mirroring the reference's navigation which can only
+    * reach kept windows). */
+  def withDenseId(
+      df: DataFrame,
+      catalog: DataFrame,
+      winIdCol: String = WinIdCol): DataFrame =
+    df.join(
+      broadcast(catalog.select(winIdCol, WinDenseCol)),
+      Seq(winIdCol), "inner")
+
+  /** Navigation slice: the rows of dense window `k`
+    * (R/qc_window_app.R:209). With a time-bucketed parquet layout this
+    * is partition-pruned to one bucket's files. */
+  def slice(df: DataFrame, k: Long, denseCol: String = WinDenseCol): DataFrame =
+    df.filter(qcol(denseCol) === k)
+
+  /** A9: number of kept windows (navigation bound,
+    * R/qc_window_app.R:339). */
+  def windowCount(catalog: DataFrame): Long = catalog.count()
+
+  /** A8: y-range with a fractional pad on each side
+    * (R/qc_window_app.R:259-263: `range(y)` ± 2% of the span). Returns
+    * a 1-row df (y_min, y_max) so it can feed the oracle harness; use
+    * `.head` for the driver-side tuple. */
+  def yRangePadded(df: DataFrame, y: String, pad: Double = 0.02): DataFrame =
+    df.agg(min(qcol(y)).as("__lo"), max(qcol(y)).as("__hi"))
+      .select(
+        (col("__lo") - (col("__hi") - col("__lo")) * pad).as("y_min"),
+        (col("__hi") + (col("__hi") - col("__lo")) * pad).as("y_max"))
+
+  /** W4: the x-axis range of window `wid` — pure arithmetic from the
+    * origin and width, no data pass (R/qc_window_app.R:215-226). */
+  def windowXRange(
+      t0: java.sql.Timestamp,
+      winHrs: Double,
+      wid: Long,
+      pad: Double = 0.02): (java.sql.Timestamp, java.sql.Timestamp) = {
+    val w = (winHrs * 3600 * 1000).toLong
+    val lo = t0.getTime + wid * w
+    val hi = lo + w
+    val p = ((hi - lo) * pad).toLong
+    (new java.sql.Timestamp(lo - p), new java.sql.Timestamp(hi + p))
+  }
+}

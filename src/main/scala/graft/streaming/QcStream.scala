@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.qc.{FlagSchema, QcFlags}
+
+/** Structured-Streaming extension (SURVEY §7.5; the reference is batch
+  * + human-in-the-loop, §2.10 — this is the beyond-parity continuous
+  * ingest path): flag assignment applied on the fly to a stream, plus
+  * watermarked tumbling-window QC statistics, so a 100 TB/day feed
+  * arrives already carrying the reference's flag-column data model.
+  *
+  * Both transforms are standard streaming-safe shapes: addFlags is
+  * stateless (narrow projection); the progress aggregation is a
+  * watermarked event-time window group-by (bounded state, late data
+  * dropped past the watermark).
+  */
+object QcStream {
+
+  import FlagSchema._
+
+  /** Stateless streaming flag init: the P1 projection applied to a
+    * streaming df (works unchanged — `when`/`isnull` are
+    * streaming-safe). Rule-based auto-flagging composes the same way:
+    * pass `autoFlag` predicates mapping to ManualFlag. */
+  def withFlags(
+      stream: DataFrame,
+      vars: Seq[String],
+      autoFlag: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      suffix: String = DefaultSuffix): DataFrame = {
+    val flagged = QcFlags.addFlags(stream, vars, suffix)
+    autoFlag.foldLeft(flagged) { case (df, (v, bad)) =>
+      val f = flagCol(v, suffix)
+      df.withColumn(f,
+        when(col(f) === Unchecked && bad, lit(ManualFlag)).otherwise(col(f)))
+    }
+  }
+
+  /** Watermarked tumbling-window flag histogram per variable — the
+    * streaming qc_progress: for each event-time window, counts by flag
+    * class. State is bounded by the watermark; output mode append once
+    * windows close. */
+  def windowedProgress(
+      flagged: DataFrame,
+      t: String,
+      v: String,
+      windowWidth: String = "1 hour",
+      watermark: String = "2 hours",
+      suffix: String = DefaultSuffix): DataFrame = {
+    val f = col(flagCol(v, suffix))
+    flagged
+      .withWatermark(t, watermark)
+      .groupBy(window(col(t), windowWidth).as("win"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(f === Approved, 1L).otherwise(0L)).as("n_approved"),
+        sum(when(f === Unchecked, 1L).otherwise(0L)).as("n_unchecked"),
+        sum(when(f === OrigNA, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(f === ManualFlag, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("n_rows"), col("n_approved"), col("n_unchecked"),
+        col("n_missing"), col("n_flagged"))
+  }
+}

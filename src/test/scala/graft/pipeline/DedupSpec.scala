@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa", "lam", "mu")
+
+  /** 30 distinct random docs + 10 near-dup copies (one token changed). */
+  private def corpus = {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = (0 until 10).map { i =>
+      val (id, text) = docs(i)
+      val toks = text.split(" ").toSeq.updated(5, "CHANGED")
+      (id + 100L, toks.mkString(" "))
+    }
+    (docs ++ nearDups).toDF("doc_id", "text")
+  }
+
+  test("exactCanonical: duplicate texts collapse to min id with counts") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = Dedup.exactCanonical(df, Seq("text"), "doc_id")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("exactKeepFirst keeps whole first row per key deterministically") {
+    val df = Seq((2L, "x", "keep2"), (1L, "x", "keep1"), (3L, "y", "keep3"))
+      .toDF("doc_id", "text", "tag")
+    val out = Dedup.exactKeepFirst(df, Seq("text"), "doc_id")
+      .select("tag").as[String].collect().sorted
+    assert(out.toSeq == Seq("keep1", "keep3"))
+  }
+
+  test("minhash signature similarity approximates true Jaccard") {
+    val sh = corpus.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+    val sig = sh.select(col("doc_id"), col("sh"),
+      Dedup.minHashSignature(col("sh"), 128).as("sig"))
+    val a = sig.filter(col("doc_id") === 0).select(col("sh").as("sa"), col("sig").as("ga"))
+    val b = sig.filter(col("doc_id") === 100).select(col("sh").as("sb"), col("sig").as("gb"))
+    val (est, exact) = a.crossJoin(b)
+      .select(Dedup.sigSimilarity(col("ga"), col("gb")),
+        Dedup.jaccard(col("sa"), col("sb")))
+      .as[(Double, Double)].head()
+    assert(exact > 0.5, s"near-dup pair should have high true jaccard, got $exact")
+    assert(math.abs(est - exact) < 0.2, s"estimate $est vs exact $exact")
+  }
+
+  test("minHashNearDupPairs finds every planted near-dup pair (recall vs brute force)") {
+    val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth at the same threshold
+    val sh = corpus.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    val truth = sh.toDF("id_a", "sa").crossJoin(sh.toDF("id_b", "sb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccard(col("sa"), col("sb")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test corpus must contain near-dups")
+    assert(truth.subsetOf(pairs),
+      s"LSH with 32 bands over 128 hashes must reach ~full recall at j>=0.5; missed ${truth -- pairs}")
+    assert(pairs.subsetOf(truth), "exact-jaccard verification must kill false positives")
+  }
+
+  test("dropNearDups removes the higher id of each pair") {
+    val pairs = Seq((0L, 100L), (1L, 101L)).toDF("id_a", "id_b")
+    val out = Dedup.dropNearDups(corpus, pairs, "doc_id")
+    assert(out.count() == corpus.count() - 2)
+    assert(out.filter(col("doc_id").isin(100L, 101L)).count() == 0)
+  }
+
+  test("simhash: hamming distance of near-dups is small, of random pairs large") {
+    val h = Dedup.withSimHash(corpus, "text")
+    val pairs = Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), "planted near-dup must be found")
+    assert(h.count() == 40)
+  }
+
+  test("embeddingNearDupPairs: brute and LSH agree on planted duplicates") {
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 20).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 5).map(i => ((i + 100).toLong,
+      base(i)._2.map(x => x + 0.001f * rnd.nextGaussian().toFloat)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.99, dim = 16, bruteForce = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.99, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute == (0 until 5).map(i => (i.toLong, (i + 100).toLong)).toSet)
+    assert(lsh == brute, "hyperplane LSH must find all planted near-identical vectors")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sniffFormat: magic bytes for jpeg/png/gif/riff/mp4/unknown") {
+    val rows = Seq(
+      ("jpeg", Array(0xff, 0xd8, 0xff, 0xe0, 0, 0, 0, 0).map(_.toByte)),
+      ("png", Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
+      ("gif", "GIF89a..".getBytes),
+      ("riff", "RIFFxxxxWAVE".getBytes),
+      ("mp4", Array[Byte](0, 0, 0, 0x18) ++ "ftypmp42".getBytes),
+      ("unknown", "hello world".getBytes))
+    val df = rows.toDF("expected", "payload")
+    df.select(col("expected"), Multimodal.sniffFormat(col("payload")))
+      .as[(String, String)].collect()
+      .foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("withMediaMeta: deterministic stub dims within bounds, byte length exact") {
+    val df = Seq((1L, "abcdef".getBytes)).toDF("id", "payload")
+    val r = Multimodal.withMediaMeta(df, "payload").select(
+      col("n_bytes"), col("media.width"), col("media.height"), col("media.nFrames"))
+      .as[(Int, Int, Int, Int)].head()
+    assert(r._1 == 6)
+    assert(r._2 >= 1 && r._2 <= 1920 && r._3 >= 1 && r._3 <= 1080 &&
+      r._4 >= 1 && r._4 <= 300)
+    // determinism
+    val r2 = Multimodal.withMediaMeta(df, "payload").select(
+      col("media.width")).as[Int].head()
+    assert(r2 == r._2)
+  }
+
+  test("decodeBatched: batches stream through partitions 1:1, batch size respected") {
+    val n = 257
+    val ds = spark.createDataset((0 until n).map(i => (i.toLong, Array(i.toByte))))
+      .repartition(3)
+    var maxBatch = 0
+    val out = Multimodal.decodeBatched(ds, batchSize = 64) { payloads =>
+      // runs on executors in local mode; size check via result plumbing
+      payloads.map(p => Multimodal.MediaMeta(s"b${payloads.length}", p(0).toInt & 0xff, 1, 1, 0))
+    }.collect()
+    assert(out.length == n, "1:1 in/out")
+    assert(out.forall { case (k, m) => m.width == (k.toInt & 0xff) },
+      "row↔result alignment preserved")
+    assert(out.forall(_._2.format.drop(1).toInt <= 64), "no batch exceeds batchSize")
+  }
+
+  test("sampleFrames explodes every stride-th frame index") {
+    val df = Seq((1L, 10)).toDF("id", "n_frames")
+    val idx = Multimodal.sampleFrames(df, "n_frames", stride = 3)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(idx == Seq(0, 3, 6, 9))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: blank text is empty, whitespace runs collapse") {
+    val df = Seq("", "   ", "a  b\tc", "one").toDF("text")
+    val out = df.select(TextAnalysis.nTokens(col("text"))).as[Int].collect().toSeq
+    assert(out == Seq(0, 0, 3, 1))
+  }
+
+  test("avgTokenLen and stopwordRatio") {
+    val df = Seq("the cat sat").toDF("text")
+    val (awl, sr) = df.select(
+      TextAnalysis.avgTokenLen(col("text")),
+      TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")))
+      .as[(Double, Double)].head()
+    assert(math.abs(awl - 3.0) < 1e-12)
+    assert(math.abs(sr - 1.0 / 3) < 1e-12)
+    val empty = Seq("").toDF("text")
+      .select(TextAnalysis.avgTokenLen(col("text"))).as[Option[Double]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("punctRatio counts punctuation share") {
+    val r = Seq("ab!?").toDF("text")
+      .select(TextAnalysis.punctRatio(col("text"))).as[Double].head()
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("langId picks the dominant stopword profile; und when no hits") {
+    val df = Seq(
+      ("en", "the cat of the house and a dog"),
+      ("de", "der hund und die katze ist nicht da"),
+      ("es", "el perro y la casa de un gato"),
+      ("und", "zzz qqq www")).toDF("expected", "text")
+    val out = df.select(col("expected"), TextAnalysis.langId(col("text")))
+      .as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("fingerprint: whitespace-insensitive, order-sensitive, stable") {
+    val df = Seq(("a b c", "a  b   c", "c b a")).toDF("x", "y", "z")
+    val (fx, fy, fz) = df.select(
+      TextAnalysis.fingerprint(col("x")),
+      TextAnalysis.fingerprint(col("y")),
+      TextAnalysis.fingerprint(col("z"))).as[(Long, Long, Long)].head()
+    assert(fx == fy, "whitespace differences must not change the fingerprint")
+    assert(fx != fz, "token order must change the fingerprint")
+  }
+
+  test("qualityScore: clean prose beats degenerate text") {
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog and runs far away today"),
+      ("bad", "!!! ??? ... ;;; ::: @@@ ###")).toDF("kind", "text")
+    val out = df.select(col("kind"),
+      TextAnalysis.qualityScore(col("text"), Seq("the", "a", "and")))
+      .as[(String, Double)].collect().toMap
+    assert(out("good") > out("bad"))
+    assert(out("good") > 0.7 && out("bad") < 0.5)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.qc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+class QcExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir = Files.createTempDirectory("qcexport").toString
+
+  private def df = Seq(
+    (Timestamp.valueOf("2024-01-01 12:34:56"), Some(1.5), 0),
+    (Timestamp.valueOf("2024-01-02 00:00:00"), None, -1),
+    (Timestamp.valueOf("2024-01-03 08:00:00"), Some(3.5), -2)
+  ).toDF("DateTime", "v", "v_qcflag")
+
+  test("S7 dual export: qc variant keeps flags, clean variant masks and drops them; S8 manifest covers all files") {
+    val dir = tmpDir
+    val manifest = QcExport.writeExports(df, dir, "site1",
+      formats = Seq("csv", "parquet"), timeCol = Some("DateTime"))
+    val qc = spark.read.parquet(s"$dir/site1_qc.parquet")
+    val clean = spark.read.parquet(s"$dir/site1_clean.parquet")
+    assert(qc.columns.contains("v_qcflag") && !clean.columns.contains("v_qcflag"))
+    assert(clean.filter(col("v").isNull).count() == 2, "flag -1 and -2 masked")
+    val lines = Files.readAllLines(Paths.get(manifest))
+    assert(lines.size >= 4, "manifest lists csv+parquet x qc+clean data files")
+    assert(lines.stream().allMatch(l => l.matches("[0-9a-f]{32}  .+")))
+  }
+
+  test("S3 CSV sink: ISO-8601 UTC timestamps and NA null marker round-trip") {
+    val dir = tmpDir
+    QcExport.writeCsv(df, s"$dir/out.csv", timeCol = Some("DateTime"))
+    val lines = Files.list(Paths.get(s"$dir/out.csv")).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+      .flatMap(p => scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(p))).asScala)
+    assert(lines.exists(_.contains("2024-01-01T12:34:56Z")))
+    assert(lines.exists(_.contains("NA")), "null rendered as NA marker")
+  }
+
+  test("S2 CSV source: header + timestamp cast + projection") {
+    val dir = tmpDir
+    QcExport.writeCsv(df.select(col("DateTime").cast("string"), col("v")), s"$dir/in.csv")
+    val back = QcExport.readCsv(spark, s"$dir/in.csv",
+      timeCol = "DateTime", select = Seq("DateTime", "v"))
+    assert(back.schema("DateTime").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.count() == 3)
+  }
+
+  test("S1/S4 parquet checkpoint round-trip preserves schema and rows") {
+    val dir = tmpDir
+    QcExport.writeParquet(df, s"$dir/ckpt.parquet")
+    val back = QcExport.readCheckpoint(spark, s"$dir/ckpt.parquet")
+    // parquet restores nullable=true; names+types are the contract
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 3)
+  }
+}

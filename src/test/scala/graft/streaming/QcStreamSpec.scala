@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.qc.FlagSchema
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class QcStreamSpec extends SparkSpec {
+
+  test("streaming flag init + watermarked windowed progress") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Option[Double])]
+    val stream = mem.toDF().toDF("ts", "temp")
+
+    val flagged = QcStream.withFlags(stream, Seq("temp"),
+      autoFlag = Map("temp" -> (col("temp") > 100)))
+    val agg = QcStream.windowedProgress(flagged, "ts", "temp",
+      windowWidth = "1 hour", watermark = "2 hours")
+
+    val q = agg.writeStream.format("memory").queryName("qcprog")
+      .outputMode("complete").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(min: Long) = new Timestamp(t0 + min * 60000)
+      mem.addData(
+        (t(0), Some(1.0)), (t(10), None), (t(20), Some(500.0)),
+        (t(70), Some(2.0)), (t(80), Some(3.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM qcprog ORDER BY win_start")
+        .as[(Timestamp, Timestamp, Long, Long, Long, Long, Long)].collect()
+      assert(rows.length == 2)
+      val (_, _, n0, ap0, un0, mi0, fl0) = rows(0)
+      assert((n0, ap0, un0, mi0, fl0) == (3L, 0L, 1L, 1L, 1L),
+        "window 0: one ok, one missing, one auto-flagged outlier")
+      val (_, _, n1, _, un1, _, _) = rows(1)
+      assert(n1 == 2L && un1 == 2L)
+    } finally q.stop()
+  }
+}
