@@ -287,6 +287,14 @@ object SparkEntry {
           col("nbr_id"))
         .orderBy("probe_id", "rank")
     }),
+    "sim_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
     "embed_norm" -> ((s, dir) =>
       embeddings(s, dir)
         .select(col("vec_id"),
@@ -306,6 +314,11 @@ object SparkEntry {
           TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
           TextAnalysis.stopwordRatio(col("text"), Seq("the", "a"))
             .as("stopword_ratio"))
+        .orderBy("doc_id")),
+    "text_bpe_tokens" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
         .orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
       documents(s, dir)
@@ -506,6 +519,12 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0

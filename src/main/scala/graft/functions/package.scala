@@ -1,0 +1,12 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+
+/** DataFrame-API face of the engine's native Catalyst expressions. */
+package object functions {
+
+  /** 64-bit SimHash of a string-array column (native expression,
+    * whole-stage-codegen'd — see [[SimHash64Expr]]). */
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokens)))
+}

@@ -209,43 +209,13 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash of a token array. Scalar loop over tokens with
-    * per-bit counters — inherently imperative, so this is the one
-    * deliberate UDF in the pipeline (a native codegen Expression is the
-    * upgrade path; the UDF is still a narrow per-row map). Token hash =
-    * FNV-1a 64 (self-contained, platform-stable). */
-  val simHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { tokens: Seq[String] =>
-      if (tokens == null) 0L
-      else {
-        val counts = new Array[Int](64)
-        tokens.foreach { t =>
-          var h = 0xcbf29ce484222325L // FNV offset basis
-          var i = 0
-          while (i < t.length) {
-            h ^= t.charAt(i).toLong
-            h *= 0x100000001b3L // FNV prime
-            i += 1
-          }
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        var out = 0L
-        var b = 0
-        while (b < 64) {
-          if (counts(b) > 0) out |= (1L << b)
-          b += 1
-        }
-        out
-      }
-    }
-
+  /** 64-bit SimHash of the text's token array, via the engine's native
+    * Catalyst expression [[graft.functions.SimHash64Expr]] (codegen'd
+    * on the unsafe token bytes — no UDF serialization boundary). */
   def withSimHash(df: DataFrame, textCol: String,
       outCol: String = "simhash"): DataFrame =
-    df.withColumn(outCol, simHash64(TextAnalysis.tokens(col(textCol))))
+    df.withColumn(outCol,
+      graft.functions.simhash64(TextAnalysis.tokens(col(textCol))))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
     * pigeonhole banding on four 16-bit chunks — if two hashes differ in

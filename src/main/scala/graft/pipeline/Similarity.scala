@@ -108,6 +108,55 @@ object Similarity {
       .select(col(idCol), col("__bk.band").as("band"), col("__bk.bh").as("bh"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: `nlist` deterministic seed
+    * centroids (pseudo-random corpus sample by id hash — IVF-flat with
+    * sampled centroids; a Lloyd refinement is an optional upgrade, the
+    * list structure is identical). Every corpus vector is assigned to
+    * its nearest centroid's list; a probe searches only its `nprobe`
+    * nearest lists. At scale the corpus can be WRITTEN bucketed by
+    * `cell` (partitionBy), making each probe a partition-pruned scan.
+    */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    // deterministic pseudo-random centroid sample (no RNG, stable runs)
+    val cents: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+
+    def cellDists(v: Column): Column = array(cents.map { case (cid, c) =>
+      struct((lit(1.0) - aggregate(
+        zip_with(transform(v, _.cast("double")), lit(c), _ * _),
+        lit(0.0), _ + _) / (Vec.norm(v) * math.sqrt(c.map(x => x * x).sum)))
+        .as("dist"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+
+    val assigned = corpus.withColumn("cell",
+      array_min(cellDists(col(vecCol))).getField("cid"))
+    val probeCells = probes.withColumn("cell",
+      explode(transform(
+        slice(array_sort(cellDists(col(vecCol))), 1, nprobe), _.getField("cid"))))
+
+    val scored = probeCells
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"), col("cell"))
+      .join(assigned.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+        col("cell")), Seq("cell"))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("cosine", Vec.cosine(col("__pv"), col("__cv")))
+    scored.withColumn("rank",
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("nbr_id"))))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "nbr_id", "cosine")
+  }
+
   /** Approximate top-k: LSH-bucketed candidate generation (union of the
     * probe's buckets across all tables), exact cosine on candidates
     * only, rank ≤ k. Recall is tunable via tables/bitsPerTable;

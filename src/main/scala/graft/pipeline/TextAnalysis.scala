@@ -55,6 +55,20 @@ object TextAnalysis {
     least(lenOk, lit(1.0)) * 0.25 + awlOk * 0.2 + stopOk * 0.15 + punctOk * 0.4
   }
 
+  /** GPT-2-style pre-tokenizer pattern, lookahead-free so the same
+    * pattern runs under Java regex (Spark) and RE2 (DuckDB/Go
+    * tokenizer ports): contractions, letter runs, digit runs,
+    * punctuation runs — each optionally space-prefixed — and residual
+    * whitespace runs. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: the number of pre-tokenizer matches — the
+    * standard cheap proxy for LLM token budgets (whitespace splitting
+    * undercounts punctuation-heavy text). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Deliberately minimal — the point is the
     * distributed argmax shape, not lexicography. */

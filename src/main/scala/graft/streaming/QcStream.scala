@@ -36,6 +36,18 @@ object QcStream {
     }
   }
 
+  /** Streaming exact dedup: drop duplicate keys arriving within the
+    * watermark delay (`dropDuplicatesWithinWatermark` keeps state
+    * bounded — the streaming face of the batch exact-dedup operator;
+    * late duplicates beyond the watermark are the documented
+    * trade-off). */
+  def streamingExactDedup(
+      stream: DataFrame,
+      keys: Seq[String],
+      t: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(t, watermark).dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked tumbling-window flag histogram per variable — the
     * streaming qc_progress: for each event-time window, counts by flag
     * class. State is bounded by the watermark; output mode append once

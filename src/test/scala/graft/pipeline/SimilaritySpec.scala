@@ -45,6 +45,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"ANN recall@10 too low: $recall")
   }
 
+  test("ivfTopK: recall@10 over brute force with nprobe=4 of nlist=8") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteTopKWindow(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 4)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(ivf.forall { case (p, n) => p != n })
+    val recall = (ivf intersect truth).size.toDouble / truth.size
+    assert(recall > 0.5, s"IVF recall@10 too low: $recall")
+    // determinism: second run identical
+    val ivf2 = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 4)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(ivf2 == ivf)
+  }
+
   test("hyperplaneBands: deterministic across invocations") {
     val b1 = Similarity.hyperplaneBands(emb, "vec_id", "embedding", 32)
       .as[(Long, Int, Long)].collect().toSet

@@ -31,6 +31,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r - 0.5) < 1e-12)
   }
 
+  test("bpeTokenCount: contractions and punctuation count as extra tokens") {
+    val df = Seq(
+      ("plain", "hello world"),          // 2
+      ("contraction", "it's fine"),      // it | 's | _fine → 3
+      ("punct", "wait... what?!")        // wait | ... | _what | ?! → 4
+    ).toDF("kind", "text")
+    val out = df.select(col("kind"), TextAnalysis.bpeTokenCount(col("text")))
+      .as[(String, Int)].collect().toMap
+    assert(out("plain") == 2 && out("contraction") == 3 && out("punct") == 4)
+  }
+
   test("langId picks the dominant stopword profile; und when no hits") {
     val df = Seq(
       ("en", "the cat of the house and a dog"),

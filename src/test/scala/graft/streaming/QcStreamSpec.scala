@@ -38,4 +38,24 @@ class QcStreamSpec extends SparkSpec {
       assert(n1 == 2L && un1 == 2L)
     } finally q.stop()
   }
+
+  test("streaming exact dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val dedup = QcStream.streamingExactDedup(
+      mem.toDF().toDF("ts", "k"), Seq("k"), "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("qcdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(min: Long) = new Timestamp(t0 + min * 60000)
+      mem.addData((t(0), "a"), (t(1), "a"), (t(2), "b"))
+      q.processAllAvailable()
+      mem.addData((t(3), "a"), (t(4), "c"))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT k FROM qcdedup").as[String].collect().sorted
+      assert(keys.toSeq == Seq("a", "b", "c"), "duplicates within watermark dropped")
+    } finally q.stop()
+  }
 }
