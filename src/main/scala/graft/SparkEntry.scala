@@ -197,6 +197,34 @@ object SparkEntry {
     "m8_reset_all" -> ((s, dir) =>
       mOut(QcActions.resetAll(seededWin(s, dir), "value2"))),
 
+    // --- rolling auto-QC detectors (SURVEY §7.5) ---------------------
+    "auto_spike" -> ((s, dir) => {
+      val flagged = QcFlags.addFlags(events(s, dir), Seq("value"))
+      QcAuto.flagSpikes(flagged, "value", Seq("ts", "event_id"),
+          bucket = to_date(col("ts")), halfWindow = 12, z = 3.0)
+        .filter(col("value_qcflag") === ManualFlag)
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "auto_flatline" -> ((s, dir) => {
+      val v3 = events(s, dir).withColumn("v3",
+        when(pmod(col("event_id"), lit(50)) < 6, lit(77.0)).otherwise(col("value")))
+      val flagged = QcFlags.addFlags(v3, Seq("v3"))
+      QcAuto.flagFlatlines(flagged, "v3", Seq("ts", "event_id"),
+          bucket = to_date(col("ts")), minRun = 4)
+        .filter(col("v3_qcflag") === ManualFlag)
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "auto_range" -> ((s, dir) => {
+      val flagged = QcFlags.addFlags(events(s, dir), Seq("value"))
+      QcAuto.flagRange(flagged, "value", 10.0, 400.0)
+        .filter(col("value_qcflag") === ManualFlag)
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "a1_multi" -> ((s, dir) =>
+      QcProgress.summary(
+        QcFlags.addFlags(withValue2(events(s, dir)), Seq("value", "value2")))
+        .orderBy("variable")),
+
     // --- U / S operators ---------------------------------------------
     "u1_union" -> ((s, dir) =>
       QcPlotFeed.rawCleanUnion(seeded(events(s, dir)))
@@ -465,6 +493,61 @@ object SparkEntry {
         |  ELSE value2_qcflag END""".stripMargin),
     "m8_reset_all" -> mOracle(
       "CASE WHEN value2_qcflag <> -1 THEN 0 ELSE value2_qcflag END"),
+    "auto_spike" ->
+      """WITH b AS (
+        |  SELECT event_id, ts, CAST(ts AS DATE) AS d, value FROM events),
+        |z AS (
+        |  SELECT event_id,
+        |    (value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0) AS z
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY d ORDER BY ts, event_id
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+        |SELECT event_id FROM z WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
+    "auto_flatline" ->
+      """WITH v3 AS (
+        |  SELECT event_id, ts, CAST(ts AS DATE) AS d,
+        |    CASE WHEN event_id % 50 < 6 THEN 77.0 ELSE value END AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id, ts, d, v,
+        |    CASE WHEN lag(v) OVER (PARTITION BY d ORDER BY ts, event_id) IS NULL
+        |           OR v <> lag(v) OVER (PARTITION BY d ORDER BY ts, event_id)
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM v3),
+        |r AS (
+        |  SELECT event_id, d, v,
+        |    sum(chg) OVER (PARTITION BY d ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM c),
+        |l AS (
+        |  SELECT event_id, v, count(*) OVER (PARTITION BY d, run) AS runlen FROM r)
+        |SELECT event_id FROM l WHERE runlen >= 4 AND v IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "auto_range" ->
+      """SELECT event_id FROM events
+        |WHERE value < 10.0 OR value > 400.0 ORDER BY event_id""".stripMargin,
+    "a1_multi" ->
+      s"""$SeededCte SELECT * FROM (
+         |SELECT 'value' AS variable,
+         |  count(*) FILTER (WHERE NOT (value IS NULL OR isnan(value))) AS total,
+         |  round(100.0 * (count(*) FILTER (WHERE FALSE))
+         |    / nullif(count(*) FILTER (WHERE NOT (value IS NULL OR isnan(value))), 0), 2) AS pct_checked,
+         |  CAST(0.0 AS DOUBLE) AS pct_approved,
+         |  round(100.0 * (count(*) FILTER (WHERE NOT (value IS NULL OR isnan(value)))) / count(*), 2) AS pct_unchecked,
+         |  round(100.0 * (count(*) FILTER (WHERE value IS NULL OR isnan(value))) / count(*), 2) AS pct_missing,
+         |  CAST(0.0 AS DOUBLE) AS pct_flagged
+         |FROM e2
+         |UNION ALL
+         |SELECT 'value2' AS variable,
+         |  count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))) AS total,
+         |  round(100.0 * (count(*) FILTER (WHERE FALSE))
+         |    / nullif(count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))), 0), 2) AS pct_checked,
+         |  CAST(0.0 AS DOUBLE) AS pct_approved,
+         |  round(100.0 * (count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2)))) / count(*), 2) AS pct_unchecked,
+         |  round(100.0 * (count(*) FILTER (WHERE value2 IS NULL OR isnan(value2))) / count(*), 2) AS pct_missing,
+         |  CAST(0.0 AS DOUBLE) AS pct_flagged
+         |FROM e2)
+         |ORDER BY variable""".stripMargin,
     "u1_union" ->
       s"""$SeededCte
          |SELECT event_id, panel, value2 FROM (

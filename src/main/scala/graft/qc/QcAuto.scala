@@ -1,0 +1,75 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Automated rolling QC detectors (SURVEY §7.5): the machine complement
+  * to the manual M1-M8 flagging — rule-based detectors that flag
+  * suspect points as ManualFlag (-2) through the same guarded
+  * [[QcActions.setFlag]] path, so the flag algebra's invariants hold
+  * (OrigNA immune, domain closed).
+  *
+  * Scale note: rolling frames need an ordering. A global
+  * `Window.orderBy` is a single-partition scale-killer, so every
+  * detector takes a `bucket` column (e.g. a day derived from the time
+  * column): frames are computed within (bucket) partitions ordered by
+  * time. The first/last `frame` rows of each bucket see a truncated
+  * frame — the standard, documented trade-off; size buckets ≫ frame.
+  */
+object QcAuto {
+
+  import FlagSchema._
+
+  /** Rolling z-score over ±`halfWindow` rows (current row excluded from
+    * neither mean nor std — symmetric frame). Null where the frame has
+    * no variance or the value is missing. */
+  def zScore(
+      df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
+      halfWindow: Int = 12): Column = {
+    val w = Window.partitionBy(bucket)
+      .orderBy(orderCols.map(qcol): _*)
+      .rowsBetween(-halfWindow, halfWindow)
+    val mu = avg(qcol(v)).over(w)
+    val sd = stddev_samp(qcol(v)).over(w)
+    when(sd > 0, (qcol(v) - mu) / sd)
+  }
+
+  /** Spike detector: |rolling z| > `z` ⇒ ManualFlag (guarded: never
+    * touches OrigNA). */
+  def flagSpikes(
+      df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
+      halfWindow: Int = 12, z: Double = 4.0,
+      suffix: String = DefaultSuffix): DataFrame = {
+    val marked = df.withColumn("__z", zScore(df, v, orderCols, bucket, halfWindow))
+    QcActions.flagSelected(marked, v, abs(col("__z")) > z, suffix).drop("__z")
+  }
+
+  /** Flatline detector: `minRun`+ consecutive identical non-missing
+    * values ⇒ ManualFlag for every row of the run. Run ids via the
+    * change-counter idiom (sum of value-changed markers over the
+    * ordering), run lengths via a count over the run id. */
+  def flagFlatlines(
+      df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
+      minRun: Int = 4, suffix: String = DefaultSuffix): DataFrame = {
+    val ord = Window.partitionBy(bucket).orderBy(orderCols.map(qcol): _*)
+    val changed = when(
+      qcol(v) =!= lag(qcol(v), 1).over(ord) ||
+        lag(qcol(v), 1).over(ord).isNull, 1).otherwise(0)
+    val marked = df
+      .withColumn("__run", sum(changed).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__runlen",
+        count(lit(1)).over(Window.partitionBy(bucket, col("__run"))))
+    QcActions.flagSelected(marked, v,
+      col("__runlen") >= minRun && !QcFlags.isMissing(df, v), suffix)
+      .drop("__run", "__runlen")
+  }
+
+  /** Range detector: value outside [lo, hi] ⇒ ManualFlag. Narrow,
+    * shuffle-free. */
+  def flagRange(
+      df: DataFrame, v: String, lo: Double, hi: Double,
+      suffix: String = DefaultSuffix): DataFrame =
+    QcActions.flagSelected(df, v, qcol(v) < lo || qcol(v) > hi, suffix)
+}

@@ -1,0 +1,47 @@
+package graft.qc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class QcAutoSpec extends SparkSpec {
+  import spark.implicits._
+  import FlagSchema._
+
+  private def series(vals: Seq[Double]) = {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, new Timestamp(t0 + i * 60000L), v) }
+      .toDF("id", "t", "v")
+  }
+
+  test("flagSpikes: a lone outlier is flagged, steady neighbours are not") {
+    val vals = Seq.fill(20)(10.0).updated(10, 500.0) ++
+      Seq.tabulate(20)(i => 10.0 + 0.1 * i)
+    val flagged = QcFlags.addFlags(series(vals), Seq("v"))
+    val out = QcAuto.flagSpikes(flagged, "v", Seq("t", "id"),
+        bucket = lit(0), halfWindow = 5, z = 3.0)
+      .filter(col("v_qcflag") === ManualFlag).select("id").as[Long].collect()
+    assert(out.toSeq == Seq(10L), s"only the planted spike, got ${out.toSeq}")
+  }
+
+  test("flagFlatlines: runs >= minRun flagged, shorter runs untouched, OrigNA immune") {
+    val vals = Seq(1.0, 2.0, 7.0, 7.0, 7.0, 7.0, 3.0, 5.0, 5.0, 4.0)
+    val withNa = series(vals)
+      .withColumn("v", when(col("id") === 8, lit(null)).otherwise(col("v")))
+    val flagged = QcFlags.addFlags(withNa, Seq("v"))
+    val out = QcAuto.flagFlatlines(flagged, "v", Seq("t", "id"),
+        bucket = lit(0), minRun = 4)
+      .select("id", "v_qcflag").as[(Long, Int)].collect().sortBy(_._1)
+    assert(out.filter(_._2 == ManualFlag).map(_._1).toSeq == Seq(2L, 3L, 4L, 5L),
+      "exactly the 4-run of 7.0s")
+    assert(out(8)._2 == OrigNA, "missing row keeps OrigNA")
+  }
+
+  test("flagRange flags outside [lo, hi] only") {
+    val flagged = QcFlags.addFlags(series(Seq(5.0, 50.0, 500.0)), Seq("v"))
+    val out = QcAuto.flagRange(flagged, "v", 10.0, 100.0)
+      .select("id", "v_qcflag").as[(Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(ManualFlag, Unchecked, ManualFlag))
+  }
+}
