@@ -9,4 +9,10 @@ package object functions {
     * whole-stage-codegen'd — see [[SimHash64Expr]]). */
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokens)))
+
+  /** MinHash signature of a string-array column (native expression,
+    * whole-stage-codegen'd — see [[MinHashSigExpr]]). */
+  def minhashSig(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      MinHashSigExpr(GraftColumnBridge.expression(shingles), numHashes, seed))
 }

@@ -61,63 +61,15 @@ object Dedup {
 
   def wordShingles(text: Column, n: Int): Column = wordShinglesUdf(n)(text)
 
-  /** MinHash universe: the 2^31−1 Mersenne field. Shingle hashes are
-    * reduced into the field BEFORE the affine permutation so a·h + b
-    * stays < 2^62 — no long overflow under ANSI mode (Spark 4
-    * default). */
-  private val MinHashPrime = 2147483647L // 2^31 − 1
-
-  /** Deterministic MinHash parameter pairs (aᵢ, bᵢ) from `seed`. */
-  private def hashParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    def gen() = rnd.nextInt(Int.MaxValue - 1).toLong + 1
-    (Array.fill(numHashes)(gen()), Array.fill(numHashes)(gen()))
-  }
-
-  /** FNV-1a 64-bit string hash — platform-stable, allocation-free. */
-  private def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
-
-  /** MinHash signature of a shingle array: for each of `numHashes`
-    * permutations, min over shingles of (aᵢ·h(s) + bᵢ) mod p with
-    * h(s) = fnv1a64(s) mod p. Deliberately a UDF: Catalyst higher-order
-    * functions are interpreted (not codegen'd), and the nested
-    * 128-permutations × shingles loop ran ~1000× slower as a transform()
-    * tree than as this tight JVM loop (measured: 482 s → sub-second per
-    * 5k docs at bench scale). Still a narrow per-row map — one hash of
-    * each shingle, then numHashes affine mins. Empty shingle sets get
-    * the sentinel signature (p everywhere). */
-  def minHashSigUdf(numHashes: Int = 128, seed: Long = 42L)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val (as, bs) = hashParams(numHashes, seed)
-    val p = MinHashPrime
-    udf { shingles: Seq[String] =>
-      val sig = Array.fill(numHashes)(p)
-      if (shingles != null) shingles.foreach { s =>
-        val h = { val m = fnv1a64(s) % p; if (m < 0) m + p else m }
-        var i = 0
-        while (i < numHashes) {
-          val v = (as(i) * h + bs(i)) % p
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig
-    }
-  }
-
-  /** Column-expression form of [[minHashSigUdf]]. */
+  /** MinHash signature of a shingle array — the engine's native
+    * Catalyst expression [[graft.functions.MinHashSigExpr]] (codegen'd
+    * over unsafe UTF8 bytes; began life as a nested transform() tree
+    * that ran ~1000× slower because higher-order functions are
+    * interpreted, then as a UDF paying per-row Seq[String]
+    * materialization). Empty shingle sets get the sentinel signature. */
   def minHashSignature(
       shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
-    minHashSigUdf(numHashes, seed)(shingles)
+    graft.functions.minhashSig(shingles, numHashes, seed)
 
   /** Estimated Jaccard from two signatures: share of agreeing
     * positions. */

@@ -71,6 +71,25 @@ object QcExport {
       compression: String = "zstd"): Unit =
     df.write.mode("overwrite").option("compression", compression).parquet(path)
 
+  /** Time-bucketed parquet layout (SURVEY §4.2a): the physical choice
+    * that makes the interactive one-window-at-a-time pattern cheap at
+    * scale — data is laid out `partitionBy(day)`, so a window slice
+    * becomes a partition-pruned scan of one day's files instead of a
+    * full-table filter. Pair with an ingest-time sort for row-group
+    * min/max pruning within each day. */
+  def writeTimeBucketed(
+      df: DataFrame,
+      timeCol: String,
+      path: String,
+      bucketCol: String = "qc_date",
+      compression: String = "zstd"): Unit =
+    df.withColumn(bucketCol, to_date(qcol(timeCol)))
+      .sortWithinPartitions(qcol(timeCol))
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .partitionBy(bucketCol)
+      .parquet(path)
+
   /** S7: dual-variant export (R/qc_exports.R:53-58): writes
     * `<stem>_qc.*` (flags retained) AND `<stem>_clean.*` (flags applied
     * with the `< 0` mask, then dropped) in each requested format, then

@@ -50,6 +50,21 @@ class QcExportSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("time-bucketed layout: window slices are partition-pruned at the scan") {
+    val dir = tmpDir
+    QcExport.writeTimeBucketed(df, "DateTime", s"$dir/bucketed")
+    val back = spark.read.parquet(s"$dir/bucketed")
+    val slice = back.filter(col("qc_date") === "2024-01-02")
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"expected partition pruning in:\n$plan")
+    assert(slice.count() == 1)
+    // pruning actually limits the files read: one day's partition only
+    val scanned = slice.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount }
+    assert(scanned.contains(1), s"expected 1 of 3 day-partitions scanned, got $scanned")
+  }
+
   test("S1/S4 parquet checkpoint round-trip preserves schema and rows") {
     val dir = tmpDir
     QcExport.writeParquet(df, s"$dir/ckpt.parquet")
