@@ -230,6 +230,11 @@ object SparkEntry {
       QcPlotFeed.rawCleanUnion(seeded(events(s, dir)))
         .select(col("event_id"), col("panel"), col("value2"))
         .orderBy("event_id", "panel")),
+    "u2_melt" -> ((s, dir) =>
+      QcPlotFeed.meltVars(
+          QcFlags.addFlags(withValue2(events(s, dir)), Seq("value", "value2")),
+          idCols = Seq("event_id"))
+        .orderBy("event_id", "variable")),
     "s3_iso_utc" -> ((s, dir) =>
       QcExport.isoUtc(events(s, dir), "ts")
         .select(col("event_id"), col("ts")).orderBy("event_id")),
@@ -557,6 +562,17 @@ object SparkEntry {
          |    CASE WHEN value2_qcflag < 1 THEN NULL ELSE value2 END AS value2
          |  FROM seeded)
          |ORDER BY event_id, panel""".stripMargin,
+    "u2_melt" ->
+      s"""$SeededCte
+         |SELECT event_id, variable, value, flag FROM (
+         |  SELECT event_id, 'value' AS variable, CAST(value AS DOUBLE) AS value,
+         |    CASE WHEN value IS NULL OR isnan(value) THEN -1 ELSE 0 END AS flag
+         |  FROM e2
+         |  UNION ALL
+         |  SELECT event_id, 'value2' AS variable, CAST(value2 AS DOUBLE) AS value,
+         |    CASE WHEN value2 IS NULL OR isnan(value2) THEN -1 ELSE 0 END AS flag
+         |  FROM e2)
+         |ORDER BY event_id, variable""".stripMargin,
     "s3_iso_utc" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
         |FROM events ORDER BY event_id""".stripMargin,

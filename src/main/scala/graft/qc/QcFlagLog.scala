@@ -1,0 +1,126 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-sourced flag mutations — SURVEY §7.3, the scale answer to the
+  * reference's by-reference table mutation (qc_window_app.R:362 etc.).
+  *
+  * Instead of rewriting a 100 TB table per interactive click, each
+  * M1-M8 action appends a TINY event row; the current flag state is a
+  * deterministic FOLD of the base flags through the event log in
+  * sequence order, with each action's guard evaluated against the
+  * folded state (exactly sequential-application semantics). The full
+  * log doubles as the audit trail the reference's export rationale
+  * asks for ("preserve raw + record of assigned flags",
+  * overall_workflow.Rmd:187-189).
+  *
+  * Event scopes mirror the action algebra:
+  *  - point:  a brushed row id (M1-M3, M7's selection)
+  *  - window: every row of a window id (M4-M6, M7's approve-rest)
+  *  - global: every row (M8)
+  *
+  * Fold cost at scale: one shuffle join on rowid for point events
+  * (broadcast when the brushed sets are small — the common case), one
+  * broadcast join on win_id for window events, one broadcast for
+  * globals, then a narrow per-row fold over the row's few applicable
+  * events. Mutation cost: appending rows to a log table.
+  */
+object QcFlagLog {
+
+  import FlagSchema._
+
+  /** Guard kinds, matching the M-algebra semantics. */
+  val GuardNotOrigNA = 0 // flag != -1       (M1-M4, M6, M8)
+  val GuardApproveUnchecked = 1 // flag == 0 && !missing (M5, M7 rest)
+  val GuardNone = 2 // unguarded            (M7 selection)
+
+  val ScopePoint = 0
+  val ScopeWindow = 1
+  val ScopeGlobal = 2
+
+  val LogSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("variable", StringType, nullable = false),
+    StructField("scope", IntegerType, nullable = false),
+    StructField("rowid", LongType, nullable = true),
+    StructField("win_id", LongType, nullable = true),
+    StructField("new_flag", IntegerType, nullable = false),
+    StructField("guard", IntegerType, nullable = false)))
+
+  def emptyLog(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      LogSchema)
+
+  /** Event constructors (driver-side row builders; append with
+    * unionByName or write to the log table). */
+  def pointEvents(seq: Long, v: String, ids: Seq[Long], newFlag: Int,
+      guard: Int = GuardNotOrigNA): Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)] =
+    ids.map(id => (seq, v, ScopePoint, Some(id), None, newFlag, guard))
+
+  def windowEvent(seq: Long, v: String, winId: Long, newFlag: Int,
+      guard: Int): (Long, String, Int, Option[Long], Option[Long], Int, Int) =
+    (seq, v, ScopeWindow, None, Some(winId), newFlag, guard)
+
+  def globalEvent(seq: Long, v: String, newFlag: Int,
+      guard: Int = GuardNotOrigNA): (Long, String, Int, Option[Long], Option[Long], Int, Int) =
+    (seq, v, ScopeGlobal, None, None, newFlag, guard)
+
+  /** Fold the event log onto the base table: for every flagged variable
+    * with events, the final flag is the base flag threaded through the
+    * row's applicable events in `seq` order, guards evaluated against
+    * the running state. Rows without events pass through untouched. */
+  def fold(
+      base: DataFrame,
+      log: DataFrame,
+      idCol: String = QcWindows.RowIdCol,
+      winIdCol: String = QcWindows.WinIdCol,
+      suffix: String = DefaultSuffix): DataFrame = {
+    val vars = log.select("variable").distinct().collect().map(_.getString(0))
+
+    vars.foldLeft(base) { (df, v) =>
+      val f = flagCol(v, suffix)
+      require(df.schema.fieldNames.contains(f), s"fold: no flag column $f")
+      val lv = log.filter(col("variable") === v)
+
+      val pt = lv.filter(col("scope") === ScopePoint)
+        .groupBy(col("rowid").as(idCol))
+        .agg(collect_list(struct(col("seq"), col("new_flag"), col("guard")))
+          .as("__pe"))
+      val wn = lv.filter(col("scope") === ScopeWindow)
+        .groupBy(col("win_id").as(winIdCol))
+        .agg(collect_list(struct(col("seq"), col("new_flag"), col("guard")))
+          .as("__we"))
+      val gl = lv.filter(col("scope") === ScopeGlobal)
+        .select(struct(col("seq"), col("new_flag"), col("guard")).as("__g"))
+        .agg(collect_list(col("__g")).as("__ge"))
+
+      val hasWin = df.schema.fieldNames.contains(winIdCol)
+      val joined0 = df.join(broadcast(pt), Seq(idCol), "left")
+      val joined1 =
+        if (hasWin) joined0.join(broadcast(wn), Seq(winIdCol), "left")
+        else joined0.withColumn("__we", lit(null))
+      val joined = joined1.crossJoin(broadcast(gl))
+
+      val emptyEv = array().cast("array<struct<seq:bigint,new_flag:int,guard:int>>")
+      val events = array_sort(concat(
+        coalesce(col("__pe"), emptyEv),
+        coalesce(col("__we"), emptyEv),
+        coalesce(col("__ge"), emptyEv)))
+      val missing = QcFlags.isMissing(df, v)
+      val folded = aggregate(
+        events,
+        qcol(f),
+        (acc, e) =>
+          when(e("guard") === GuardNone, e("new_flag"))
+            .when(e("guard") === GuardNotOrigNA && acc =!= OrigNA, e("new_flag"))
+            .when(e("guard") === GuardApproveUnchecked &&
+              acc === Unchecked && !missing, e("new_flag"))
+            .otherwise(acc))
+      joined
+        .withColumn(f, folded.cast(IntegerType))
+        .drop("__pe", "__we", "__ge")
+    }
+  }
+}

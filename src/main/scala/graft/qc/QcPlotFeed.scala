@@ -63,6 +63,25 @@ object QcPlotFeed {
   def selScope(ids: Seq[Long], idCol: String = QcWindows.RowIdCol): Column =
     qcol(idCol).isin(ids.map(java.lang.Long.valueOf): _*)
 
+  /** Long-format melt of all flagged variables — the batch-plot feed
+    * (`qc_save_all_plots_png`'s per-variable panel loop,
+    * R/qc_plots.R:131-177, flattened to one relation): one row per
+    * (id, variable) with the value and its flag. */
+  def meltVars(
+      df: DataFrame,
+      idCols: Seq[String],
+      vars: Seq[String] = Nil,
+      suffix: String = DefaultSuffix): DataFrame = {
+    val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
+    require(vs.nonEmpty, "meltVars: no flagged variables")
+    vs.map { v =>
+      df.select(idCols.map(qcol) ++ Seq(
+        lit(v).as("variable"),
+        qcol(v).cast("double").as("value"),
+        qcol(flagCol(v, suffix)).as("flag")): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** U1: raw ⊎ clean unpivot (R/qc_plots.R:45-56): the check-plot feed —
     * the raw series and the strict-masked clean series (P6, `flag < 1`
     * → null) stacked with a `panel` discriminator. */

@@ -168,6 +168,14 @@ object QcWindows {
         (col("__lo") - (col("__hi") - col("__lo")) * pad).as("y_min"),
         (col("__hi") + (col("__hi") - col("__lo")) * pad).as("y_max"))
 
+  /** Epoch-number parsing with the reference's ms-vs-s heuristic
+    * (qc_window_app.R:349-352, ts_viewer.R:370-375): magnitudes above
+    * ~1e11 can't be plausible epoch-seconds, so they're read as
+    * milliseconds. */
+  def parseEpoch(x: Column): Column =
+    when(abs(x) > 1e11, timestamp_millis(x.cast(LongType)))
+      .otherwise(timestamp_seconds(x.cast("double")))
+
   /** W4: the x-axis range of window `wid` — pure arithmetic from the
     * origin and width, no data pass (R/qc_window_app.R:215-226). */
   def windowXRange(

@@ -1,0 +1,83 @@
+package graft.qc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The event-sourced fold must agree EXACTLY with direct sequential
+  * QcActions application — the SURVEY §7.3 equivalence. */
+class QcFlagLogSpec extends SparkSpec {
+  import spark.implicits._
+  import FlagSchema._
+  import QcFlagLog._
+
+  private def base = {
+    val rnd = new scala.util.Random(13)
+    (0 until 60).map { i =>
+      val v = if (i % 11 == 3) None else Some(rnd.nextDouble() * 200)
+      (i.toLong, (i / 15).toLong, v) // 4 windows of 15 rows
+    }.toDF(".rowid", "win_id", "v")
+      .transform(QcFlags.addFlags(_, Seq("v")))
+  }
+
+  private def toLogDf(evs: Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)]) =
+    evs.toDF("seq", "variable", "scope", "rowid", "win_id", "new_flag", "guard")
+
+  test("fold equals direct sequential action application (random scripts)") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 5) {
+      var direct = base
+      var events = Seq.empty[(Long, String, Int, Option[Long], Option[Long], Int, Int)]
+      var seq = 0L
+      for (_ <- 0 until 8) {
+        seq += 1
+        rnd.nextInt(5) match {
+          case 0 => // M1 flag selected
+            val ids = (0 until 60).filter(_ => rnd.nextBoolean()).map(_.toLong)
+            direct = QcActions.flagSelected(direct, "v",
+              FlagSchema.qcol(".rowid").isin(ids.map(java.lang.Long.valueOf): _*))
+            events ++= pointEvents(seq, "v", ids, ManualFlag)
+          case 1 => // M2 approve selected
+            val ids = (0 until 60).filter(_ => rnd.nextInt(3) == 0).map(_.toLong)
+            direct = QcActions.approveSelected(direct, "v",
+              FlagSchema.qcol(".rowid").isin(ids.map(java.lang.Long.valueOf): _*))
+            events ++= pointEvents(seq, "v", ids, Approved)
+          case 2 => // M4 flag window
+            val w = rnd.nextInt(4).toLong
+            direct = QcActions.flagWindow(direct, "v", col("win_id") === w)
+            events :+= windowEvent(seq, "v", w, ManualFlag, GuardNotOrigNA)
+          case 3 => // M5 approve unflagged in window
+            val w = rnd.nextInt(4).toLong
+            direct = QcActions.approveUnflagged(direct, "v", col("win_id") === w)
+            events :+= windowEvent(seq, "v", w, Approved, GuardApproveUnchecked)
+          case 4 => // M8 reset all
+            direct = QcActions.resetAll(direct, "v")
+            events :+= globalEvent(seq, "v", Unchecked)
+        }
+      }
+      val folded = QcFlagLog.fold(base, toLogDf(events))
+      val a = direct.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").as[Int].collect().toSeq
+      val b = folded.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").as[Int].collect().toSeq
+      assert(a == b, s"trial $trial: direct $a != folded $b")
+    }
+  }
+
+  test("M7 as two consecutive events: unguarded selection beats approve-rest") {
+    val ids = Seq(3L, 4L)
+    val direct = QcActions.flagAndApproveRest(base, "v",
+      FlagSchema.qcol(".rowid").isin(3L, 4L), col("win_id") === 0L)
+    val log = toLogDf(
+      pointEvents(1L, "v", ids, ManualFlag, GuardNone) :+
+        windowEvent(2L, "v", 0L, Approved, GuardApproveUnchecked))
+    val folded = QcFlagLog.fold(base, log)
+    import spark.implicits._
+    val a = direct.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").as[Int].collect().toSeq
+    val b = folded.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").as[Int].collect().toSeq
+    assert(a == b)
+  }
+
+  test("empty log is identity; rows without events untouched") {
+    val folded = QcFlagLog.fold(base, emptyLog(spark))
+    assert(folded.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq ==
+      base.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq)
+  }
+}

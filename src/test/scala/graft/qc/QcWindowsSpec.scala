@@ -67,6 +67,13 @@ class QcWindowsSpec extends SparkSpec {
     assert(k1 == Seq(3L))
   }
 
+  test("parseEpoch: ms-vs-s heuristic (reference qc_window_app.R:349-352)") {
+    val df = Seq(1704067200.0, 1704067200123.0).toDF("x")
+    val out = df.select(QcWindows.parseEpoch(col("x"))).as[Timestamp].collect()
+    assert(out(0) == ts("2024-01-01 00:00:00"))
+    assert(out(1) == Timestamp.valueOf("2024-01-01 00:00:00.123"))
+  }
+
   test("A5/A8/W4: min time, padded y range, x range arithmetic") {
     assert(QcWindows.minTime(series, "t") == ts("2024-01-01 00:00:00"))
     val r = QcWindows.yRangePadded(series, "y").as[(Double, Double)].head()
