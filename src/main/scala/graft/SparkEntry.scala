@@ -252,6 +252,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // --- LLM pipeline flagship: filter → dedup → per-lang stats ------
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = docs
+        .withColumn("n_tokens",
+          TextAnalysis.nTokens(col("text")).cast("long"))
+        .withColumn("stop_ratio",
+          TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")))
+      val kept = scored.filter(col("n_tokens") >= 20 && col("stop_ratio") > 0)
+      val deduped = Dedup.exactKeepFirst(kept, Seq("text"), "doc_id")
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
+
     // --- LLM pipeline: dedup -----------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanonical(documents(s, dir), Seq("text"), "doc_id")
@@ -586,6 +602,25 @@ object SparkEntry {
          |             ELSE 1 END AS value2_qcflag
          |      FROM seeded)
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CASE WHEN len(trim(text)) = 0 THEN NULL
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x IN ('the', 'a'))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio > 0),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

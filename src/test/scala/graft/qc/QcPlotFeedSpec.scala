@@ -1,0 +1,52 @@
+package graft.qc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class QcPlotFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (0L, Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), 1, Some(9.0)),
+    (1L, Timestamp.valueOf("2024-01-01 01:00:00"), None, -1, Some(8.0)),
+    (2L, Timestamp.valueOf("2024-01-01 02:00:00"), Some(3.0), -2, None),
+    (3L, Timestamp.valueOf("2024-01-01 03:00:00"), Some(Double.NaN), -1, Some(7.0))
+  ).toDF(".rowid", "t", "y", "y_qcflag", "z")
+
+  test("P7 hideBad / P8 nonMissing / P9 flagClass row sets") {
+    assert(QcPlotFeed.hideBad(df, "y").count() == 1)
+    assert(QcPlotFeed.nonMissing(df, "y", "t")
+      .select(FlagSchema.qcol(".rowid")).as[Long].collect().toSet == Set(0L, 2L))
+    assert(QcPlotFeed.flagClass(df, "y", -2)
+      .select(FlagSchema.qcol(".rowid")).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("P10 secondaryOverlay: flag column optional") {
+    // z has no z_qcflag → only the non-missing filter applies
+    assert(QcPlotFeed.secondaryOverlay(df, "z").count() == 3)
+    val withFlag = df.withColumn("z_qcflag",
+      when(FlagSchema.qcol(".rowid") === 0, -2).otherwise(0))
+    assert(QcPlotFeed.secondaryOverlay(withFlag, "z").count() == 2,
+      "own flag >= 0 filter kicks in once the flag column exists")
+  }
+
+  test("P11 secondaryChoices excludes time/y/flags/helpers") {
+    val extended = df.withColumn("win_id", lit(0L)).withColumn("w", lit(1.0))
+    assert(QcPlotFeed.secondaryChoices(extended, "t", "y").toSet == Set("z", "w"))
+  }
+
+  test("P12 byIds selects exactly the brushed rows") {
+    assert(QcPlotFeed.byIds(df, Seq(1L, 3L)).count() == 2)
+  }
+
+  test("U1 rawCleanUnion doubles rows with panel discriminator and strict mask") {
+    val u = QcPlotFeed.rawCleanUnion(df)
+    assert(u.count() == 8)
+    val cleanVals = u.filter(col("panel") === "clean")
+      .orderBy(FlagSchema.qcol(".rowid"))
+      .select("y").as[Option[Double]].collect().toSeq
+    assert(cleanVals.head.contains(1.0) && cleanVals.tail.forall(_.isEmpty),
+      "clean panel masks flag < 1")
+  }
+}
