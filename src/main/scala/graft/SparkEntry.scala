@@ -111,14 +111,42 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    "q3_join" -> ((s, dir) => {
+      // TPC-H Q3-shaped: big fact (lineitem) joined to orders and a
+      // BROADCAST customer dim — the join competence the reference
+      // never needed but any engine replacement must have.
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    }),
+
     // --- P operators (flag lifecycle) --------------------------------
+    // NaN-bearing value columns are rendered null in query OUTPUTS (the
+    // NaN detection itself is proven by the flag column = -1); this
+    // keeps the cross-engine compare independent of NaN-equality
+    // handling in the driver.
     "p1_add_flags" -> ((s, dir) =>
       QcFlags.addFlags(withValue2(events(s, dir)), Seq("value2"))
-        .select(col("event_id"), col("value2"), col("value2_qcflag"))
+        .select(col("event_id"),
+          when(isnan(col("value2")), lit(null)).otherwise(col("value2"))
+            .as("value2"),
+          col("value2_qcflag"))
         .orderBy("event_id")),
     "p3_remove_flags" -> ((s, dir) =>
       QcFlags.removeFlags(QcFlags.addFlags(withValue2(events(s, dir)), Seq("value2")))
-        .select(col("event_id"), col("value2")).orderBy("event_id")),
+        .select(col("event_id"),
+          when(isnan(col("value2")), lit(null)).otherwise(col("value2"))
+            .as("value2"))
+        .orderBy("event_id")),
     "p4_transfer" -> ((s, dir) =>
       QcFlags.transfer(seeded(events(s, dir)), "value2", "value")
         .select(col("event_id"), col("value_qcflag")).orderBy("event_id")),
@@ -234,6 +262,8 @@ object SparkEntry {
       QcPlotFeed.meltVars(
           QcFlags.addFlags(withValue2(events(s, dir)), Seq("value", "value2")),
           idCols = Seq("event_id"))
+        .withColumn("value",
+          when(isnan(col("value")), lit(null)).otherwise(col("value")))
         .orderBy("event_id", "variable")),
     "s3_iso_utc" -> ((s, dir) =>
       QcExport.isoUtc(events(s, dir), "ts")
@@ -408,12 +438,24 @@ object SparkEntry {
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_join" ->
+      """SELECT c_nationkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "p1_add_flags" ->
-      s"""$SeededCte SELECT event_id, value2,
+      s"""$SeededCte SELECT event_id,
+         |  CASE WHEN isnan(value2) THEN NULL ELSE value2 END AS value2,
          |  CASE WHEN value2 IS NULL OR isnan(value2) THEN -1 ELSE 0 END AS value2_qcflag
          |FROM e2 ORDER BY event_id""".stripMargin,
     "p3_remove_flags" ->
-      s"""$SeededCte SELECT event_id, value2 FROM seeded ORDER BY event_id""",
+      s"""$SeededCte SELECT event_id,
+         |  CASE WHEN isnan(value2) THEN NULL ELSE value2 END AS value2
+         |FROM seeded ORDER BY event_id""".stripMargin,
     "p4_transfer" ->
       s"""$SeededCte SELECT event_id, value2_qcflag AS value_qcflag
          |FROM seeded ORDER BY event_id""".stripMargin,
@@ -580,7 +622,9 @@ object SparkEntry {
          |ORDER BY event_id, panel""".stripMargin,
     "u2_melt" ->
       s"""$SeededCte
-         |SELECT event_id, variable, value, flag FROM (
+         |SELECT event_id, variable,
+         |  CASE WHEN isnan(value) THEN NULL ELSE value END AS value, flag
+         |FROM (
          |  SELECT event_id, 'value' AS variable, CAST(value AS DOUBLE) AS value,
          |    CASE WHEN value IS NULL OR isnan(value) THEN -1 ELSE 0 END AS flag
          |  FROM e2

@@ -95,6 +95,63 @@ final case class QcSession(
     df.drop(QcWindows.RowIdCol, QcWindows.WinIdCol, QcWindows.WinDenseCol)
 }
 
+/** Event-log session: the 100 TB variant of [[QcSession]] (SURVEY
+  * §7.3). Actions APPEND tiny event rows instead of folding `when`
+  * projections onto the plan; the flagged table is materialized only
+  * on [[LoggedQcSession.current]]/[[LoggedQcSession.done]] via
+  * [[QcFlagLog.fold]]. The log is the audit trail and can be
+  * persisted/replayed; plan depth stays constant no matter how long
+  * the session runs. */
+final case class LoggedQcSession(
+    base: DataFrame,
+    y: String,
+    events: Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)],
+    nextSeq: Long = 1L,
+    suffix: String = FlagSchema.DefaultSuffix) {
+
+  import QcFlagLog._
+
+  private def append(
+      es: Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)],
+      steps: Long = 1L): LoggedQcSession =
+    copy(events = events ++ es, nextSeq = nextSeq + steps)
+
+  def flagSelected(ids: Seq[Long]): LoggedQcSession =
+    append(pointEvents(nextSeq, y, ids, FlagSchema.ManualFlag))
+  def approveSelected(ids: Seq[Long]): LoggedQcSession =
+    append(pointEvents(nextSeq, y, ids, FlagSchema.Approved))
+  def unflagSelected(ids: Seq[Long]): LoggedQcSession =
+    append(pointEvents(nextSeq, y, ids, FlagSchema.Unchecked))
+  def flagWindow(winId: Long): LoggedQcSession =
+    append(Seq(windowEvent(nextSeq, y, winId, FlagSchema.ManualFlag, GuardNotOrigNA)))
+  def approveUnflagged(winId: Long): LoggedQcSession =
+    append(Seq(windowEvent(nextSeq, y, winId, FlagSchema.Approved, GuardApproveUnchecked)))
+  def resetWindow(winId: Long): LoggedQcSession =
+    append(Seq(windowEvent(nextSeq, y, winId, FlagSchema.Unchecked, GuardNotOrigNA)))
+  /** M7: selection (unguarded) then approve-rest, two consecutive seqs. */
+  def flagAndApproveRest(ids: Seq[Long], winId: Long): LoggedQcSession =
+    append(
+      pointEvents(nextSeq, y, ids, FlagSchema.ManualFlag, GuardNone) :+
+        windowEvent(nextSeq + 1, y, winId, FlagSchema.Approved, GuardApproveUnchecked),
+      steps = 2L)
+  def resetAll(): LoggedQcSession =
+    append(Seq(globalEvent(nextSeq, y, FlagSchema.Unchecked)))
+
+  /** The event log as a DataFrame ([[QcFlagLog.LogSchema]]). */
+  def log: DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    events.toDF("seq", "variable", "scope", "rowid", "win_id", "new_flag", "guard")
+  }
+
+  /** Current flag state = base ⊳ fold(log). */
+  def current: DataFrame =
+    if (events.isEmpty) base else QcFlagLog.fold(base, log, suffix = suffix)
+
+  def done(): DataFrame =
+    current.drop(QcWindows.RowIdCol, QcWindows.WinIdCol, QcWindows.WinDenseCol)
+}
+
 object QcSession {
 
   /** Ingest (R/qc_window_app.R:42-85): validate, explicit time sort with

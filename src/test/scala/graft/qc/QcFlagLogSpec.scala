@@ -75,6 +75,19 @@ class QcFlagLogSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("LoggedQcSession replays the same script as QcSession actions") {
+    val direct = QcActions.approveUnflagged(
+      QcActions.flagSelected(base, "v", FlagSchema.qcol(".rowid").isin(1L, 2L)),
+      "v", col("win_id") === 0L)
+    val logged = LoggedQcSession(base, "v", Seq.empty)
+      .flagSelected(Seq(1L, 2L))
+      .approveUnflagged(0L)
+    val a = direct.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq
+    val b = logged.current.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq
+    assert(a == b)
+    assert(logged.log.count() == 3, "2 point events + 1 window event")
+  }
+
   test("empty log is identity; rows without events untouched") {
     val folded = QcFlagLog.fold(base, emptyLog(spark))
     assert(folded.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq ==
