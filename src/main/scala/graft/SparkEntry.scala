@@ -427,9 +427,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash-family-dependent /
     * approximate operators (dedup_minhash, dedup_simhash, sim_ann,
-    * text_langid, text_fingerprint, mm_decode, sim_topk_agg) → driver
-    * records a rows-only check; those are locked down by the scalatest
-    * suite instead (recall vs brute force, cross-impl equality). */
+    * sim_ivf, text_fingerprint, mm_decode) → driver records a rows-only
+    * check; those are locked down by the scalatest suite instead
+    * (recall vs brute force, cross-impl equality). */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -703,6 +703,38 @@ object SparkEntry {
         |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
         |    AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sim_topk_agg" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.probe_id
+        |      ORDER BY list_cosine_similarity(p.pv, e.embedding::DOUBLE[]) DESC,
+        |        e.vec_id) AS rank
+        |  FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, rank, nbr_id FROM scored
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','den'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','no','por'))) AS es,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour','dans','ce'))) AS fr
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |       WHEN de = greatest(de, en, es, fr) THEN 'de'
+        |       WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |       WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0
