@@ -40,7 +40,10 @@ object QcProgress {
     val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
     require(vs.nonEmpty, "summary: no flagged variables found")
 
-    def cif(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    // coalesce: sum over ZERO rows is null in SQL, but R's sum(logical)
+    // is 0 — without this, an empty table yields null totals instead of
+    // R's 0-total / NaN-percentage contract
+    def cif(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
 
     val aggs = count(lit(1)).as("__n_all") +: vs.flatMap { v =>
       val f = qcol(flagCol(v, suffix))
@@ -59,18 +62,20 @@ object QcProgress {
 
     val nAll = col("__n_all")
     // bround = HALF_EVEN, matching R's IEEE round(x, 2) (ADVICE r1).
-    // Only pct_checked's denominator is null-guarded (R/qc_summary.R:72-77
-    // yields NA_real_ for n_valid==0); the all-rows percentages divide
-    // unguarded like R, giving NaN on a 0-row table.
+    // Every denominator is null-guarded: ANSI mode (Spark 4 default)
+    // raises DIVIDE_BY_ZERO even for doubles, so R's 0/0 = NaN is not
+    // reachable — a 0-row table yields null percentages instead
+    // (pct_checked's null additionally matches R's explicit NA_real_
+    // branch for n_valid == 0, R/qc_summary.R:72-77).
     def pct(n: Column, d: Column): Column =
-      bround(lit(100.0) * n / d, 2)
+      bround(lit(100.0) * n / when(d > 0, d), 2)
 
     val rows = vs.map { v =>
       val nValid = nAll - col(s"__na@$v")
       struct(
         lit(v).as("variable"),
         nValid.as("total"),
-        pct(col(s"__ck@$v"), when(nValid > 0, nValid)).as("pct_checked"),
+        pct(col(s"__ck@$v"), nValid).as("pct_checked"),
         pct(col(s"__ap@$v"), nAll).as("pct_approved"),
         pct(col(s"__un@$v"), nAll).as("pct_unchecked"),
         pct(col(s"__fn@$v"), nAll).as("pct_missing"),
@@ -93,8 +98,10 @@ object QcProgress {
     val aggs = vs.flatMap { v =>
       val f = qcol(flagCol(v, suffix))
       Seq(
-        sum(when(QcFlags.isMissing(df, v), 1L).otherwise(0L)).as(s"__na@$v"),
-        sum(when(f === OrigNA, 1L).otherwise(0L)).as(s"__fn@$v"),
+        coalesce(sum(when(QcFlags.isMissing(df, v), 1L).otherwise(0L)), lit(0L))
+          .as(s"__na@$v"),
+        coalesce(sum(when(f === OrigNA, 1L).otherwise(0L)), lit(0L))
+          .as(s"__fn@$v"),
         sort_array(collect_set(when(!f.isin(Domain.map(lit): _*), f)))
           .as(s"__bad@$v"))
     }

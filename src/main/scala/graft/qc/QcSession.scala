@@ -154,6 +154,25 @@ final case class LoggedQcSession(
 
 object QcSession {
 
+  /** Persist the session's table to parquet (the engine's analogue of
+    * the reference's save-workspace-and-resume loop,
+    * overall_workflow.Rmd:144-165): writes via
+    * [[QcExport.writeParquet]]; [[resume]] reopens it with the same
+    * parameters. Synthetic columns are stripped so the checkpoint is a
+    * plain flagged table. */
+  def checkpoint(s: QcSession, path: String): Unit =
+    QcExport.writeParquet(s.done(), path)
+
+  def resume(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      y: String,
+      t: String,
+      winHrs: Double = 168.0,
+      include: Seq[Int] = Nil,
+      tiebreakers: Seq[String] = Nil): QcSession =
+    open(QcExport.readCheckpoint(spark, path), y, t, winHrs, include, tiebreakers)
+
   /** Ingest (R/qc_window_app.R:42-85): validate, explicit time sort with
     * row ids, window ids from the global min time, window catalog, cache. */
   def open(

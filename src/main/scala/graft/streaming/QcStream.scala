@@ -48,6 +48,24 @@ object QcStream {
       watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(t, watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming near-exact text dedup: keyed on the whitespace-
+    * insensitive rolling-hash fingerprint instead of the raw text, so
+    * trivially-reformatted duplicates dedup too and the state key is a
+    * long, not a document. Composes [[graft.pipeline.TextAnalysis]]
+    * with `dropDuplicatesWithinWatermark` — bounded state. */
+  def streamingFingerprintDedup(
+      stream: DataFrame,
+      textCol: String,
+      t: String,
+      watermark: String = "1 hour",
+      fpCol: String = "__fp"): DataFrame =
+    stream
+      .withColumn(fpCol,
+        graft.pipeline.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(t, watermark)
+      .dropDuplicatesWithinWatermark(fpCol)
+      .drop(fpCol)
+
   /** Watermarked tumbling-window flag histogram per variable — the
     * streaming qc_progress: for each event-time window, counts by flag
     * class. State is bounded by the watermark; output mode append once

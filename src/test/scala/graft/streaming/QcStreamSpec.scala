@@ -39,6 +39,26 @@ class QcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup: whitespace variants collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val dedup = QcStream.streamingFingerprintDedup(
+      mem.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("qcfpdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      mem.addData(
+        (new Timestamp(t0), "hello world"),
+        (new Timestamp(t0 + 60000), "hello   world"), // same fingerprint
+        (new Timestamp(t0 + 120000), "different text"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM qcfpdedup").as[String].collect()
+      assert(texts.length == 2, s"whitespace variant deduped, got ${texts.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
