@@ -330,7 +330,12 @@ object SparkEntry {
       val a = docs.filter(col("doc_id") < 200)
         .select(col("doc_id").as("id_a"), toks(col("text")).as("__ta"))
       val b = docs.select(col("doc_id").as("id_b"), toks(col("text")).as("__tb"))
-      a.join(b, col("id_a") < col("id_b"))
+      // size-ratio prefilter: jaccard >= t implies |small| >= t * |large|,
+      // so this cheap int comparison prunes pairs BEFORE the set
+      // intersection without changing the result set (oracle-neutral)
+      a.join(b, col("id_a") < col("id_b") &&
+          least(size(col("__ta")), size(col("__tb"))).cast("double") >=
+            lit(0.9) * greatest(size(col("__ta")), size(col("__tb"))))
         .withColumn("jaccard", Dedup.jaccard(col("__ta"), col("__tb")))
         .filter(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -127,8 +127,8 @@ object Similarity {
       .limit(nlist)
       .collect()
       .zipWithIndex
-      .map { case (r, i) =>
-        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+      .map { case (r, i) => // element-type agnostic (float or double arrays)
+        (i, r.getSeq[Number](1).map(_.doubleValue()).toArray)
       }
 
     def cellDists(v: Column): Column = array(cents.map { case (cid, c) =>
