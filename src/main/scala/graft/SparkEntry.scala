@@ -225,6 +225,26 @@ object SparkEntry {
     "m8_reset_all" -> ((s, dir) =>
       mOut(QcActions.resetAll(seededWin(s, dir), "value2"))),
 
+    // --- time-series relational ops ----------------------------------
+    "ts_asof" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      graft.timeseries.TimeSeriesOps.asofJoin(
+          purchases, signups, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts")
+        .select(col("event_id"), col("r_event_id"))
+        .orderBy("event_id")
+    }),
+    "ts_sessionize" -> ((s, dir) =>
+      graft.timeseries.TimeSeriesOps.sessionize(
+          events(s, dir), keys = Seq("user_id"), t = "ts",
+          gapSecs = 3600.0, orderCols = Seq("event_id"))
+        .select(col("event_id"), col("session_id"))
+        .orderBy("event_id")),
+
     // --- rolling auto-QC detectors (SURVEY §7.5) ---------------------
     "auto_spike" -> ((s, dir) => {
       val flagged = QcFlags.addFlags(events(s, dir), Seq("value"))
@@ -561,6 +581,27 @@ object SparkEntry {
         |  ELSE value2_qcflag END""".stripMargin),
     "m8_reset_all" -> mOracle(
       "CASE WHEN value2_qcflag <> -1 THEN 0 ELSE value2_qcflag END"),
+    "ts_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT event_id AS r_event_id, user_id, ts AS s_ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, s.r_event_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.s_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "ts_sessionize" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600.0
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |FROM c ORDER BY event_id""".stripMargin,
     "auto_spike" ->
       """WITH b AS (
         |  SELECT event_id, ts, CAST(ts AS DATE) AS d, value FROM events),

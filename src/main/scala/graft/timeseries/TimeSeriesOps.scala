@@ -1,0 +1,111 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series relational operators beyond the reference's surface
+  * (SURVEY §7.5 family): as-of join and sessionization — the two ops a
+  * time-series engine's users reach for first once data stops being a
+  * single table.
+  *
+  * Both are built on the scale-safe keyed-window shape: ONE hash
+  * shuffle on the key, sort within partitions, no global order, no
+  * custom physical operator needed (the union trick turns as-of into a
+  * running `last`, which Catalyst executes as a standard window — the
+  * same plan FINANCE-style engines hand-roll natively).
+  */
+object TimeSeriesOps {
+
+  /** Backward as-of join: for every left row, the single LATEST right
+    * row of the same key with `rightTime <= leftTime` (and within
+    * `toleranceSecs`, if given) — nulls when there is none. Implemented
+    * as union → per-key time-ordered running `last(right, ignoreNulls)`
+    * → keep left rows: one shuffle on the key regardless of either
+    * side's size, never a per-row probe.
+    *
+    * Right payload columns come back prefixed with `rightPrefix`. At
+    * equal timestamps the right row is visible to the left row
+    * (`>=` semantics, matching DuckDB/pandas ASOF); ties among right
+    * rows at the same instant need a caller-side tiebreaker.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      toleranceSecs: Option[Double] = None,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin: need at least one key column")
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val lPayload = left.columns.filterNot(keys.contains).toSeq
+
+    val rSide = right.select(
+      keys.map(col) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          struct(rPayload.map(col): _*).as("__r")): _*)
+    val rType = rSide.schema("__r").dataType
+    val lSide = left.select(
+      keys.map(col) ++ lPayload.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(rType).as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedCol = last(col("__r"), ignoreNulls = true).over(w)
+
+    val tolOk = toleranceSecs match {
+      case Some(tol) =>
+        col("__m").isNotNull &&
+          (col("__t").cast("double") - col("__m")(rightTime).cast("double")) <= tol
+      case None => col("__m").isNotNull
+    }
+    val out = lSide.unionByName(rSide)
+      .withColumn("__m", matchedCol)
+      .filter(col("__side") === 1)
+      .withColumn("__m", when(tolOk, col("__m")))
+    rPayload.foldLeft(out) { (d, c) =>
+      d.withColumn(rightPrefix + c, col("__m")(c))
+    }.drop("__m", "__t", "__side")
+  }
+
+  /** Sessionization: per-key 0-based session ids, a new session
+    * starting whenever the gap to the previous event exceeds
+    * `gapSecs`. The change-counter idiom over a keyed window — one
+    * shuffle on the key. `orderCols` should include a unique tiebreaker
+    * after the time column for determinism. */
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      t: String,
+      gapSecs: Double,
+      orderCols: Seq[String] = Nil,
+      outCol: String = "session_id"): DataFrame = {
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy((t +: orderCols).map(col): _*)
+    val prev = lag(col(t), 1).over(ord)
+    val newSession = when(
+      prev.isNull ||
+        (col(t).cast("double") - prev.cast("double")) > gapSecs, 1L)
+      .otherwise(0L)
+    df.withColumn(outCol,
+      sum(newSession).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+  }
+
+  /** Per-session summary (count, span) — the aggregation usually
+    * chained after [[sessionize]]; one additional groupBy shuffle. */
+  def sessionStats(
+      sessionized: DataFrame,
+      keys: Seq[String],
+      t: String,
+      sessionCol: String = "session_id"): DataFrame =
+    sessionized.groupBy((keys :+ sessionCol).map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(t)).as("t_start"),
+        max(col(t)).as("t_end"))
+}

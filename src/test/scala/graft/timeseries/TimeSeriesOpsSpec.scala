@@ -1,0 +1,72 @@
+package graft.timeseries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, "A", ts("2024-01-01 00:00:00"), 10.0),
+    (2L, "A", ts("2024-01-01 00:05:00"), 11.0),
+    (3L, "B", ts("2024-01-01 00:02:00"), 99.0)
+  ).toDF("q_id", "sym", "q_ts", "px")
+
+  private val trades = Seq(
+    (100L, "A", ts("2024-01-01 00:04:00")), // → quote 1
+    (101L, "A", ts("2024-01-01 00:05:00")), // equal ts → quote 2
+    (102L, "B", ts("2024-01-01 00:01:00")), // before any quote → null
+    (103L, "C", ts("2024-01-01 00:10:00"))  // key with no quotes → null
+  ).toDF("t_id", "sym", "t_ts")
+
+  test("asofJoin: backward match per key, >= at equal timestamps, null when none") {
+    val out = TimeSeriesOps.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+      .select("t_id", "r_q_id").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (100L, Some(1L)), (101L, Some(2L)), (102L, None), (103L, None)))
+  }
+
+  test("asofJoin honors tolerance") {
+    val out = TimeSeriesOps.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts",
+        toleranceSecs = Some(60.0))
+      .select("t_id", "r_q_id").as[(Long, Option[Long])].collect().sortBy(_._1)
+    // trade 100 is 4 min after quote 1 → outside 60s tolerance
+    assert(out.toSeq == Seq(
+      (100L, None), (101L, Some(2L)), (102L, None), (103L, None)))
+  }
+
+  test("asofJoin carries the full right payload, prefixed") {
+    val out = TimeSeriesOps.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+    assert(out.columns.toSet.intersect(Set("r_q_id", "r_q_ts", "r_px")).size == 3)
+    val px = out.filter(col("t_id") === 101L).select("r_px").as[Double].head()
+    assert(px == 11.0)
+  }
+
+  test("sessionize: gap splits, per-key independence, 0-based ids") {
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00")),
+      (2L, "u1", ts("2024-01-01 00:30:00")),
+      (3L, "u1", ts("2024-01-01 02:00:00")), // 90 min gap → new session
+      (4L, "u2", ts("2024-01-01 00:00:00"))
+    ).toDF("id", "user", "t")
+    val out = TimeSeriesOps.sessionize(ev, Seq("user"), "t", gapSecs = 3600.0,
+        orderCols = Seq("id"))
+      .select("id", "session_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("sessionStats aggregates count and span per session") {
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00")),
+      (2L, "u1", ts("2024-01-01 00:30:00"))
+    ).toDF("id", "user", "t")
+    val s = TimeSeriesOps.sessionize(ev, Seq("user"), "t", 3600.0, Seq("id"))
+    val r = TimeSeriesOps.sessionStats(s, Seq("user"), "t").collect()(0)
+    assert(r.getAs[Long]("n_events") == 2)
+    assert(r.getAs[Timestamp]("t_end").getTime -
+      r.getAs[Timestamp]("t_start").getTime == 30 * 60000L)
+  }
+}
