@@ -244,6 +244,20 @@ object SparkEntry {
           gapSecs = 3600.0, orderCols = Seq("event_id"))
         .select(col("event_id"), col("session_id"))
         .orderBy("event_id")),
+    "ts_rangejoin" -> ((s, dir) => {
+      import graft.timeseries.TimeSeriesOps
+      val e = events(s, dir)
+      val sess = TimeSeriesOps.sessionStats(
+        TimeSeriesOps.sessionize(e, Seq("user_id"), "ts", 3600.0, Seq("event_id")),
+        Seq("user_id"), "ts")
+        .select("user_id", "session_id", "t_start", "t_end")
+      val errors = e.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      TimeSeriesOps.rangeJoin(errors, sess, "ts", "t_start", "t_end",
+          keys = Seq("user_id"))
+        .select(col("event_id"), col("session_id"))
+        .orderBy("event_id", "session_id")
+    }),
 
     // --- rolling auto-QC detectors (SURVEY §7.5) ---------------------
     "auto_spike" -> ((s, dir) => {
@@ -602,6 +616,27 @@ object SparkEntry {
         |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM c ORDER BY event_id""".stripMargin,
+    "ts_rangejoin" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600.0
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |sids AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |  FROM c),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts) AS t_start, max(ts) AS t_end
+        |  FROM sids GROUP BY 1, 2),
+        |err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, s.session_id
+        |FROM err e JOIN sess s
+        |  ON e.user_id = s.user_id AND e.ts >= s.t_start AND e.ts <= s.t_end
+        |ORDER BY e.event_id, s.session_id""".stripMargin,
     "auto_spike" ->
       """WITH b AS (
         |  SELECT event_id, ts, CAST(ts AS DATE) AS d, value FROM events),

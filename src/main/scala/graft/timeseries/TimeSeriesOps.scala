@@ -72,6 +72,34 @@ object TimeSeriesOps {
     }.drop("__m", "__t", "__side")
   }
 
+  /** Range (interval-containment) join: left rows matched to right
+    * intervals with `start <= t <= end`, optionally also on equi-keys.
+    * BUCKETED, not a cross join: each right interval explodes to the
+    * coarse time buckets it overlaps, each left row has exactly one
+    * bucket, and the join runs on (keys, bucket) with the containment
+    * predicate as a post-filter — the shuffle is keyed, the
+    * quadratic blow-up of a naive inequality join never happens.
+    * `bucketSecs` should be ≳ the typical interval length so intervals
+    * explode to few buckets. */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String,
+      keys: Seq[String] = Nil,
+      bucketSecs: Long = 86400L): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      floor(col(leftTime).cast("double") / bucketSecs).cast("long"))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(
+        floor(col(rightStart).cast("double") / bucketSecs).cast("long"),
+        floor(col(rightEnd).cast("double") / bucketSecs).cast("long"))))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(leftTime) >= col(rightStart) && col(leftTime) <= col(rightEnd))
+      .drop("__bucket")
+  }
+
   /** Sessionization: per-key 0-based session ids, a new session
     * starting whenever the gap to the previous event exceeds
     * `gapSecs`. The change-counter idiom over a keyed window — one

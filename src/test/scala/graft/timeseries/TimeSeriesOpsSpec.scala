@@ -58,6 +58,23 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)))
   }
 
+  test("rangeJoin: containment matching across bucket boundaries, keys respected") {
+    val intervals = Seq(
+      ("u1", 10L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")), // spans midnight
+      ("u2", 20L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"))
+    ).toDF("user", "iv_id", "start", "end")
+    val points = Seq(
+      (1L, "u1", ts("2024-01-02 00:30:00")), // inside, other side of bucket edge
+      (2L, "u1", ts("2024-01-01 22:59:59")), // just before
+      (3L, "u2", ts("2024-01-01 00:30:00")), // boundary inclusive
+      (4L, "u1", ts("2024-01-01 00:15:00"))  // right time, wrong key
+    ).toDF("id", "user", "t")
+    val out = TimeSeriesOps.rangeJoin(points, intervals, "t", "start", "end",
+        keys = Seq("user"))
+      .select("id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (3L, 20L)))
+  }
+
   test("sessionStats aggregates count and span per session") {
     val ev = Seq(
       (1L, "u1", ts("2024-01-01 00:00:00")),
