@@ -244,6 +244,21 @@ object SparkEntry {
           gapSecs = 3600.0, orderCols = Seq("event_id"))
         .select(col("event_id"), col("session_id"))
         .orderBy("event_id")),
+    "ts_resample" -> ((s, dir) =>
+      graft.timeseries.Resample.resampleMean(
+          seeded(events(s, dir)).transform(d => QcFlags.applyFlags(d)),
+          "ts", "value2", widthSecs = 21600L) // 6h grid over the CLEAN series
+        .select(col("bucket_start_s"),
+          round(col("v_mean"), 6).as("v_mean"),
+          col("v_min"), col("v_max"), col("n"))
+        .orderBy("bucket_start_s")),
+    "ts_ffill" -> ((s, dir) =>
+      graft.timeseries.Resample.ffill(
+          seeded(events(s, dir)).transform(d => QcFlags.applyFlags(d)),
+          "ts", "value2", orderCols = Seq("event_id"),
+          keys = Seq("user_id"))
+        .select(col("event_id"), col("v_ffill"))
+        .orderBy("event_id")),
     "ts_rangejoin" -> ((s, dir) => {
       import graft.timeseries.TimeSeriesOps
       val e = events(s, dir)
@@ -616,6 +631,21 @@ object SparkEntry {
         |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM c ORDER BY event_id""".stripMargin,
+    "ts_resample" ->
+      s"""$SeededCte, clean AS (
+         |  SELECT ts, CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END AS v
+         |  FROM seeded)
+         |SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start_s,
+         |  round(avg(v), 6) AS v_mean, min(v) AS v_min, max(v) AS v_max,
+         |  count(v) AS n
+         |FROM clean GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_ffill" ->
+      s"""$SeededCte
+         |SELECT event_id,
+         |  last_value(CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+         |FROM seeded ORDER BY event_id""".stripMargin,
     "ts_rangejoin" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts,

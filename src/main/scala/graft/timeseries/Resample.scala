@@ -1,0 +1,79 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regularization and gap-filling — the operations qctimeseries users
+  * perform right after `qc_apply_flags` turns bad points into NA:
+  * resample the irregular series onto a fixed grid, then fill gaps.
+  *
+  * Scale shapes: resample is one tumbling-window group-by (map-side
+  * combined); ffill and interpolation are keyed windows (one shuffle on
+  * the key, or on a caller-supplied coarse bucket when there is no
+  * series key — the same trade-off as QcAuto's rolling frames).
+  */
+object Resample {
+
+  /** Tumbling resample: mean/min/max/count of `v` per `widthSecs`
+    * bucket keyed by `keys`. Empty buckets are absent (outer-join a
+    * calendar spine if a dense grid is needed). */
+  def resampleMean(
+      df: DataFrame,
+      t: String,
+      v: String,
+      widthSecs: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    val bucket = (floor(col(t).cast("double") / widthSecs).cast("long") * widthSecs)
+    df.groupBy((keys.map(col) :+ bucket.as("bucket_start_s")): _*)
+      .agg(
+        avg(col(v)).as("v_mean"),
+        min(col(v)).as("v_min"),
+        max(col(v)).as("v_max"),
+        count(col(v)).as("n"))
+  }
+
+  /** Forward fill: nulls in `v` replaced by the last preceding non-null
+    * value within the same key partition, in `(t, orderCols)` order. */
+  def ffill(
+      df: DataFrame,
+      t: String,
+      v: String,
+      keys: Seq[String] = Nil,
+      orderCols: Seq[String] = Nil,
+      outCol: String = "v_ffill"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((t +: orderCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(v), ignoreNulls = true).over(w))
+  }
+
+  /** Linear interpolation: nulls in `v` replaced by the time-weighted
+    * line between the previous and next non-null observations within
+    * the key partition; leading/trailing gaps stay null (no
+    * extrapolation). */
+  def interpolateLinear(
+      df: DataFrame,
+      t: String,
+      v: String,
+      keys: Seq[String] = Nil,
+      orderCols: Seq[String] = Nil,
+      outCol: String = "v_interp"): DataFrame = {
+    val ord = (t +: orderCols).map(col)
+    val back = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tNum = col(t).cast("double")
+    val obs = when(col(v).isNotNull, struct(tNum.as("t"), col(v).as("v")))
+    val prev = last(obs, ignoreNulls = true).over(back)
+    val next = first(obs, ignoreNulls = true).over(fwd)
+    val interp =
+      when(col(v).isNotNull, col(v))
+        .when(prev.isNotNull && next.isNotNull &&
+          next("t") > prev("t"),
+          prev("v") + (next("v") - prev("v")) *
+            (tNum - prev("t")) / (next("t") - prev("t")))
+    df.withColumn(outCol, interp)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.timeseries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val series = Seq(
+    (0L, ts("2024-01-01 00:00:00"), Some(10.0)),
+    (1L, ts("2024-01-01 00:10:00"), None),
+    (2L, ts("2024-01-01 00:20:00"), None),
+    (3L, ts("2024-01-01 00:30:00"), Some(40.0)),
+    (4L, ts("2024-01-01 01:05:00"), Some(50.0)),
+    (5L, ts("2024-01-01 01:10:00"), None) // trailing gap
+  ).toDF("id", "t", "v")
+
+  test("resampleMean: hourly buckets aggregate non-null values only") {
+    val out = Resample.resampleMean(series, "t", "v", 3600L)
+      .orderBy("bucket_start_s")
+      .select("v_mean", "n").as[(Double, Long)].collect()
+    assert(out.length == 2)
+    assert(out(0) == ((25.0, 2L)), "hour 0: mean(10, 40), nulls excluded")
+    assert(out(1) == ((50.0, 1L)))
+  }
+
+  test("ffill carries the last observation forward, leading nulls stay") {
+    val withLeading = Seq((0L, ts("2024-01-01 00:00:00"), Option.empty[Double]))
+      .toDF("id", "t", "v").unionByName(series.withColumn("id", col("id") + 1))
+    val out = Resample.ffill(withLeading, "t", "v", orderCols = Seq("id"))
+      .orderBy("id").select("v_ffill").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(10.0), Some(10.0), Some(10.0), Some(40.0),
+      Some(50.0), Some(50.0)))
+  }
+
+  test("interpolateLinear: time-weighted between neighbours, no extrapolation") {
+    val out = Resample.interpolateLinear(series, "t", "v", orderCols = Seq("id"))
+      .orderBy("id").select("v_interp").as[Option[Double]].collect().toSeq
+    // gap 00:00(10) → 00:30(40): 00:10 → 20, 00:20 → 30; trailing stays null
+    assert(out == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0),
+      Some(50.0), None))
+  }
+
+  test("keyed interpolation does not leak across keys") {
+    val two = series.withColumn("k", lit("a")).unionByName(
+      Seq((9L, ts("2024-01-01 00:15:00"), Option.empty[Double]))
+        .toDF("id", "t", "v").withColumn("k", lit("b")))
+    val out = Resample.interpolateLinear(two, "t", "v", keys = Seq("k"),
+        orderCols = Seq("id"))
+      .filter(col("k") === "b").select("v_interp").as[Option[Double]].head()
+    assert(out.isEmpty, "isolated key has no neighbours → null")
+  }
+}
