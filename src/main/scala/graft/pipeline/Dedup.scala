@@ -169,19 +169,30 @@ object Dedup {
     df.withColumn(outCol,
       graft.functions.simhash64(TextAnalysis.tokens(col(textCol))))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
-    * pigeonhole banding on four 16-bit chunks — if two hashes differ in
-    * ≤ 3 bits, at least one chunk is identical, so the equi-join on
-    * (chunk index, chunk value) finds every such pair without an
-    * all-pairs scan; `bit_count(xor)` verifies exactly. */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`:
+    * pigeonhole banding on `maxHamming + 1` chunks — two hashes
+    * differing in ≤ maxHamming bits must agree on at least one chunk
+    * (pigeonhole), so the equi-join on (chunk index, chunk value) finds
+    * EVERY qualifying pair without an all-pairs scan; `bit_count(xor)`
+    * verifies exactly. Chunk count scales with the requested distance
+    * (a fixed 4-chunk split would silently lose recall above 3). */
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 16, "pigeonhole banding needs maxHamming < chunks*? (use more chunks)")
+    require(maxHamming >= 0 && maxHamming < 32,
+      "simHashNearDupPairs: maxHamming must be in [0, 32)")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val extra = 64 % nChunks // first `extra` chunks get one more bit
+    val offsets = (0 until nChunks).scanLeft(0) { (off, c) =>
+      off + base + (if (c < extra) 1 else 0)
+    }
     val hashed = withSimHash(df, textCol)
-    val chunks = (0 until 4).map { c =>
+    val chunks = (0 until nChunks).map { c =>
+      val width = base + (if (c < extra) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(c).as("band"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+        shiftright(col("simhash"), offsets(c)).bitwiseAND(lit(mask)).as("bh"))
     }
     val banded = hashed.select(col(idCol), col("simhash"),
       explode(array(chunks: _*)).as("__bk"))

@@ -108,5 +108,9 @@ object Multimodal {
     * extraction. */
   def sampleFrames(df: DataFrame, nFramesCol: String, stride: Int): DataFrame =
     df.withColumn("frame_idx",
-      explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))))
+      explode(
+        // frameless payloads (n = 0) emit NO rows, not a phantom frame 0
+        when(col(nFramesCol) > 0,
+          sequence(lit(0), col(nFramesCol) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
 }

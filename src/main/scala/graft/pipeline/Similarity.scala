@@ -52,7 +52,10 @@ object Similarity {
       xs.sorted(ord).take(k)
     def zero: Seq[(Double, Long)] = Nil
     def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      trim(b :+ a)
+      // early-exit: once the buffer is full, elements no better than the
+      // current kth are dropped in O(1) instead of re-sorting per row
+      if (b.length >= k && ord.gteq(a, b.last)) b
+      else trim(b :+ a)
     def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(x ++ y)
     def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
@@ -132,10 +135,14 @@ object Similarity {
       }
 
     def cellDists(v: Column): Column = array(cents.map { case (cid, c) =>
-      struct((lit(1.0) - aggregate(
+      val den = Vec.norm(v) * math.sqrt(c.map(x => x * x).sum)
+      val dot = aggregate(
         zip_with(transform(v, _.cast("double")), lit(c), _ * _),
-        lit(0.0), _ + _) / (Vec.norm(v) * math.sqrt(c.map(x => x * x).sum)))
-        .as("dist"), lit(cid).as("cid"))
+        lit(0.0), _ + _)
+      // zero-norm vector/centroid → max distance (2.0), never a divide
+      // (ANSI mode would abort on 0/0)
+      struct(when(den > 0, lit(1.0) - dot / den).otherwise(lit(2.0)).as("dist"),
+        lit(cid).as("cid"))
     }.toIndexedSeq: _*)
 
     val assigned = corpus.withColumn("cell",

@@ -46,7 +46,11 @@ object TextAnalysis {
     * punctuation — the usual cheap pre-training heuristics. */
   def qualityScore(text: Column, stops: Seq[String]): Column = {
     val nt = nTokens(text).cast("double")
-    val lenOk = when(nt >= 10 && nt <= 100000, 1.0).otherwise(nt / 10.0)
+    // both band edges are real: short docs ramp up from 0, oversized
+    // docs ramp DOWN (100000/nt), instead of silently passing
+    val lenOk = when(nt >= 10 && nt <= 100000, 1.0)
+      .when(nt < 10, nt / 10.0)
+      .otherwise(lit(100000.0) / nt)
     val awl = coalesce(avgTokenLen(text), lit(0.0))
     val awlOk = when(awl >= 2 && awl <= 12, 1.0).otherwise(0.25)
     val stopOk = when(coalesce(stopwordRatio(text, stops), lit(0.0)) > 0.01, 1.0)

@@ -49,8 +49,9 @@ object QcActions {
 
   /** Scope from an id table (large brushed selections): broadcast
     * left-join membership test on `idCol`. Returns (augmented df,
-    * membership column) — pass the column as `scope` to an action and
-    * the `__sel` helper column is consumed by the projection. */
+    * membership column); the `__sel` helper column remains on the
+    * augmented df — prefer [[withIds]], which drops it after the
+    * action runs. */
   def withIdScope(
       df: DataFrame,
       ids: DataFrame,
@@ -59,6 +60,18 @@ object QcActions {
       broadcast(ids.select(qcol(idCol)).distinct.withColumn("__sel", lit(true))),
       Seq(idCol), "left")
     (marked, coalesce(col("__sel"), lit(false)))
+  }
+
+  /** Run one action against an id-table scope and clean up the helper
+    * column — the composable form of [[withIdScope]]:
+    * {{{ QcActions.withIds(df, idsDf)(QcActions.flagSelected(_, "v", _)) }}} */
+  def withIds(
+      df: DataFrame,
+      ids: DataFrame,
+      idCol: String = QcWindows.RowIdCol)(
+      action: (DataFrame, Column) => DataFrame): DataFrame = {
+    val (marked, scope) = withIdScope(df, ids, idCol)
+    action(marked, scope).drop("__sel")
   }
 
   /** M1 Flag Selected (R/qc_window_app.R:384): brushed set → ManualFlag,

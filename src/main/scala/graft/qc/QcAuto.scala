@@ -53,9 +53,12 @@ object QcAuto {
       df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
       minRun: Int = 4, suffix: String = DefaultSuffix): DataFrame = {
     val ord = Window.partitionBy(bucket).orderBy(orderCols.map(qcol): _*)
+    // a missing value starts its own (unflaggable) run — it neither
+    // extends nor bridges a run of identical non-missing values, so
+    // runlen counts exactly the consecutive identical observations
+    val prev = lag(qcol(v), 1).over(ord)
     val changed = when(
-      qcol(v) =!= lag(qcol(v), 1).over(ord) ||
-        lag(qcol(v), 1).over(ord).isNull, 1).otherwise(0)
+      qcol(v).isNull || prev.isNull || qcol(v) =!= prev, 1).otherwise(0)
     val marked = df
       .withColumn("__run", sum(changed).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -49,10 +49,11 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_._2.format.drop(1).toInt <= 64), "no batch exceeds batchSize")
   }
 
-  test("sampleFrames explodes every stride-th frame index") {
-    val df = Seq((1L, 10)).toDF("id", "n_frames")
-    val idx = Multimodal.sampleFrames(df, "n_frames", stride = 3)
-      .select("frame_idx").as[Int].collect().toSeq
-    assert(idx == Seq(0, 3, 6, 9))
+  test("sampleFrames explodes every stride-th frame index; frameless rows vanish") {
+    val df = Seq((1L, 10), (2L, 0)).toDF("id", "n_frames")
+    val out = Multimodal.sampleFrames(df, "n_frames", stride = 3)
+      .select("id", "frame_idx").as[(Long, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(0, 3, 6, 9))
+    assert(!out.exists(_._1 == 2L), "zero-frame payload emits no rows")
   }
 }

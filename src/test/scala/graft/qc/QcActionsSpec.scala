@@ -82,12 +82,13 @@ class QcActionsSpec extends SparkSpec {
     assert(flagsOf(once8) == flagsOf(twice8))
   }
 
-  test("withIdScope: broadcast id-table membership matches isin scope") {
-    val ids = Seq(0L, 2L).toDF("id")
-    val (marked, scope) = QcActions.withIdScope(all.withColumnRenamed("id", ".rowid")
-      .withColumnRenamed("v_qcflag", "v_qcflag"), ids.withColumnRenamed("id", ".rowid"))
-    val viaJoin = QcActions.flagSelected(marked, "v", scope).drop("__sel")
+  test("withIds: broadcast id-table membership matches isin scope, helper column cleaned up") {
+    val ids = Seq(0L, 2L).toDF(".rowid")
+    val viaJoin = QcActions.withIds(
+        all.withColumnRenamed("id", ".rowid"), ids)(
+        QcActions.flagSelected(_, "v", _))
       .withColumnRenamed(".rowid", "id")
+    assert(!viaJoin.columns.contains("__sel"), "helper column must not leak")
     val viaIsin = QcActions.flagSelected(all, "v", col("id").isin(0L, 2L))
     assert(flagsOf(viaJoin) == flagsOf(viaIsin))
   }

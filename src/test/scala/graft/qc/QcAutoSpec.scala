@@ -38,6 +38,17 @@ class QcAutoSpec extends SparkSpec {
     assert(out(8)._2 == OrigNA, "missing row keeps OrigNA")
   }
 
+  test("flagFlatlines: a missing value neither extends nor bridges a run") {
+    val vals = Seq(7.0, 7.0, -1.0, 8.0) // -1 placeholder, nulled below
+    val withNa = series(vals)
+      .withColumn("v", when(col("id") === 2, lit(null)).otherwise(col("v")))
+    val flagged = QcFlags.addFlags(withNa, Seq("v"))
+    val out = QcAuto.flagFlatlines(flagged, "v", Seq("t", "id"),
+        bucket = lit(0), minRun = 3)
+      .filter(col("v_qcflag") === ManualFlag).count()
+    assert(out == 0, "only 2 consecutive identical non-missing values — not a 3-run")
+  }
+
   test("flagRange flags outside [lo, hi] only") {
     val flagged = QcFlags.addFlags(series(Seq(5.0, 50.0, 500.0)), Seq("v"))
     val out = QcAuto.flagRange(flagged, "v", 10.0, 100.0)
