@@ -181,6 +181,16 @@ object SparkEntry {
       QcWindows.yRangePadded(events(s, dir), "value")
         .select(round(col("y_min"), 6).as("y_min"),
           round(col("y_max"), 6).as("y_max"))),
+    "a10_value_stats" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"),
+          round(avg(col("value")), 6).as("v_avg"),
+          round(expr("percentile(value, 0.5)"), 6).as("v_median"),
+          count(col("value")).as("n"))
+        .orderBy("event_type")),
     "a9_win_count" -> ((s, dir) =>
       QcWindows.windowCatalog(
         QcWindows.withWinId(events(s, dir), "ts", 24.0), "ts", "value")
@@ -251,6 +261,13 @@ object SparkEntry {
         .select(col("bucket_start_s"),
           round(col("v_mean"), 6).as("v_mean"),
           col("v_min"), col("v_max"), col("n"))
+        .orderBy("bucket_start_s")),
+    "ts_resample_dense" -> ((s, dir) =>
+      graft.timeseries.Resample.resampleDense(
+          events(s, dir).filter(col("event_type") === "error"),
+          "ts", "value", widthSecs = 3600L) // sparse series → empty buckets appear
+        .select(col("bucket_start_s"),
+          round(col("v_mean"), 6).as("v_mean"), col("n"))
         .orderBy("bucket_start_s")),
     "ts_ffill" -> ((s, dir) =>
       graft.timeseries.Resample.ffill(
@@ -556,6 +573,12 @@ object SparkEntry {
       """SELECT round(min(value) - (max(value) - min(value)) * 0.02, 6) AS y_min,
         |  round(max(value) + (max(value) - min(value)) * 0.02, 6) AS y_max
         |FROM events""".stripMargin,
+    "a10_value_stats" ->
+      """SELECT event_type, min(value) AS v_min, max(value) AS v_max,
+        |  round(avg(value), 6) AS v_avg,
+        |  round(quantile_cont(value, 0.5), 6) AS v_median,
+        |  count(value) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a9_win_count" ->
       """SELECT count(*) AS n FROM (
         |  SELECT CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
@@ -639,6 +662,20 @@ object SparkEntry {
          |  round(avg(v), 6) AS v_mean, min(v) AS v_min, max(v) AS v_max,
          |  count(v) AS n
          |FROM clean GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_resample_dense" ->
+      """WITH src AS (SELECT ts, value FROM events WHERE event_type = 'error'),
+        |agg AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
+        |    round(avg(value), 6) AS v_mean, count(value) AS n
+        |  FROM src GROUP BY 1),
+        |bounds AS (
+        |  SELECT CAST(floor(epoch(min(ts)) / 3600) * 3600 AS BIGINT) AS lo,
+        |         CAST(floor(epoch(max(ts)) / 3600) * 3600 AS BIGINT) AS hi
+        |  FROM src),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, 3600)) AS bucket_start_s FROM bounds)
+        |SELECT s.bucket_start_s, a.v_mean, coalesce(a.n, 0) AS n
+        |FROM spine s LEFT JOIN agg a USING (bucket_start_s) ORDER BY 1""".stripMargin,
     "ts_ffill" ->
       s"""$SeededCte
          |SELECT event_id,

@@ -33,6 +33,29 @@ object Resample {
         count(col(v)).as("n"))
   }
 
+  /** Dense variant of [[resampleMean]]: empty buckets are materialized
+    * (n = 0, null aggregates) by outer-joining a generated calendar
+    * spine covering [min(t), max(t)]. The spine is tiny (one row per
+    * bucket) and generated with `sequence` — no driver loop; the join
+    * broadcasts the aggregated (small) side onto the spine. */
+  def resampleDense(
+      df: DataFrame,
+      t: String,
+      v: String,
+      widthSecs: Long): DataFrame = {
+    val agg = resampleMean(df, t, v, widthSecs)
+    val spine = df
+      .agg(
+        (floor(min(col(t)).cast("double") / widthSecs).cast("long") * widthSecs)
+          .as("__lo"),
+        (floor(max(col(t)).cast("double") / widthSecs).cast("long") * widthSecs)
+          .as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"), lit(widthSecs)))
+        .as("bucket_start_s"))
+    spine.join(agg, Seq("bucket_start_s"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   /** Forward fill: nulls in `v` replaced by the last preceding non-null
     * value within the same key partition, in `(t, orderCols)` order. */
   def ffill(

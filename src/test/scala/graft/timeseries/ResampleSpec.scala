@@ -27,6 +27,17 @@ class ResampleSpec extends SparkSpec {
     assert(out(1) == ((50.0, 1L)))
   }
 
+  test("resampleDense materializes empty buckets with n = 0") {
+    // 10-min grid over 00:00..01:10 → 8 buckets; 00:40 and 00:50 have
+    // no rows at all and must still appear
+    val out = Resample.resampleDense(series, "t", "v", 600L)
+      .orderBy("bucket_start_s")
+      .select("n").as[Long].collect().toSeq
+    assert(out.length == 8)
+    assert(out.count(_ == 0L) >= 2, s"empty buckets materialized, got $out")
+    assert(out.sum == 3, "non-null observation count preserved")
+  }
+
   test("ffill carries the last observation forward, leading nulls stay") {
     val withLeading = Seq((0L, ts("2024-01-01 00:00:00"), Option.empty[Double]))
       .toDF("id", "t", "v").unionByName(series.withColumn("id", col("id") + 1))
