@@ -165,6 +165,9 @@ object SparkEntry {
     "p10_secondary" -> ((s, dir) =>
       QcPlotFeed.secondaryOverlay(seeded(events(s, dir)), "value2")
         .select(col("event_id")).orderBy("event_id")),
+    "p8_nonmissing" -> ((s, dir) =>
+      QcPlotFeed.nonMissing(withValue2(events(s, dir)), "value2", "ts")
+        .select(col("event_id")).orderBy("event_id")),
 
     // --- A operators (aggregations) ----------------------------------
     "a1_progress" -> ((s, dir) =>
@@ -175,8 +178,33 @@ object SparkEntry {
         .select(col("variable"), col("na_count"), col("flag_na_count"),
           col("na_consistent"))
         .orderBy("variable")),
+    "a3_domain" -> ((s, dir) => {
+      // Inject an out-of-domain flag value so the check has something
+      // to catch (the seeded state is domain-clean by construction).
+      val corrupted = seeded(events(s, dir)).withColumn("value2_qcflag",
+        when(pmod(col("event_id"), lit(101)) === 0, lit(7))
+          .otherwise(col("value2_qcflag")))
+      QcProgress.consistency(corrupted, Seq("value2"))
+        .select(col("variable"), explode(col("bad_flags")).as("bad_flag"))
+    }),
+    "a4_hide_complete" -> ((s, dir) => {
+      // `value` has no missing values; approving everything makes it
+      // 100% checked, so hideComplete must drop its row and keep value2.
+      val two = QcActions.approveSelected(
+        QcFlags.addFlags(seeded(events(s, dir)), Seq("value")),
+        "value", lit(true))
+      QcProgress.summary(two, Seq("value", "value2"), hideComplete = true)
+        .orderBy("variable")
+    }),
     "a5_min_time" -> ((s, dir) =>
       events(s, dir).agg(date_format(min(col("ts")), TsFmt).as("t0"))),
+    "a7_win_range" -> ((s, dir) =>
+      QcWindows.windowCatalog(
+        QcWindows.withWinId(events(s, dir), "ts", 24.0), "ts", "value")
+        .select(col("win_id"),
+          concat(date_format(col("t_min"), "yyyy-MM-dd HH:mm"), lit(" - "),
+            date_format(col("t_max"), "yyyy-MM-dd HH:mm")).as("label"))
+        .orderBy("win_id")),
     "a8_y_range" -> ((s, dir) =>
       QcWindows.yRangePadded(events(s, dir), "value")
         .select(round(col("y_min"), 6).as("y_min"),
@@ -215,6 +243,70 @@ object SparkEntry {
       QcWindows.windowCatalog(seededWin(s, dir), "ts", "value2",
           include = Seq(Unchecked))
         .select(col("win_id")).orderBy("win_id")),
+    "w4_xrange" -> ((s, dir) => {
+      // W4 is pure driver-side arithmetic from the A5 origin; surfaced
+      // as epoch-millis so the oracle can replicate it exactly.
+      val t0 = QcWindows.minTime(events(s, dir), "ts")
+      val (lo, hi) = QcWindows.windowXRange(t0, 24.0, 3)
+      import s.implicits._
+      Seq((lo.getTime, hi.getTime)).toDF("x_lo_ms", "x_hi_ms")
+    }),
+    "o1_win_slice" -> ((s, dir) => {
+      val w = QcWindows.withWinId(events(s, dir), "ts", 24.0)
+      val cat = QcWindows.windowCatalog(w, "ts", "value")
+      QcWindows.slice(QcWindows.withDenseId(w, cat), 3L)
+        .select(col("event_id")).orderBy("event_id")
+    }),
+
+    // --- S operators (sources/sinks): real write → read-back ----------
+    "s1_checkpoint" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s1").toString
+      QcExport.writeParquet(seeded(events(s, dir)), s"$tmp/ckpt")
+      QcExport.readCheckpoint(s, s"$tmp/ckpt")
+        .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
+    }),
+    "s2_csv_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      QcExport.writeCsv(
+        events(s, dir).select(col("event_id"), col("ts"), col("value"),
+          col("event_type")),
+        s"$tmp/ev_csv", timeCol = Some("ts"))
+      QcExport.readCsv(s, s"$tmp/ev_csv", timeCol = "ts",
+          timeFormat = Some("yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          select = Seq("event_id", "ts", "value"))
+        .select(col("event_id").cast("long").as("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_id")
+    }),
+    "s4_parquet_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+      QcExport.writeParquet(events(s, dir), s"$tmp/ev_zstd",
+        compression = "zstd")
+      s.read.parquet(s"$tmp/ev_zstd")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+    "s7_dual_export" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
+      QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
+        formats = Seq("parquet"))
+      def summ(name: String, d: DataFrame) =
+        d.agg(lit(name).as("variant"), count(lit(1)).as("n"),
+          sum(when(col("value2").isNotNull && !isnan(col("value2")), 1L)
+            .otherwise(0L)).as("n_good"),
+          lit(d.columns.contains("value2_qcflag")).as("has_flag"))
+      summ("qc", s.read.parquet(s"$tmp/ev_qc.parquet"))
+        .unionByName(summ("clean", s.read.parquet(s"$tmp/ev_clean.parquet")))
+        .orderBy("variant")
+    }),
+    "s8_manifest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      val manifest = QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
+        formats = Seq("parquet", "csv"))
+      s.read.text(manifest)
+        .select(split(col("value"), "  ", 2).getItem(0).as("md5"),
+          split(col("value"), "  ", 2).getItem(1).as("path"))
+    }),
 
     // --- M operators (mutation algebra) ------------------------------
     "m1_flag_selected" -> ((s, dir) =>
@@ -560,6 +652,76 @@ object SparkEntry {
          |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = -1)) / count(*), 2) AS pct_missing,
          |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = -2)) / count(*), 2) AS pct_flagged
          |FROM seeded""".stripMargin,
+    "p8_nonmissing" ->
+      s"""$SeededCte SELECT event_id FROM seeded
+         |WHERE NOT (value2 IS NULL OR isnan(value2)) AND ts IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
+    "a3_domain" ->
+      s"""$SeededCte, corrupted AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 101 = 0 THEN 7 ELSE value2_qcflag END AS f
+         |  FROM seeded)
+         |SELECT DISTINCT 'value2' AS variable, f AS bad_flag
+         |FROM corrupted WHERE f NOT IN (-2, -1, 0, 1) ORDER BY bad_flag""".stripMargin,
+    "a4_hide_complete" ->
+      s"""$SeededCte SELECT 'value2' AS variable,
+         |  count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))) AS total,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag NOT IN (0, -1)
+         |      AND NOT (value2 IS NULL OR isnan(value2))))
+         |    / nullif(count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))), 0), 2)
+         |    AS pct_checked,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = 1)) / count(*), 2) AS pct_approved,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = 0)) / count(*), 2) AS pct_unchecked,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = -1)) / count(*), 2) AS pct_missing,
+         |  round(100.0 * (count(*) FILTER (WHERE value2_qcflag = -2)) / count(*), 2) AS pct_flagged
+         |FROM seeded""".stripMargin,
+    "a7_win_range" ->
+      """WITH w AS (
+        |  SELECT *, CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
+        |  FROM events)
+        |SELECT win_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M') || ' - ' ||
+        |    strftime(max(ts), '%Y-%m-%d %H:%M') AS label
+        |FROM w GROUP BY win_id
+        |HAVING max(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 ELSE 0 END) = 1
+        |ORDER BY win_id""".stripMargin,
+    "w4_xrange" ->
+      """WITH b AS (SELECT CAST(epoch_ms(min(ts)) AS BIGINT) AS t0 FROM events)
+        |SELECT t0 + 3 * 86400000 - 1728000 AS x_lo_ms,
+        |       t0 + 4 * 86400000 + 1728000 AS x_hi_ms FROM b""".stripMargin,
+    "o1_win_slice" ->
+      """WITH w AS (
+        |  SELECT *, CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
+        |  FROM events),
+        |kept AS (
+        |  SELECT win_id, ROW_NUMBER() OVER (ORDER BY win_id) - 1 AS win_dense
+        |  FROM (SELECT DISTINCT win_id FROM w
+        |        WHERE value IS NOT NULL AND NOT isnan(value)))
+        |SELECT event_id FROM w JOIN kept USING (win_id)
+        |WHERE win_dense = 3 ORDER BY event_id""".stripMargin,
+    "s1_checkpoint" ->
+      s"""$SeededCte SELECT event_id, value2_qcflag FROM seeded ORDER BY event_id""",
+    "s2_csv_source" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_s,
+        |  round(value, 6) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s4_parquet_sink" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events""".stripMargin,
+    "s7_dual_export" ->
+      s"""$SeededCte
+         |SELECT * FROM (
+         |  SELECT 'clean' AS variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN value2_qcflag >= 0 AND value2 IS NOT NULL
+         |        AND NOT isnan(value2) THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |    false AS has_flag
+         |  FROM seeded
+         |  UNION ALL
+         |  SELECT 'qc', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN value2 IS NOT NULL AND NOT isnan(value2)
+         |        THEN 1 ELSE 0 END) AS BIGINT), true
+         |  FROM seeded)
+         |ORDER BY variant""".stripMargin,
     "a2_consistency" ->
       s"""$SeededCte SELECT 'value2' AS variable,
          |  count(*) FILTER (WHERE value2 IS NULL OR isnan(value2)) AS na_count,
