@@ -478,6 +478,22 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.withSimHash(documents(s, dir), "text")
         .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
+    "dedup_embed" -> ((s, dir) => {
+      // Near-dups planted like dedup_minhash: vecs 0-24 re-appear with a
+      // +0.01 component shift (cosine ≈ 0.997 on these unit vectors; the
+      // natural corpus has no pair above 0.95). LSH-bucketed candidates
+      // with exact cosine verification — never all-pairs.
+      val dbl = (c: Column) => c.cast("array<double>")
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+      val planted = embeddings(s, dir).filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(dbl(col("embedding")), x => x + lit(0.01)).as("embedding"))
+      Dedup.embeddingNearDupPairs(e.unionByName(planted), "vec_id",
+          "embedding", threshold = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_ngram" -> ((s, dir) => {
       val docs = documents(s, dir)
       // token SETS pre-hashed to longs: the pairwise intersect compares
@@ -1003,6 +1019,19 @@ object SparkEntry {
         |  FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
         |SELECT probe_id, rank, nbr_id FROM scored
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+        |  FROM e WHERE vec_id < 25),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
     "embed_norm" ->
       """SELECT vec_id,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm

@@ -15,4 +15,10 @@ package object functions {
   def minhashSig(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       MinHashSigExpr(GraftColumnBridge.expression(shingles), numHashes, seed))
+
+  /** Double-precision dot product of two numeric-array columns (native
+    * expression, whole-stage-codegen'd — see [[DotProductExpr]]). */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -136,9 +136,7 @@ object Similarity {
 
     def cellDists(v: Column): Column = array(cents.map { case (cid, c) =>
       val den = Vec.norm(v) * math.sqrt(c.map(x => x * x).sum)
-      val dot = aggregate(
-        zip_with(transform(v, _.cast("double")), lit(c), _ * _),
-        lit(0.0), _ + _)
+      val dot = Vec.dot(v, lit(c))
       // zero-norm vector/centroid → max distance (2.0), never a divide
       // (ANSI mode would abort on 0/0)
       struct(when(den > 0, lit(1.0) - dot / den).otherwise(lit(2.0)).as("dist"),

@@ -13,9 +13,12 @@ object Vec {
 
   private def d(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Left-to-right dot product — deterministic summation order. */
+  /** Left-to-right dot product — deterministic summation order. Backed
+    * by the native codegen'd [[graft.functions.DotProductExpr]] (the
+    * interpreted `aggregate(zip_with(...))` fold it replaces was the
+    * bench bottleneck on every pairwise-similarity path). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
+    graft.functions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -30,9 +33,6 @@ object Vec {
 
   /** Signed-projection bit against a fixed (driver-side) hyperplane:
     * 1 if v · h > 0 else 0. Used by the random-hyperplane LSH. */
-  def signBit(v: Column, h: Array[Double]): Column = {
-    val proj = aggregate(
-      zip_with(d(v), lit(h), _ * _), lit(0.0), _ + _)
-    when(proj > 0, 1L).otherwise(0L)
-  }
+  def signBit(v: Column, h: Array[Double]): Column =
+    when(dot(v, lit(h)) > 0, 1L).otherwise(0L)
 }
