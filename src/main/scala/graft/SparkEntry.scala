@@ -496,11 +496,11 @@ object SparkEntry {
     }),
     "dedup_ngram" -> ((s, dir) => {
       val docs = documents(s, dir)
-      // token SETS pre-hashed to longs: the pairwise intersect compares
-      // longs instead of strings (same jaccard value; collisions are
-      // negligible and would equally affect numerator and denominator)
-      val toks = (c: Column) =>
-        array_distinct(transform(TextAnalysis.tokens(c), t => xxhash64(t)))
+      // token SETS pre-hashed to sorted longs (native tokenSet expr):
+      // the pairwise intersect is an O(n+m) merge over longs instead of
+      // per-pair hash sets over strings (same jaccard value; collisions
+      // are negligible and would equally affect num and denom)
+      val toks = (c: Column) => graft.functions.tokenSet(TextAnalysis.tokens(c))
       val a = docs.filter(col("doc_id") < 200)
         .select(col("doc_id").as("id_a"), toks(col("text")).as("__ta"))
       val b = docs.select(col("doc_id").as("id_b"), toks(col("text")).as("__tb"))
@@ -510,7 +510,7 @@ object SparkEntry {
       a.join(b, col("id_a") < col("id_b") &&
           least(size(col("__ta")), size(col("__tb"))).cast("double") >=
             lit(0.9) * greatest(size(col("__ta")), size(col("__tb"))))
-        .withColumn("jaccard", Dedup.jaccard(col("__ta"), col("__tb")))
+        .withColumn("jaccard", Dedup.jaccardSorted(col("__ta"), col("__tb")))
         .filter(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")

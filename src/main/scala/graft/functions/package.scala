@@ -21,4 +21,16 @@ package object functions {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Sorted distinct 64-bit hash set of a string-array column (native
+    * expression — see [[TokenSetExpr]]); pairs with
+    * [[sortedIntersectCount]] for O(n+m) pairwise set similarity. */
+  def tokenSet(tokens: Column): Column =
+    GraftColumnBridge.column(TokenSetExpr(GraftColumnBridge.expression(tokens)))
+
+  /** Intersection size of two sorted long arrays (native expression —
+    * see [[SortedIntersectCountExpr]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

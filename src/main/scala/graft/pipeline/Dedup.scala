@@ -89,6 +89,17 @@ object Dedup {
       .otherwise(lit(0.0))
   }
 
+  /** Exact Jaccard on two SORTED distinct hash arrays (as produced by
+    * [[graft.functions.tokenSet]]): one O(n+m) merge per pair via the
+    * native [[graft.functions.SortedIntersectCountExpr]], union size
+    * derived as `|a| + |b| − |a∩b|` — no per-pair hash sets. The
+    * pairwise hot-path variant of [[jaccard]]; same value. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val ic = graft.functions.sortedIntersectCount(a, b)
+    val u = size(a).cast("long") + size(b) - ic
+    when(u > 0, ic.cast("double") / u).otherwise(lit(0.0))
+  }
+
   // ------------------------------------------------------------- LSH bands
 
   /** Explode a signature into `bands` (bandIdx, bandHash) keys: docs
@@ -143,10 +154,15 @@ object Dedup {
       minHashSignature(col("__sh"), numHashes, seed).as("__sig"))
     val banded = bandsOf(sig, idCol, "__sig", bands, numHashes)
     val cand = lshCandidatePairs(banded, idCol)
+    // verify on sorted hashed shingle sets: the id-keyed joins ship
+    // long arrays instead of string arrays, and each candidate pair
+    // costs one O(n+m) merge (same jaccard value; hash collisions are
+    // negligible and affect num and denom alike)
+    val hs = sh.select(col(idCol), graft.functions.tokenSet(col("__sh")).as("__hs"))
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .join(hs.select(col(idCol).as("id_a"), col("__hs").as("__sha")), Seq("id_a"))
+      .join(hs.select(col(idCol).as("id_b"), col("__hs").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard", jaccardSorted(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
