@@ -45,6 +45,16 @@ class SimHash64ExprSpec extends SparkSpec {
     val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
       .select(simhash64(col("t"))).as[Long].head()
     assert(viaSql == viaCol, "SQL and DataFrame paths agree")
+
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  sorted_intersect_count(token_set(array('a','b','c')),
+        |                         token_set(array('b','c','d'))) AS ic,
+        |  size(minhash_sig(array('a','b'), 16, 7)) AS siglen
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getLong(1) == 2L)
+    assert(row.getInt(2) == 16)
   }
 
   test("stays inside whole-stage codegen (no UDF fallback)") {
