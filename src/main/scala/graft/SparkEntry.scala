@@ -601,6 +601,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("media.format").as("format"), col("media.width").as("width"),
           col("media.height").as("height"))
+        .orderBy("doc_id")),
+    "mm_resize" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          (pmod(col("n_chars"), lit(1920L)) + 1).as("w"),
+          (pmod(col("n_chars"), lit(1080L)) + 1).as("h"))
+        .withColumn("plan", Multimodal.resizePlan(col("w"), col("h"), 256, 256))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("plan.out_w").cast("long").as("out_w"),
+          col("plan.out_h").cast("long").as("out_h"))
+        .orderBy("doc_id")),
+    "mm_features" -> ((s, dir) =>
+      // rows-only (xxhash64 family has no DuckDB twin); the unit suite
+      // locks determinism + unit norm, and sim_ann covers consumption
+      documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          Multimodal.stubFeatures(col("payload"), 16).as("features"))
         .orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1095,5 +1113,15 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 1920 + 1 AS w, n_chars % 1080 + 1 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w, h, least(256.0 / w, 256.0 / h, 1.0) AS s FROM d)
+        |SELECT doc_id, w, h,
+        |  CAST(greatest(floor(w * s), 1) AS BIGINT) AS out_w,
+        |  CAST(greatest(floor(h * s), 1) AS BIGINT) AS out_h
+        |FROM p ORDER BY doc_id""".stripMargin)
 }

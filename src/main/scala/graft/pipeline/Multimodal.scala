@@ -102,6 +102,37 @@ object Multimodal {
         (h % 300 + 1).toInt, 16000)
     }
 
+  /** Aspect-preserving fit-within resize plan — the Spark-side half of
+    * a resize stage (target dims + scale as data; the pixel transform
+    * itself belongs to the decoder behind [[decodeBatched]]). Pure
+    * arithmetic projection; null for degenerate (≤ 0) input dims
+    * rather than an ANSI divide error. */
+  def resizePlan(w: Column, h: Column, maxW: Int, maxH: Int): Column = {
+    val scale = least(lit(maxW.toDouble) / w, lit(maxH.toDouble) / h, lit(1.0))
+    when(w > 0 && h > 0,
+      struct(
+        greatest(floor(w * scale), lit(1.0)).cast(IntegerType).as("out_w"),
+        greatest(floor(h * scale), lit(1.0)).cast(IntegerType).as("out_h"),
+        round(scale, 6).as("scale")))
+      .otherwise(lit(null))
+  }
+
+  /** STUB feature extraction ??? — deterministic pseudo-embedding
+    * (`dim` components hashed from the payload, L2-normalized): the
+    * column-level stand-in for a CLIP/wav2vec-style encoder. Real
+    * systems run the model batched behind [[decodeBatched]]; the
+    * output shape (unit `array<double>` alongside the row) is exactly
+    * what [[Similarity]]'s ANN operators consume, so the feature →
+    * index → search path is testable end-to-end without any model. */
+  def stubFeatures(bin: Column, dim: Int): Column = {
+    val comps = (0 until dim).map(i =>
+      (pmod(xxhash64(bin, lit(i)), lit(2000001L)) - 1000000L)
+        .cast("double") / 1000000.0)
+    val n = sqrt(comps.map(c => c * c).reduce(_ + _))
+    when(bin.isNull, lit(null).cast(ArrayType(DoubleType)))
+      .otherwise(array(comps.map(c => when(n > 0, c / n).otherwise(c)): _*))
+  }
+
   /** Frame-sampling plumbing: given per-row frame counts, emit
     * (row, frameIdx) pairs for every `stride`-th frame — the explode
     * shape a video pipeline fans out with before per-frame feature

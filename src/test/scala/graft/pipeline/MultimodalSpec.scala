@@ -56,4 +56,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(0, 3, 6, 9))
     assert(!out.exists(_._1 == 2L), "zero-frame payload emits no rows")
   }
+
+  test("resizePlan: aspect-preserving fit-within, never upscales, degenerate dims → null") {
+    val df = Seq(
+      (1L, 512, 256),   // downscale by 0.5 → 256×128
+      (2L, 100, 50),    // already fits → unchanged
+      (3L, 0, 10))      // degenerate → null
+      .toDF("id", "w", "h")
+    val out = df.select(col("id"),
+      Multimodal.resizePlan(col("w"), col("h"), 256, 256).as("p"))
+      .select(col("id"), col("p.out_w"), col("p.out_h"))
+      .as[(Long, Option[Int], Option[Int])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(256), Some(128))))
+    assert(out(1) == ((2L, Some(100), Some(50))), "no upscale")
+    assert(out(2)._2.isEmpty, "zero width → null plan")
+  }
+
+  test("stubFeatures: deterministic unit vectors consumable by ANN search") {
+    val df = Seq((1L, "hello world"), (2L, "other text"))
+      .toDF("id", "text")
+      .select(col("id"), Multimodal.stubFeatures(encode(col("text"), "UTF-8"), 8).as("v"))
+    val a = df.orderBy("id").as[(Long, Seq[Double])].collect()
+    val b = df.orderBy("id").as[(Long, Seq[Double])].collect()
+    assert(a.toSeq == b.toSeq, "deterministic")
+    a.foreach { case (_, v) =>
+      assert(v.length == 8)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9, "unit norm")
+    }
+    assert(a(0)._2 != a(1)._2, "distinct payloads → distinct features")
+  }
 }
