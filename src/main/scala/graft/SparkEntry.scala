@@ -326,6 +326,22 @@ object SparkEntry {
         selPred && win3, win3))),
     "m8_reset_all" -> ((s, dir) =>
       mOut(QcActions.resetAll(seededWin(s, dir), "value2"))),
+    "m9_event_fold" -> ((s, dir) => {
+      // Event-sourced mutation (SURVEY §7.3): reset-all, then flag a
+      // brushed id set, then approve window 3's unflagged — as three
+      // appended log events folded in seq order, proven here to equal
+      // the sequential action chain the DuckDB oracle spells out.
+      import QcFlagLog._
+      import s.implicits._
+      val ids = (0L until 1000L by 91L).toSeq
+      val ev = globalEvent(1, "value2", Unchecked, GuardNotOrigNA) +:
+        (pointEvents(2, "value2", ids, ManualFlag) :+
+          windowEvent(3, "value2", 3L, Approved, GuardApproveUnchecked))
+      val log = ev.toDF("seq", "variable", "scope", "rowid", "win_id",
+        "new_flag", "guard")
+      QcFlagLog.fold(seededWin(s, dir), log, idCol = "event_id")
+        .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
+    }),
 
     // --- time-series relational ops ----------------------------------
     "ts_asof" -> ((s, dir) => {
@@ -829,6 +845,21 @@ object SparkEntry {
         |  ELSE value2_qcflag END""".stripMargin),
     "m8_reset_all" -> mOracle(
       "CASE WHEN value2_qcflag <> -1 THEN 0 ELSE value2_qcflag END"),
+    "m9_event_fold" ->
+      s"""$SeededCte, $WinCte,
+         |g1 AS (
+         |  SELECT *, CASE WHEN value2_qcflag <> -1 THEN 0
+         |                 ELSE value2_qcflag END AS f1
+         |  FROM win),
+         |p2 AS (
+         |  SELECT *, CASE WHEN event_id % 91 = 0 AND event_id < 1000
+         |                      AND f1 <> -1 THEN -2 ELSE f1 END AS f2
+         |  FROM g1)
+         |SELECT event_id,
+         |  CASE WHEN win_id = 3 AND f2 = 0
+         |            AND NOT (value2 IS NULL OR isnan(value2)) THEN 1
+         |       ELSE f2 END AS value2_qcflag
+         |FROM p2 ORDER BY event_id""".stripMargin,
     "ts_asof" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
