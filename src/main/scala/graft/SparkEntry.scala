@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.qc._
 import graft.pipeline._
+import graft.streaming.QcStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +32,22 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+  /** Streaming twin of [[events]]: the same table as a file-source
+    * stream (schema from a batch peek; nanos→micros conversion
+    * identical). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source wants a DIRECTORY; the fixture is a single
+    // file — expose it through a temp dir symlink
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -341,6 +358,28 @@ object SparkEntry {
         "new_flag", "guard")
       QcFlagLog.fold(seededWin(s, dir), log, idCol = "event_id")
         .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
+    }),
+
+    // --- streaming (Structured Streaming, batch-oracle-verified) -----
+    "stream_progress" -> ((s, dir) => {
+      // The continuous-ingest path (SURVEY §7.5): flag init + auto-flag
+      // + watermarked tumbling progress over a FILE STREAM of the same
+      // events table, drained with AvailableNow into a memory sink —
+      // so the streaming semantics are checked against the batch oracle.
+      import org.apache.spark.sql.streaming.Trigger
+      val flagged = QcStream.withFlags(withValue2(eventsStream(s, dir)),
+        Seq("value2"), autoFlag = Map("value2" -> (col("value2") > 150)))
+      val agg = QcStream.windowedProgress(flagged, "ts", "value2",
+        windowWidth = "24 hours", watermark = "48 hours")
+      val name = s"stream_progress_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_timestamp(col("win_start")).as("win_start_s"),
+          col("n_rows"), col("n_approved"), col("n_unchecked"),
+          col("n_missing"), col("n_flagged"))
+        .orderBy("win_start_s")
     }),
 
     // --- time-series relational ops ----------------------------------
@@ -860,6 +899,18 @@ object SparkEntry {
          |            AND NOT (value2 IS NULL OR isnan(value2)) THEN 1
          |       ELSE f2 END AS value2_qcflag
          |FROM p2 ORDER BY event_id""".stripMargin,
+    "stream_progress" ->
+      s"""$SeededCte
+         |SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_start_s,
+         |  count(*) AS n_rows,
+         |  CAST(0 AS BIGINT) AS n_approved,
+         |  CAST(count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))
+         |      AND value2 <= 150) AS BIGINT) AS n_unchecked,
+         |  CAST(count(*) FILTER (WHERE value2 IS NULL OR isnan(value2)) AS BIGINT)
+         |    AS n_missing,
+         |  CAST(count(*) FILTER (WHERE NOT (value2 IS NULL OR isnan(value2))
+         |      AND value2 > 150) AS BIGINT) AS n_flagged
+         |FROM e2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_asof" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
