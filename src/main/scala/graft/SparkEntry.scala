@@ -423,6 +423,12 @@ object SparkEntry {
           keys = Seq("user_id"))
         .select(col("event_id"), col("v_ffill"))
         .orderBy("event_id")),
+    "ts_interp" -> ((s, dir) =>
+      graft.timeseries.Resample.interpolateLinear(
+          seeded(events(s, dir)).transform(d => QcFlags.applyFlags(d)),
+          "ts", "value2", keys = Seq("user_id"), orderCols = Seq("event_id"))
+        .select(col("event_id"), round(col("v_interp"), 6).as("v_interp"))
+        .orderBy("event_id")),
     "ts_rangejoin" -> ((s, dir) => {
       import graft.timeseries.TimeSeriesOps
       val e = events(s, dir)
@@ -637,6 +643,16 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    "text_corpus_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("lang"), TextAnalysis.nTokens(col("text")).as("nt"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("sum_tokens"),
+          round(avg(col("nt")), 4).as("avg_tokens"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")),
     "text_fingerprint" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -961,6 +977,32 @@ object SparkEntry {
          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
          |FROM seeded ORDER BY event_id""".stripMargin,
+    "ts_interp" ->
+      s"""$SeededCte, c AS (
+         |  SELECT event_id, user_id, ts, epoch(ts) AS tn,
+         |    CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END AS v
+         |  FROM seeded),
+         |w AS (
+         |  SELECT event_id, tn, v,
+         |    last_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+         |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+         |  FROM c)
+         |SELECT event_id,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |             WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt > pt
+         |             THEN pv + (nv - pv) * (tn - pt) / (nt - pt) END, 6)
+         |    AS v_interp
+         |FROM w ORDER BY event_id""".stripMargin,
     "ts_rangejoin" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts,
@@ -1193,6 +1235,17 @@ object SparkEntry {
         |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
         |  END AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        |  round(avg(nt), 4) AS avg_tokens,
+        |  max(n_chars) AS max_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
