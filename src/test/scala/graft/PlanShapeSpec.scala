@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the scale-critical physical-plan
+  * invariants (DESIGN.md) asserted against the actual plans at
+  * sf0.001, so a future edit that silently introduces a stray shuffle,
+  * loses a broadcast, or breaks parquet pushdown fails CI rather than
+  * surfacing as a 100 TB incident.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(FormattedMode)
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Shuffle exchanges only (BroadcastExchange is cheap by design). */
+  private def shuffles(s: String): Int =
+    "(?<!Broadcast)Exchange \\(".r.findAllIn(s).length
+
+  private def countOcc(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("flag lifecycle is shuffle-free: apply-flags plan has only the oracle sort") {
+    // p5 = scan → mask projection → (orderBy for the oracle). The only
+    // exchange allowed is the final sort's range exchange.
+    val p = plan("p5_apply_flags")
+    assert(shuffles(p) <= 1, s"mask pipeline must not shuffle:\n$p")
+  }
+
+  test("mutations are narrow: m7 adds only the 1-row origin agg over the scan") {
+    // allowed: the oracle sort's range exchange + the one-row exchange
+    // under the broadcast min-time aggregate (A5). Nothing data-sized.
+    val p = plan("m7_flag_approve_next")
+    assert(shuffles(p) <= 2,
+      s"mutation algebra must stay a projection:\n$p")
+  }
+
+  test("q3 dimension joins broadcast, never sort-merge") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"small dims must not sort-merge:\n$p")
+  }
+
+  test("parquet pushdown: filter reaches the scan, columns pruned") {
+    val p = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"),
+      s"filter must push to parquet:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"),
+      s"untouched columns must be pruned from the scan:\n$readSchema")
+  }
+
+  test("progress summary is one aggregate pass: exactly one single-row exchange") {
+    val p = plan("a1_progress")
+    // partial agg → 1-row exchange → final agg (+ the sort's exchange
+    // collapses on a 1-row input). No per-variable repetition.
+    assert(countOcc(p, "HashAggregate") <= 4, s"one agg pair expected:\n$p")
+    assert(shuffles(p) <= 2, s"one exchange expected:\n$p")
+  }
+
+  test("row ids never use a single-partition global window") {
+    val p = physical("w1_rowid")
+    assert(!p.contains("Window [row_number()"),
+      s"W1 must be range-partition + zipWithIndex, not Window.orderBy:\n$p")
+  }
+
+  test("window catalog's dense rank runs on the catalog, data gets a broadcast join") {
+    val p = plan("o1_win_slice")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dense ids must broadcast back to the data:\n$p")
+  }
+
+  test("near-dup verification joins are key-joins, not cross joins") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+  }
+}
