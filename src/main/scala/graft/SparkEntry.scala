@@ -185,6 +185,18 @@ object SparkEntry {
     "p8_nonmissing" -> ((s, dir) =>
       QcPlotFeed.nonMissing(withValue2(events(s, dir)), "value2", "ts")
         .select(col("event_id")).orderBy("event_id")),
+    "p2_auto_discover" -> ((s, dir) => {
+      // vars = Nil ⇒ every numeric column gets a flag (P2); the created
+      // flag-column set is the operator's observable output
+      import s.implicits._
+      QcFlags.addFlags(withValue2(events(s, dir)), Nil)
+        .columns.filter(_.endsWith(DefaultSuffix)).sorted.toSeq
+        .toDF("flag_col")
+    }),
+    "p12_by_ids" -> ((s, dir) =>
+      QcPlotFeed.byIds(seeded(events(s, dir)),
+          Seq(3L, 14L, 159L, 2653L, 5897L), idCol = "event_id")
+        .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")),
 
     // --- A operators (aggregations) ----------------------------------
     "a1_progress" -> ((s, dir) =>
@@ -761,6 +773,13 @@ object SparkEntry {
       s"""$SeededCte SELECT event_id FROM seeded
          |WHERE NOT (value2 IS NULL OR isnan(value2)) AND ts IS NOT NULL
          |ORDER BY event_id""".stripMargin,
+    "p2_auto_discover" ->
+      """SELECT * FROM (VALUES ('event_id_qcflag'), ('user_id_qcflag'),
+        |  ('value2_qcflag'), ('value_qcflag')) t(flag_col)
+        |ORDER BY flag_col""".stripMargin,
+    "p12_by_ids" ->
+      s"""$SeededCte SELECT event_id, value2_qcflag FROM seeded
+         |WHERE event_id IN (3, 14, 159, 2653, 5897) ORDER BY event_id""".stripMargin,
     "a3_domain" ->
       s"""$SeededCte, corrupted AS (
          |  SELECT event_id,
