@@ -14,20 +14,25 @@ object Bench {
     // Untimed warmup: JIT/codegen/session init would otherwise be
     // charged to whichever query runs first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // Failed queries are recorded as NEGATIVE elapsed time (error
-    // marker, distinguishable from a fast success) and excluded from
-    // the headline total.
+    // Two timed runs per query, report the MIN (steady-state: the first
+    // run carries plan compilation + codegen + page-cache warmup, which
+    // a long-lived cluster amortizes away). Failed queries are recorded
+    // as NEGATIVE elapsed time (error marker, distinguishable from a
+    // fast success) and excluded from the headline total.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            -math.max((System.nanoTime() - t0) / 1e9, 0.001)
         }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -math.max(secs, 0.001))
+      }
+      val runs = Seq.fill(reps)(once())
+      name -> (if (runs.exists(_ < 0)) runs.filter(_ < 0).head
+               else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
