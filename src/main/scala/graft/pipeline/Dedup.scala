@@ -120,11 +120,17 @@ object Dedup {
     * join. `maxBucket` drops degenerate buckets (a bucket of m docs
     * yields m²/2 pairs; at 100 TB a runaway bucket is a job-killer —
     * better to cap and let the exact-dedup pass own identical docs). */
-  def lshCandidatePairs(
-      banded: DataFrame, idCol: String, maxBucket: Int = 10000): DataFrame = {
-    val pruned = banded
+  /** Drop degenerate (band, bh) buckets: a bucket of m rows yields
+    * m²/2 candidate pairs — at 100 TB a runaway bucket (identical-doc
+    * flood) is a job-killer. Identical rows belong to exact dedup. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("__bn") <= maxBucket).drop("__bn")
+
+  def lshCandidatePairs(
+      banded: DataFrame, idCol: String, maxBucket: Int = 10000): DataFrame = {
+    val pruned = capBuckets(banded, maxBucket)
     val a = pruned.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b = pruned.select(col("band"), col("bh"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bh"))
@@ -194,7 +200,7 @@ object Dedup {
     * (a fixed 4-chunk split would silently lose recall above 3). */
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       "simHashNearDupPairs: maxHamming must be in [0, 32)")
     val nChunks = maxHamming + 1
@@ -210,10 +216,12 @@ object Dedup {
       struct(lit(c).as("band"),
         shiftright(col("simhash"), offsets(c)).bitwiseAND(lit(mask)).as("bh"))
     }
-    val banded = hashed.select(col(idCol), col("simhash"),
-      explode(array(chunks: _*)).as("__bk"))
-      .select(col(idCol), col("simhash"),
-        col("__bk.band").as("band"), col("__bk.bh").as("bh"))
+    val banded = capBuckets(
+      hashed.select(col(idCol), col("simhash"),
+          explode(array(chunks: _*)).as("__bk"))
+        .select(col(idCol), col("simhash"),
+          col("__bk.band").as("band"), col("__bk.bh").as("bh")),
+      maxBucket)
     val a = banded.select(col("band"), col("bh"),
       col(idCol).as("id_a"), col("simhash").as("__ha"))
     val b = banded.select(col("band"), col("bh"),
@@ -238,6 +246,7 @@ object Dedup {
       threshold: Double = 0.95,
       dim: Int = 64,
       bruteForce: Boolean = false,
+      maxBucket: Int = 10000,
       seed: Long = 7L): DataFrame = {
     val pairs =
       if (bruteForce) {
@@ -245,8 +254,10 @@ object Dedup {
         val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val banded = Similarity.hyperplaneBands(df, idCol, vecCol, dim,
-          tables = 8, bitsPerTable = 12, seed = seed)
+        val banded = capBuckets(
+          Similarity.hyperplaneBands(df, idCol, vecCol, dim,
+            tables = 8, bitsPerTable = 12, seed = seed),
+          maxBucket)
         val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
         val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
         // dedup candidate ids BEFORE re-attaching vectors (distinct on two

@@ -100,4 +100,14 @@ class DedupSpec extends SparkSpec {
     assert(brute == (0 until 5).map(i => (i.toLong, (i + 100).toLong)).toSet)
     assert(lsh == brute, "hyperplane LSH must find all planted near-identical vectors")
   }
+
+  test("degenerate buckets are capped: an identical-doc flood yields no simhash pairs") {
+    import spark.implicits._
+    val flood = (0L until 40L).map(i => (i, "same exact text repeated"))
+      .toDF("id", "text")
+    val capped = Dedup.simHashNearDupPairs(flood, "id", "text", maxBucket = 10)
+    assert(capped.count() == 0, "flood bucket above the cap is dropped")
+    val uncapped = Dedup.simHashNearDupPairs(flood, "id", "text", maxBucket = 10000)
+    assert(uncapped.count() == 40L * 39 / 2, "below the cap pairs flow")
+  }
 }
