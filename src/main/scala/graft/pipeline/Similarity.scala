@@ -119,12 +119,50 @@ object Similarity {
     * nearest lists. At scale the corpus can be WRITTEN bucketed by
     * `cell` (partitionBy), making each probe a partition-pruned scan.
     */
+  /** Cosine-distance struct array to each centroid (min → assignment;
+    * sorted slice → probe lists). Zero-norm vector/centroid → max
+    * distance (2.0), never a divide (ANSI mode would abort on 0/0). */
+  private def centDists(
+      cents: Array[(Int, Array[Double])])(v: Column): Column =
+    array(cents.map { case (cid, c) =>
+      val den = Vec.norm(v) * math.sqrt(c.map(x => x * x).sum)
+      val dot = Vec.dot(v, lit(c))
+      struct(when(den > 0, lit(1.0) - dot / den).otherwise(lit(2.0)).as("dist"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+
+  /** Lloyd refinement of IVF centroids: `iters` assign/mean rounds.
+    * Per round: one distributed assignment pass + a (cell, dimension)
+    * mean aggregate; only the nlist×dim centroid table ever reaches the
+    * driver — the classic k-means-on-Spark shape. Cells that lose all
+    * members keep their previous centroid. Deterministic. */
+  def refineCentroids(
+      corpus: DataFrame, vecCol: String,
+      cents: Array[(Int, Array[Double])], iters: Int): Array[(Int, Array[Double])] = {
+    var cs = cents
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .withColumn("cell", array_min(centDists(cs)(col(vecCol))).getField("cid"))
+        .select(col("cell"), posexplode(transform(col(vecCol), _.cast("double")))
+          .as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cs = cs.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cs
+  }
+
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 32, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
     // deterministic pseudo-random centroid sample (no RNG, stable runs)
-    val cents: Array[(Int, Array[Double])] = corpus
+    val sampled: Array[(Int, Array[Double])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)))
       .limit(nlist)
@@ -133,15 +171,11 @@ object Similarity {
       .map { case (r, i) => // element-type agnostic (float or double arrays)
         (i, r.getSeq[Number](1).map(_.doubleValue()).toArray)
       }
+    val cents =
+      if (refineIters > 0) refineCentroids(corpus, vecCol, sampled, refineIters)
+      else sampled
 
-    def cellDists(v: Column): Column = array(cents.map { case (cid, c) =>
-      val den = Vec.norm(v) * math.sqrt(c.map(x => x * x).sum)
-      val dot = Vec.dot(v, lit(c))
-      // zero-norm vector/centroid → max distance (2.0), never a divide
-      // (ANSI mode would abort on 0/0)
-      struct(when(den > 0, lit(1.0) - dot / den).otherwise(lit(2.0)).as("dist"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
+    def cellDists(v: Column): Column = centDists(cents)(v)
 
     val assigned = corpus.withColumn("cell",
       array_min(cellDists(col(vecCol))).getField("cid"))

@@ -69,4 +69,34 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(b1 == b2)
   }
+
+  test("ivfTopK with Lloyd refinement: deterministic, recall at least as usable") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteTopKWindow(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val r1 = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 4, refineIters = 2)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val r2 = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 4, refineIters = 2)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(r1 == r2, "refined centroids are deterministic")
+    val recall = (r1 intersect truth).size.toDouble / truth.size
+    assert(recall > 0.5, s"refined IVF recall@10 too low: $recall")
+  }
+
+  test("refineCentroids: means move toward cluster structure, empty cells keep old") {
+    import org.apache.spark.sql.functions.lit
+    // two tight clusters around (1,0) and (0,1)
+    val pts = (0 until 20).map(i =>
+      if (i % 2 == 0) (i.toLong, Seq(1.0 + 0.01 * i, 0.0))
+      else (i.toLong, Seq(0.0, 1.0 + 0.01 * i))).toDF("id", "v")
+    val init = Array(0 -> Array(0.9, 0.1), 1 -> Array(0.1, 0.9),
+      2 -> Array(-5.0, -5.0)) // cell 2 captures nothing
+    val out = Similarity.refineCentroids(pts, "v", init, iters = 2)
+    assert(out.length == 3)
+    assert(out(0)._2(0) > 0.9 && out(0)._2(1) < 0.1, "centroid 0 near cluster A")
+    assert(out(1)._2(1) > 0.9 && out(1)._2(0) < 0.1, "centroid 1 near cluster B")
+    assert(out(2)._2.toSeq == Seq(-5.0, -5.0), "memberless cell unchanged")
+  }
 }
