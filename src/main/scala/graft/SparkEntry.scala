@@ -644,7 +644,10 @@ object SparkEntry {
           TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
           TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
           TextAnalysis.stopwordRatio(col("text"), Seq("the", "a"))
-            .as("stopword_ratio"))
+            .as("stopword_ratio"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.qualityScore(col("text"), Seq("the", "a")), 6)
+            .as("quality"))
         .orderBy("doc_id")),
     "text_bpe_tokens" -> ((s, dir) =>
       documents(s, dir)
@@ -1242,18 +1245,40 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
         |         ELSE string_split_regex(trim(text), '\s+') END AS toks
-        |  FROM documents)
-        |SELECT doc_id, len(toks) AS n_tokens,
-        |  CASE WHEN len(toks) > 0 THEN
-        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
-        |  END AS avg_token_len,
-        |  CASE WHEN len(toks) > 0 THEN
-        |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
-        |  END AS stopword_ratio
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    END AS avg_token_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
+        |    END AS stopword_ratio,
+        |    CASE WHEN len(text) > 0 THEN
+        |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / len(text)
+        |    ELSE 0.0 END AS pr
+        |  FROM t),
+        |q AS (
+        |  SELECT *,
+        |    CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0
+        |         WHEN n_tokens < 10 THEN n_tokens / 10.0
+        |         ELSE 100000.0 / n_tokens END AS len_ok,
+        |    CASE WHEN coalesce(avg_token_len, 0.0) >= 2
+        |              AND coalesce(avg_token_len, 0.0) <= 12
+        |         THEN 1.0 ELSE 0.25 END AS awl_ok,
+        |    CASE WHEN coalesce(stopword_ratio, 0.0) > 0.01 THEN 1.0 ELSE 0.5 END
+        |      AS stop_ok,
+        |    1.0 - least(pr * 4, 1.0) AS punct_ok
+        |  FROM b)
+        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+        |  round(pr, 6) AS punct_ratio,
+        |  round(least(len_ok, 1.0) * 0.25 + awl_ok * 0.2 + stop_ok * 0.15
+        |    + punct_ok * 0.4, 6) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       """WITH t AS (
         |  SELECT lang, n_chars,
