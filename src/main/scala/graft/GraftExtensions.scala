@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr}
+import graft.functions.{DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -37,7 +37,12 @@ object GraftExtensions {
     ("token_set", classOf[TokenSetExpr].getName,
       exprs => TokenSetExpr(exprs.head)),
     ("sorted_intersect_count", classOf[SortedIntersectCountExpr].getName,
-      exprs => SortedIntersectCountExpr(exprs.head, exprs(1))))
+      exprs => SortedIntersectCountExpr(exprs.head, exprs(1))),
+    ("winnow", classOf[WinnowExpr].getName,
+      // optional literal args: k, w
+      exprs => WinnowExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 5,
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else 4)))
 
   /** Register the same functions on an already-running session (the
     * extensions mechanism only fires at session construction). */

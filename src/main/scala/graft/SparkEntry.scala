@@ -658,6 +658,15 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    "text_winnow" -> ((s, dir) =>
+      // rows-only (FNV k-gram family has no DuckDB twin); the winnowing
+      // guarantee + density are locked by WinnowExprSpec
+      documents(s, dir)
+        .select(col("doc_id"),
+          size(graft.functions.winnow(
+            lower(regexp_replace(col("text"), "\\s+", " ")), 5, 4))
+            .cast("long").as("n_fingerprints"))
+        .orderBy("doc_id")),
     "text_corpus_stats" -> ((s, dir) =>
       documents(s, dir)
         .select(col("lang"), TextAnalysis.nTokens(col("text")).as("nt"),

@@ -33,4 +33,10 @@ package object functions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Winnowing document fingerprints (MOSS; native expression — see
+    * [[WinnowExpr]]): sorted distinct selected k-gram hashes, window
+    * size `w`. Pairs with [[sortedIntersectCount]] for set overlap. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    GraftColumnBridge.column(WinnowExpr(GraftColumnBridge.expression(text), k, w))
 }
