@@ -473,6 +473,17 @@ object SparkEntry {
         .filter(col("v3_qcflag") === ManualFlag)
         .select(col("event_id")).orderBy("event_id")
     }),
+    "auto_step" -> ((s, dir) => {
+      // plant a +50 level shift at noon of every day, detect the
+      // boundary rows where leading vs trailing 12-row means diverge
+      val v3 = events(s, dir).withColumn("v3",
+        col("value") + when(hour(col("ts")) >= 12, lit(50.0)).otherwise(lit(0.0)))
+      val flagged = QcFlags.addFlags(v3, Seq("v3"))
+      QcAuto.flagSteps(flagged, "v3", Seq("ts", "event_id"),
+          bucket = to_date(col("ts")), halfWindow = 12, minShift = 30.0)
+        .filter(col("v3_qcflag") === ManualFlag)
+        .select(col("event_id")).orderBy("event_id")
+    }),
     "auto_range" -> ((s, dir) => {
       val flagged = QcFlags.addFlags(events(s, dir), Seq("value"))
       QcAuto.flagRange(flagged, "value", 10.0, 400.0)
@@ -1084,6 +1095,25 @@ object SparkEntry {
         |l AS (
         |  SELECT event_id, v, count(*) OVER (PARTITION BY d, run) AS runlen FROM r)
         |SELECT event_id FROM l WHERE runlen >= 4 AND v IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "auto_step" ->
+      """WITH v3 AS (
+        |  SELECT event_id, ts, CAST(ts AS DATE) AS d,
+        |    value + CASE WHEN extract(hour FROM ts) >= 12 THEN 50.0 ELSE 0.0 END AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id,
+        |    avg(v) OVER (PARTITION BY d ORDER BY ts, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING)
+        |    - avg(v) OVER (PARTITION BY d ORDER BY ts, event_id
+        |                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS step,
+        |    count(v) OVER (PARTITION BY d ORDER BY ts, event_id
+        |                   ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS nl,
+        |    count(v) OVER (PARTITION BY d ORDER BY ts, event_id
+        |                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS nt
+        |  FROM v3)
+        |SELECT event_id FROM w
+        |WHERE nl >= 6 AND nt >= 6 AND abs(step) > 30.0
         |ORDER BY event_id""".stripMargin,
     "auto_range" ->
       """SELECT event_id FROM events

@@ -75,4 +75,32 @@ object QcAuto {
       df: DataFrame, v: String, lo: Double, hi: Double,
       suffix: String = DefaultSuffix): DataFrame =
     QcActions.flagSelected(df, v, qcol(v) < lo || qcol(v) > hi, suffix)
+
+  /** Level-shift signal: leading `halfWindow`-row mean (current row
+    * starts the new level) minus trailing `halfWindow`-row mean. Null
+    * until both frames hold at least `halfWindow/2` observations, so
+    * bucket edges don't fire on a half-empty frame. */
+  def stepSignal(
+      df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
+      halfWindow: Int = 12): Column = {
+    val ord = Window.partitionBy(bucket).orderBy(orderCols.map(qcol): _*)
+    val trail = ord.rowsBetween(-halfWindow, -1)
+    val lead = ord.rowsBetween(Window.currentRow, halfWindow - 1)
+    val minObs = math.max(1, halfWindow / 2)
+    when(count(qcol(v)).over(lead) >= minObs &&
+      count(qcol(v)).over(trail) >= minObs,
+      avg(qcol(v)).over(lead) - avg(qcol(v)).over(trail))
+  }
+
+  /** Step-change detector: |level shift| > `minShift` ⇒ ManualFlag at
+    * the boundary rows (guarded like every detector). */
+  def flagSteps(
+      df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
+      halfWindow: Int = 12, minShift: Double = 30.0,
+      suffix: String = DefaultSuffix): DataFrame = {
+    val marked = df.withColumn("__step",
+      stepSignal(df, v, orderCols, bucket, halfWindow))
+    QcActions.flagSelected(marked, v, abs(col("__step")) > minShift, suffix)
+      .drop("__step")
+  }
 }

@@ -55,4 +55,24 @@ class QcAutoSpec extends SparkSpec {
       .select("id", "v_qcflag").as[(Long, Int)].collect().sortBy(_._1)
     assert(out.map(_._2).toSeq == Seq(ManualFlag, Unchecked, ManualFlag))
   }
+
+  test("flagSteps: level shift flagged at the boundary, guards hold") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 40 points: flat 10.0 then flat 60.0 from index 20 — one clean step
+    val rows = (0 until 40).map(i =>
+      (i.toLong, new java.sql.Timestamp(t0 + i * 60000L),
+        if (i < 20) 10.0 else 60.0))
+    val df = QcFlags.addFlags(rows.toDF("id", "ts", "v"), Seq("v"))
+    val out = QcAuto.flagSteps(df, "v", Seq("ts", "id"),
+        bucket = org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")),
+        halfWindow = 6, minShift = 30.0)
+      .filter(org.apache.spark.sql.functions.col("v_qcflag") === FlagSchema.ManualFlag)
+      .select("id").as[Long].collect().sorted
+    assert(out.nonEmpty, "the planted step must be detected")
+    assert(out.forall(i => i >= 14 && i <= 25),
+      s"only boundary rows flagged, got ${out.toSeq}")
+    assert(out.contains(20L), "the first row of the new level is flagged")
+  }
 }
