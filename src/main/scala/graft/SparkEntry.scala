@@ -328,6 +328,17 @@ object SparkEntry {
         .unionByName(summ("clean", s.read.parquet(s"$tmp/ev_clean.parquet")))
         .orderBy("variant")
     }),
+    "s9_bucketed_slice" -> ((s, dir) => {
+      // the scale layout (SURVEY §4.2a): day-partitioned parquet makes a
+      // window slice a partition-pruned scan; verified by slicing one
+      // day out of the bucketed copy and matching the unbucketed oracle
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
+      QcExport.writeTimeBucketed(events(s, dir), "ts", s"$tmp/ev_days")
+      val d0 = events(s, dir).agg(min(to_date(col("ts")))).head().getDate(0)
+      s.read.parquet(s"$tmp/ev_days")
+        .filter(col("qc_date") === date_add(lit(d0), 3))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
     "s8_manifest" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
       val manifest = QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
@@ -855,6 +866,10 @@ object SparkEntry {
     "s4_parquet_sink" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM events""".stripMargin,
+    "s9_bucketed_slice" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, b WHERE CAST(ts AS DATE) = d0 + 3""".stripMargin,
     "s7_dual_export" ->
       s"""$SeededCte
          |SELECT * FROM (
