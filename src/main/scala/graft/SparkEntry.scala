@@ -418,6 +418,19 @@ object SparkEntry {
         .select(col("event_id"), col("r_event_id"))
         .orderBy("event_id")
     }),
+    "ts_asof_tol" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      graft.timeseries.TimeSeriesOps.asofJoin(
+          purchases, signups, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          toleranceSecs = Some(7 * 86400.0)) // matches older than a week drop
+        .select(col("event_id"), col("r_event_id"))
+        .orderBy("event_id")
+    }),
     "ts_sessionize" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.sessionize(
           events(s, dir), keys = Seq("user_id"), t = "ts",
@@ -991,6 +1004,18 @@ object SparkEntry {
         |  SELECT event_id AS r_event_id, user_id, ts AS s_ts
         |  FROM events WHERE event_type = 'signup')
         |SELECT p.event_id, s.r_event_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.s_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "ts_asof_tol" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT event_id AS r_event_id, user_id, ts AS s_ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id,
+        |  CASE WHEN epoch(p.ts - s.s_ts) <= 604800.0 THEN s.r_event_id END
+        |    AS r_event_id
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.s_ts
         |ORDER BY p.event_id""".stripMargin,
