@@ -66,6 +66,64 @@ object QcStream {
       .dropDuplicatesWithinWatermark(fpCol)
       .drop(fpCol)
 
+  /** Per-key session state for [[streamingSessionize]]: the running
+    * session counter and the last event time seen. */
+  case class SessionState(sessionId: Long, lastTs: Long)
+
+  /** Session assignment output row. */
+  case class SessionAssign(key: Long, ts: java.sql.Timestamp, sessionId: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — the
+    * custom-state face of the batch [[graft.timeseries.TimeSeriesOps
+    * .sessionize]]: events more than `gapSecs` after the key's previous
+    * event open a new session. State per key is two longs (bounded by
+    * key cardinality, evicted after `stateTimeout` idle); events within
+    * a micro-batch are processed in event-time order. Unlike the batch
+    * operator this assigns ids incrementally — no global shuffle-sort
+    * per recompute.
+    *
+    * Caveats (documented): cross-batch late data older than the key's
+    * `lastTs` is appended to the CURRENT session rather than splitting
+    * history — the streaming trade-off; use the batch operator for
+    * reprocessing. With `stateTimeout` set, idle keys are evicted on
+    * processing-time timeouts, but the engine then triggers continuous
+    * timeout-check batches — fine under a real trigger, but
+    * `processAllAvailable()` never settles, so tests use the
+    * no-timeout default.
+    */
+  def streamingSessionize(
+      stream: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapSecs: Double,
+      stateTimeout: Option[String] = None): org.apache.spark.sql.Dataset[SessionAssign] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    def assign(
+        key: Long,
+        events: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[SessionState]): Iterator[SessionAssign] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var s = state.getOption.getOrElse(SessionState(-1L, Long.MinValue))
+        val out = events.toSeq.sortBy(_._2.getTime).map { case (_, ts) =>
+          val t = ts.getTime
+          s =
+            if (s.sessionId < 0 || (t - s.lastTs) / 1000.0 > gapSecs)
+              SessionState(s.sessionId + 1, t)
+            else s.copy(lastTs = math.max(s.lastTs, t))
+          SessionAssign(key, ts, s.sessionId)
+        }
+        state.update(s)
+        stateTimeout.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    stream.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(assign)
+  }
+
   /** Watermarked tumbling-window flag histogram per variable — the
     * streaming qc_progress: for each event-time window, counts by flag
     * class. State is bounded by the watermark; output mode append once

@@ -78,4 +78,29 @@ class QcStreamSpec extends SparkSpec {
       assert(keys.toSeq == Seq("a", "b", "c"), "duplicates within watermark dropped")
     } finally q.stop()
   }
+
+  test("streamingSessionize: gap splits sessions, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = QcStream.streamingSessionize(mem.toDS(), gapSecs = 600.0)
+    val q = out.writeStream.format("memory").queryName("qcsess")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(min: Long) = new Timestamp(t0 + min * 60000)
+      // batch 1: key 1 has two sessions (gap 10 min exceeded), key 2 one
+      mem.addData((1L, t(0)), (1L, t(5)), (1L, t(30)), (2L, t(0)))
+      q.processAllAvailable()
+      // batch 2: key 1 continues session 1 (5 min after t(30))
+      mem.addData((1L, t(35)), (2L, t(100)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, ts, sessionId FROM qcsess")
+        .as[(Long, Timestamp, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3).toSeq).toMap
+      assert(rows(1L) == Seq(0L, 0L, 1L, 1L),
+        s"key 1: two sessions, continuation across batches; got ${rows(1L)}")
+      assert(rows(2L) == Seq(0L, 1L), "key 2: long gap across batches splits")
+    } finally q.stop()
+  }
 }
