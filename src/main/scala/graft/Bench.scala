@@ -19,7 +19,7 @@ object Bench {
     // a long-lived cluster amortizes away). Failed queries are recorded
     // as NEGATIVE elapsed time (error marker, distinguishable from a
     // fast success) and excluded from the headline total.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -24,25 +24,56 @@ object GraftExtensions {
 
   private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
 
+  /** Arity guard: a clean AnalysisException-style message instead of an
+    * IndexOutOfBounds planner crash on `SELECT dot_product(a)`. */
+  private def arity(name: String, exprs: Seq[Expr], min: Int, max: Int): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"$name expects $min${if (max != min) s"..$max" else ""} arguments, " +
+          s"got ${exprs.length}")
+
+  /** Optional trailing literal-number argument: must be a foldable
+    * non-null numeric literal (`minhash_sig(toks, 64)`), not a column. */
+  private def litNum(name: String, exprs: Seq[Expr], i: Int, default: Long): Long =
+    if (exprs.length <= i) default
+    else {
+      val e = exprs(i)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a literal number, got ${e.sql}")
+      e.eval() match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a non-null number, got $other")
+      }
+    }
+
   private val builders: Seq[(String, String, Seq[Expr] => Expr)] = Seq(
     ("simhash64", classOf[SimHash64Expr].getName,
-      exprs => SimHash64Expr(exprs.head)),
+      exprs => { arity("simhash64", exprs, 1, 1); SimHash64Expr(exprs.head) }),
     ("minhash_sig", classOf[MinHashSigExpr].getName,
       // optional literal args: numHashes, seed
-      exprs => MinHashSigExpr(exprs.head,
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 128,
-        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].longValue() else 42L)),
+      exprs => {
+        arity("minhash_sig", exprs, 1, 3)
+        MinHashSigExpr(exprs.head,
+          litNum("minhash_sig", exprs, 1, 128L).toInt,
+          litNum("minhash_sig", exprs, 2, 42L))
+      }),
     ("dot_product", classOf[DotProductExpr].getName,
-      exprs => DotProductExpr(exprs.head, exprs(1))),
+      exprs => { arity("dot_product", exprs, 2, 2)
+        DotProductExpr(exprs.head, exprs(1)) }),
     ("token_set", classOf[TokenSetExpr].getName,
-      exprs => TokenSetExpr(exprs.head)),
+      exprs => { arity("token_set", exprs, 1, 1); TokenSetExpr(exprs.head) }),
     ("sorted_intersect_count", classOf[SortedIntersectCountExpr].getName,
-      exprs => SortedIntersectCountExpr(exprs.head, exprs(1))),
+      exprs => { arity("sorted_intersect_count", exprs, 2, 2)
+        SortedIntersectCountExpr(exprs.head, exprs(1)) }),
     ("winnow", classOf[WinnowExpr].getName,
       // optional literal args: k, w
-      exprs => WinnowExpr(exprs.head,
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 5,
-        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else 4)))
+      exprs => {
+        arity("winnow", exprs, 1, 3)
+        WinnowExpr(exprs.head,
+          litNum("winnow", exprs, 1, 5L).toInt,
+          litNum("winnow", exprs, 2, 4L).toInt)
+      }))
 
   /** Register the same functions on an already-running session (the
     * extensions mechanism only fires at session construction). */

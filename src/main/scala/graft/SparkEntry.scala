@@ -32,6 +32,16 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+  /** Stable per-tag scratch dir under the JVM temp root: sink queries
+    * overwrite the same location on every run instead of leaking a new
+    * full-dataset copy per invocation (bench runs each query twice). */
+  private def scratch(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch", tag)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Streaming twin of [[events]]: the same table as a file-source
     * stream (schema from a batch peek; nanos→micros conversion
     * identical). */
@@ -39,11 +49,12 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a DIRECTORY; the fixture is a single
-    // file — expose it through a temp dir symlink
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    // file — expose it through a (stable, re-pointed) symlink dir
+    val tmp = java.nio.file.Paths.get(scratch("stream_events"))
+    val link = tmp.resolve("events.parquet")
+    java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.createSymbolicLink(
-      tmp.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
@@ -289,13 +300,13 @@ object SparkEntry {
 
     // --- S operators (sources/sinks): real write → read-back ----------
     "s1_checkpoint" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s1").toString
+      val tmp = scratch("s1")
       QcExport.writeParquet(seeded(events(s, dir)), s"$tmp/ckpt")
       QcExport.readCheckpoint(s, s"$tmp/ckpt")
         .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
     }),
     "s2_csv_source" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      val tmp = scratch("s2")
       QcExport.writeCsv(
         events(s, dir).select(col("event_id"), col("ts"), col("value"),
           col("event_type")),
@@ -309,14 +320,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "s4_parquet_sink" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+      val tmp = scratch("s4")
       QcExport.writeParquet(events(s, dir), s"$tmp/ev_zstd",
         compression = "zstd")
       s.read.parquet(s"$tmp/ev_zstd")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
     "s7_dual_export" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
+      val tmp = scratch("s7")
       QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
         formats = Seq("parquet"))
       def summ(name: String, d: DataFrame) =
@@ -332,7 +343,7 @@ object SparkEntry {
       // the scale layout (SURVEY §4.2a): day-partitioned parquet makes a
       // window slice a partition-pruned scan; verified by slicing one
       // day out of the bucketed copy and matching the unbucketed oracle
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
+      val tmp = scratch("s9")
       QcExport.writeTimeBucketed(events(s, dir), "ts", s"$tmp/ev_days")
       val d0 = events(s, dir).agg(min(to_date(col("ts")))).head().getDate(0)
       s.read.parquet(s"$tmp/ev_days")
@@ -340,7 +351,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
     "s8_manifest" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      val tmp = scratch("s8")
       val manifest = QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
         formats = Seq("parquet", "csv"))
       s.read.text(manifest)

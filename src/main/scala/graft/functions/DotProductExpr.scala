@@ -26,12 +26,18 @@ case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def tag(dt: DataType): Int = dt match {
-    case ArrayType(DoubleType, _) => 0
-    case ArrayType(FloatType, _)  => 1
-    case ArrayType(LongType, _)   => 2
+    case ArrayType(DoubleType, _)  => 0
+    case ArrayType(FloatType, _)   => 1
+    case ArrayType(LongType, _)    => 2
     case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _)   => 4
+    case ArrayType(ByteType, _)    => 5
+    case ArrayType(_: DecimalType, _) => 6
     case _ => -1
   }
+
+  private def elemType(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (tag(left.dataType) >= 0 && tag(right.dataType) >= 0)
@@ -48,13 +54,18 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProductExpr.compute(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lt, rt)
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lt, rt,
+      elemType(left.dataType), elemType(right.dataType))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("dot")
+      val ldt = ctx.addReferenceObj("ldt", elemType(left.dataType),
+        classOf[DataType].getName)
+      val rdt = ctx.addReferenceObj("rdt", elemType(right.dataType),
+        classOf[DataType].getName)
       s"""
-         |java.lang.Double $tmp = graft.functions.DotProductExpr.compute($a, $b, $lt, $rt);
+         |java.lang.Double $tmp = graft.functions.DotProductExpr.compute($a, $b, $lt, $rt, $ldt, $rdt);
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
@@ -68,25 +79,33 @@ case class DotProductExpr(left: Expression, right: Expression)
 object DotProductExpr {
 
   /** Interpreted + codegen shared kernel. Type tags: 0=double, 1=float,
-    * 2=long, 3=int. Returns null (boxed) on length mismatch or null
-    * element, matching the zip_with/aggregate fold this replaces. */
-  def compute(a: ArrayData, b: ArrayData, lt: Int, rt: Int): java.lang.Double = {
+    * 2=long, 3=int, 4=short, 5=byte, 6=decimal (element DataType used
+    * only for the decimal path). Returns null (boxed) on length
+    * mismatch or null element, matching the zip_with/aggregate fold
+    * this replaces. */
+  def compute(a: ArrayData, b: ArrayData, lt: Int, rt: Int,
+      ldt: DataType, rdt: DataType): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += elem(a, i, lt) * elem(b, i, rt)
+      s += elem(a, i, lt, ldt) * elem(b, i, rt, rdt)
       i += 1
     }
     s
   }
 
-  private def elem(arr: ArrayData, i: Int, t: Int): Double = t match {
+  private def elem(arr: ArrayData, i: Int, t: Int, dt: DataType): Double = t match {
     case 0 => arr.getDouble(i)
     case 1 => arr.getFloat(i).toDouble
     case 2 => arr.getLong(i).toDouble
-    case _ => arr.getInt(i).toDouble
+    case 3 => arr.getInt(i).toDouble
+    case 4 => arr.getShort(i).toDouble
+    case 5 => arr.getByte(i).toDouble
+    case _ =>
+      val d = dt.asInstanceOf[DecimalType]
+      arr.getDecimal(i, d.precision, d.scale).toDouble
   }
 }

@@ -115,11 +115,6 @@ object Dedup {
       .select(col(idCol), col("__bk.band").as("band"), col("__bk.bh").as("bh"))
   }
 
-  /** Candidate pairs (idA < idB) that share at least one LSH band
-    * bucket — a self-equi-join on the band key, NOT an all-pairs cross
-    * join. `maxBucket` drops degenerate buckets (a bucket of m docs
-    * yields m²/2 pairs; at 100 TB a runaway bucket is a job-killer —
-    * better to cap and let the exact-dedup pass own identical docs). */
   /** Drop degenerate (band, bh) buckets: a bucket of m rows yields
     * m²/2 candidate pairs — at 100 TB a runaway bucket (identical-doc
     * flood) is a job-killer. Identical rows belong to exact dedup. */
@@ -128,6 +123,9 @@ object Dedup {
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("__bn") <= maxBucket).drop("__bn")
 
+  /** Candidate pairs (idA < idB) that share at least one LSH band
+    * bucket — a self-equi-join on the band key, NOT an all-pairs cross
+    * join; degenerate buckets dropped via [[capBuckets]]. */
   def lshCandidatePairs(
       banded: DataFrame, idCol: String, maxBucket: Int = 10000): DataFrame = {
     val pruned = capBuckets(banded, maxBucket)

@@ -111,21 +111,15 @@ object Similarity {
       .select(col(idCol), col("__bk.band").as("band"), col("__bk.bh").as("bh"))
   }
 
-  /** IVF (inverted-file) coarse quantizer: `nlist` deterministic seed
-    * centroids (pseudo-random corpus sample by id hash — IVF-flat with
-    * sampled centroids; a Lloyd refinement is an optional upgrade, the
-    * list structure is identical). Every corpus vector is assigned to
-    * its nearest centroid's list; a probe searches only its `nprobe`
-    * nearest lists. At scale the corpus can be WRITTEN bucketed by
-    * `cell` (partitionBy), making each probe a partition-pruned scan.
-    */
   /** Cosine-distance struct array to each centroid (min → assignment;
-    * sorted slice → probe lists). Zero-norm vector/centroid → max
-    * distance (2.0), never a divide (ANSI mode would abort on 0/0). */
+    * sorted slice → probe lists). Takes the row's PRECOMPUTED norm so
+    * it is evaluated once per row, not once per centroid. Zero-norm
+    * vector/centroid → max distance (2.0), never a divide (ANSI mode
+    * would abort on 0/0). */
   private def centDists(
-      cents: Array[(Int, Array[Double])])(v: Column): Column =
+      cents: Array[(Int, Array[Double])])(v: Column, vNorm: Column): Column =
     array(cents.map { case (cid, c) =>
-      val den = Vec.norm(v) * math.sqrt(c.map(x => x * x).sum)
+      val den = vNorm * math.sqrt(c.map(x => x * x).sum)
       val dot = Vec.dot(v, lit(c))
       struct(when(den > 0, lit(1.0) - dot / den).otherwise(lit(2.0)).as("dist"),
         lit(cid).as("cid"))
@@ -142,7 +136,9 @@ object Similarity {
     var cs = cents
     for (_ <- 0 until iters) {
       val means = corpus
-        .withColumn("cell", array_min(centDists(cs)(col(vecCol))).getField("cid"))
+        .withColumn("__nv", Vec.norm(col(vecCol)))
+        .withColumn("cell",
+          array_min(centDists(cs)(col(vecCol), col("__nv"))).getField("cid"))
         .select(col("cell"), posexplode(transform(col(vecCol), _.cast("double")))
           .as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -157,6 +153,14 @@ object Similarity {
     cs
   }
 
+  /** IVF (inverted-file) coarse quantizer: `nlist` deterministic seed
+    * centroids (pseudo-random corpus sample by id hash — IVF-flat with
+    * sampled centroids; a Lloyd refinement is an optional upgrade, the
+    * list structure is identical). Every corpus vector is assigned to
+    * its nearest centroid's list; a probe searches only its `nprobe`
+    * nearest lists. At scale the corpus can be WRITTEN bucketed by
+    * `cell` (partitionBy), making each probe a partition-pruned scan.
+    */
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -175,13 +179,18 @@ object Similarity {
       if (refineIters > 0) refineCentroids(corpus, vecCol, sampled, refineIters)
       else sampled
 
-    def cellDists(v: Column): Column = centDists(cents)(v)
+    def cellDists(v: Column): Column = centDists(cents)(v, col("__nv"))
 
-    val assigned = corpus.withColumn("cell",
-      array_min(cellDists(col(vecCol))).getField("cid"))
-    val probeCells = probes.withColumn("cell",
-      explode(transform(
-        slice(array_sort(cellDists(col(vecCol))), 1, nprobe), _.getField("cid"))))
+    val assigned = corpus
+      .withColumn("__nv", Vec.norm(col(vecCol)))
+      .withColumn("cell", array_min(cellDists(col(vecCol))).getField("cid"))
+      .drop("__nv")
+    val probeCells = probes
+      .withColumn("__nv", Vec.norm(col(vecCol)))
+      .withColumn("cell",
+        explode(transform(
+          slice(array_sort(cellDists(col(vecCol))), 1, nprobe), _.getField("cid"))))
+      .drop("__nv")
 
     val scored = probeCells
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"), col("cell"))

@@ -81,7 +81,7 @@ object QcAuto {
     * until both frames hold at least `halfWindow/2` observations, so
     * bucket edges don't fire on a half-empty frame. */
   def stepSignal(
-      df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
+      v: String, orderCols: Seq[String], bucket: Column,
       halfWindow: Int = 12): Column = {
     val ord = Window.partitionBy(bucket).orderBy(orderCols.map(qcol): _*)
     val trail = ord.rowsBetween(-halfWindow, -1)
@@ -99,7 +99,7 @@ object QcAuto {
       halfWindow: Int = 12, minShift: Double = 30.0,
       suffix: String = DefaultSuffix): DataFrame = {
     val marked = df.withColumn("__step",
-      stepSignal(df, v, orderCols, bucket, halfWindow))
+      stepSignal(v, orderCols, bucket, halfWindow))
     QcActions.flagSelected(marked, v, abs(col("__step")) > minShift, suffix)
       .drop("__step")
   }

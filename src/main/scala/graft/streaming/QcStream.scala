@@ -66,8 +66,8 @@ object QcStream {
       .dropDuplicatesWithinWatermark(fpCol)
       .drop(fpCol)
 
-  /** Per-key session state for [[streamingSessionize]]: the running
-    * session counter and the last event time seen. */
+  /** Per-key session state for [[streamingSessionize]]: the current
+    * session's id and the last event time seen. */
   case class SessionState(sessionId: Long, lastTs: Long)
 
   /** Session assignment output row. */
@@ -81,6 +81,13 @@ object QcStream {
     * a micro-batch are processed in event-time order. Unlike the batch
     * operator this assigns ids incrementally — no global shuffle-sort
     * per recompute.
+    *
+    * Session ids are the session's OPENING event time (epoch millis),
+    * not a 0-based counter: a counter would restart at 0 after a
+    * state-timeout eviction and silently collide with the key's
+    * earlier sessions. Start-time ids stay unique across evictions
+    * (two sessions of one key cannot open in the same millisecond —
+    * they are `gapSecs` apart by construction).
     *
     * Caveats (documented): cross-batch late data older than the key's
     * `lastTs` is appended to the CURRENT session rather than splitting
@@ -103,12 +110,12 @@ object QcStream {
         state: GroupState[SessionState]): Iterator[SessionAssign] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var s = state.getOption.getOrElse(SessionState(-1L, Long.MinValue))
+        var s = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue))
         val out = events.toSeq.sortBy(_._2.getTime).map { case (_, ts) =>
           val t = ts.getTime
           s =
-            if (s.sessionId < 0 || (t - s.lastTs) / 1000.0 > gapSecs)
-              SessionState(s.sessionId + 1, t)
+            if (s.sessionId == Long.MinValue || (t - s.lastTs) / 1000.0 > gapSecs)
+              SessionState(t, t) // new session, id = opening event time
             else s.copy(lastTs = math.max(s.lastTs, t))
           SessionAssign(key, ts, s.sessionId)
         }

@@ -24,6 +24,11 @@ class DotProductExprSpec extends SparkSpec {
     assert(m.select(dotProduct(col("a"), col("b"))).as[Double].head() == 13.0)
     val i = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     assert(i.select(dotProduct(col("a"), col("b"))).as[Double].head() == 11.0)
+    val s = Seq((Seq(1.toShort, 2.toShort), Seq(3.toByte, 4.toByte))).toDF("a", "b")
+    assert(s.select(dotProduct(col("a"), col("b"))).as[Double].head() == 11.0)
+    val d = Seq((Seq(BigDecimal("1.5"), BigDecimal("2.5")), Seq(2.0, 4.0)))
+      .toDF("a", "b")
+    assert(d.select(dotProduct(col("a"), col("b"))).as[Double].head() == 13.0)
   }
 
   test("null array, null element, and length mismatch all yield null") {

@@ -98,9 +98,13 @@ class QcStreamSpec extends SparkSpec {
       val rows = spark.sql("SELECT key, ts, sessionId FROM qcsess")
         .as[(Long, Timestamp, Long)].collect()
         .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3).toSeq).toMap
-      assert(rows(1L) == Seq(0L, 0L, 1L, 1L),
+      // session ids are the opening event's epoch millis (unique across
+      // state evictions, unlike a 0-based counter)
+      assert(rows(1L) == Seq(t(0).getTime, t(0).getTime,
+        t(30).getTime, t(30).getTime),
         s"key 1: two sessions, continuation across batches; got ${rows(1L)}")
-      assert(rows(2L) == Seq(0L, 1L), "key 2: long gap across batches splits")
+      assert(rows(2L) == Seq(t(0).getTime, t(100).getTime),
+        "key 2: long gap across batches splits")
     } finally q.stop()
   }
 }
