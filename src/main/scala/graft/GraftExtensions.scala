@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -66,6 +66,11 @@ object GraftExtensions {
     ("sorted_intersect_count", classOf[SortedIntersectCountExpr].getName,
       exprs => { arity("sorted_intersect_count", exprs, 2, 2)
         SortedIntersectCountExpr(exprs.head, exprs(1)) }),
+    ("char_ngrams", classOf[CharNgramsExpr].getName,
+      exprs => {
+        arity("char_ngrams", exprs, 2, 2)
+        CharNgramsExpr(exprs.head, litNum("char_ngrams", exprs, 1, 3L).toInt)
+      }),
     ("winnow", classOf[WinnowExpr].getName,
       // optional literal args: k, w
       exprs => {

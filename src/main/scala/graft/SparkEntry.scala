@@ -704,6 +704,10 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    "text_langid_ngram" -> ((s, dir) =>
+      TextAnalysis.langIdNgramProfile(documents(s, dir),
+          "doc_id", "text", "lang", n = 3, topK = 300)
+        .orderBy("doc_id")),
     "text_winnow" -> ((s, dir) =>
       // rows-only (FNV k-gram family has no DuckDB twin); the winnowing
       // guarantee + density are locked by WinnowExprSpec
@@ -1369,6 +1373,32 @@ object SparkEntry {
         |  round(least(len_ok, 1.0) * 0.25 + awl_ok * 0.2 + stop_ok * 0.15
         |    + punct_ok * 0.4, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ' ' || trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g'))) || ' '
+        |      AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS gram
+        |  FROM (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM d WHERE len(t) >= 3)),
+        |cnt AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang AS p_lang, gram FROM (
+        |    SELECT lang, gram,
+        |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS r
+        |    FROM cnt) WHERE r <= 300),
+        |best AS (
+        |  SELECT doc_id, p_lang AS lang_pred FROM (
+        |    SELECT g.doc_id, p.p_lang, count(*) AS m,
+        |      row_number() OVER (PARTITION BY g.doc_id
+        |        ORDER BY count(*) DESC, p.p_lang) AS rk
+        |    FROM g JOIN prof p USING (gram)
+        |    GROUP BY g.doc_id, p.p_lang) WHERE rk = 1)
+        |SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_corpus_stats" ->
       """WITH t AS (
         |  SELECT lang, n_chars,

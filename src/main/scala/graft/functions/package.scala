@@ -34,6 +34,11 @@ package object functions {
     GraftColumnBridge.column(SortedIntersectCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** All sliding character n-grams of a string column (native
+    * expression — see [[CharNgramsExpr]]). */
+  def charNgrams(text: Column, n: Int): Column =
+    GraftColumnBridge.column(CharNgramsExpr(GraftColumnBridge.expression(text), n))
+
   /** Winnowing document fingerprints (MOSS; native expression — see
     * [[WinnowExpr]]): sorted distinct selected k-gram hashes, window
     * size `w`. Pairs with [[sortedIntersectCount]] for set overlap. */

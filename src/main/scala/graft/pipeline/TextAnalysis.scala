@@ -59,6 +59,53 @@ object TextAnalysis {
     least(lenOk, lit(1.0)) * 0.25 + awlOk * 0.2 + stopOk * 0.15 + punctOk * 0.4
   }
 
+  /** Sliding character n-grams over case-folded, letter-only text with
+    * boundary padding — the Cavnar–Trenkle (1994) n-gram profile
+    * representation. Blank text → empty array. */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val norm = lower(regexp_replace(text, "[^\\p{L}]+", " "))
+    val padded = concat(lit(" "), trim(norm), lit(" "))
+    // native sliding-window expression: the transform(sequence(...))
+    // composition was interpreted per character and dominated the
+    // language-ID query's runtime
+    graft.functions.charNgrams(padded, n)
+  }
+
+  /** N-gram-profile language ID (Cavnar–Trenkle): build per-language
+    * top-`topK` character-n-gram profiles from a LABELED corpus, then
+    * classify each document by which profile its gram occurrences hit
+    * most (ties → lexicographically first language; no hits → "und").
+    *
+    * Scale shape: profiles are a tiny (langs × topK) table built by one
+    * grouped count + a per-language rank, then BROADCAST back; scoring
+    * is a broadcast join + grouped count — no all-pairs, nothing
+    * driver-side but the profile table.
+    *
+    * @return (doc_id, lang_pred) one row per input document
+    */
+  def langIdNgramProfile(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      n: Int = 3, topK: Int = 300): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol), col(langCol).as("__lang"),
+      explode(charNgrams(col(textCol), n)).as("__g"))
+    val profiles = grams.groupBy(col("__lang").as("p_lang"), col("__g"))
+      .count()
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("p_lang").orderBy(col("count").desc, col("__g"))))
+      .filter(col("__r") <= topK)
+      .select("p_lang", "__g")
+    val best = grams.join(broadcast(profiles), Seq("__g"))
+      .groupBy(col(idCol), col("p_lang")).agg(count(lit(1)).as("__m"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("__m").desc, col("p_lang"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("p_lang").as("lang_pred"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+  }
+
   /** GPT-2-style pre-tokenizer pattern, lookahead-free so the same
     * pattern runs under Java regex (Spark) and RE2 (DuckDB/Go
     * tokenizer ports): contractions, letter runs, digit runs,

@@ -73,4 +73,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("good") > out("bad"))
     assert(out("good") > 0.7 && out("bad") < 0.5)
   }
+
+  test("langIdNgramProfile: separates languages with distinct character profiles") {
+    // the driver corpus text is synthetic same-vocabulary filler, so a
+    // real multilingual fixture exercises the classifier instead
+    val samples = Seq(
+      ("xx", "der hund lief schnell durch den dunklen wald und über die wiese"),
+      ("xx", "die kinder spielen gerne im garten wenn die sonne scheint"),
+      ("yy", "the quick brown fox jumps over the lazy dog near the river bank"),
+      ("yy", "children enjoy playing outside whenever the weather is sunny"),
+      ("zz", "el perro corre rapido por el bosque oscuro y sobre la pradera"),
+      ("zz", "los ninos juegan en el jardin cuando brilla el sol manana"))
+    import spark.implicits._
+    val docs = samples.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdNgramProfile(docs, "doc_id", "text", "lang",
+        n = 3, topK = 100)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select("lang_pred", "lang").as[(String, String)].collect()
+    assert(out.forall { case (pred, truth) => pred == truth },
+      s"every doc should self-classify on distinct profiles: ${out.toSeq}")
+    // blank text falls through to "und"
+    val und = TextAnalysis.langIdNgramProfile(
+        (Seq((9L, "", "xx")) ++ samples.zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) })
+          .toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", n = 3, topK = 100)
+      .filter($"doc_id" === 9L).select("lang_pred").as[String].head()
+    assert(und == "und")
+  }
 }
