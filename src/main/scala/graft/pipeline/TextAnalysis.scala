@@ -88,16 +88,21 @@ object TextAnalysis {
       idCol: String, textCol: String, langCol: String,
       n: Int = 3, topK: Int = 300): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(col(idCol), col(langCol).as("__lang"),
-      explode(charNgrams(col(textCol), n)).as("__g"))
-    val profiles = grams.groupBy(col("__lang").as("p_lang"), col("__g"))
-      .count()
+    // one aggregation over the exploded grams; BOTH the profile build
+    // and the scoring derive from this per-(doc, gram) count table, so
+    // gram generation happens once (and the exchange is reusable)
+    val gcnt = docs.select(col(idCol), col(langCol).as("__lang"),
+        explode(charNgrams(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__lang"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val profiles = gcnt.groupBy(col("__lang").as("p_lang"), col("__g"))
+      .agg(sum(col("__c")).as("__lc"))
       .withColumn("__r", row_number().over(
-        Window.partitionBy("p_lang").orderBy(col("count").desc, col("__g"))))
+        Window.partitionBy("p_lang").orderBy(col("__lc").desc, col("__g"))))
       .filter(col("__r") <= topK)
       .select("p_lang", "__g")
-    val best = grams.join(broadcast(profiles), Seq("__g"))
-      .groupBy(col(idCol), col("p_lang")).agg(count(lit(1)).as("__m"))
+    val best = gcnt.join(broadcast(profiles), Seq("__g"))
+      .groupBy(col(idCol), col("p_lang")).agg(sum(col("__c")).as("__m"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(idCol).orderBy(col("__m").desc, col("p_lang"))))
       .filter(col("__rk") === 1)
