@@ -732,6 +732,36 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // --- LLM pipeline: dataset curation ------------------------------
+    "cur_decontam" -> ((s, dir) => {
+      // benchmark = every 50th doc; contaminated corpus docs are planted
+      // (bench docs truncated to their first 12 tokens, ids offset by
+      // 2e6) so the overlap join has guaranteed positives at every SF
+      val docs = documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val planted = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), lit(12))).as("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      Curation.contaminatedPairs(corpus, bench, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("bench_id"), col("n_matched"))
+        .orderBy("doc_id", "bench_id")
+    }),
+    "cur_split" -> ((s, dir) =>
+      Curation.withSplit(documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+    "cur_pack" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("tokens", TextAnalysis.nTokens(col("text")).cast("long"))
+      Curation.packByBudget(d, "tokens", "lang", "doc_id", 512L)
+        .select(col("doc_id"), col("lang"), col("tokens"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // --- LLM pipeline: multimodal plumbing ---------------------------
     "mm_meta" -> ((s, dir) =>
       documents(s, dir)
@@ -1410,6 +1440,52 @@ object SparkEntry {
         |  round(avg(nt), 4) AS avg_tokens,
         |  max(n_chars) AS max_chars
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "cur_decontam" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |btok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM ctok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bg AS (
+        |  SELECT DISTINCT doc_id AS bench_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM btok, UNNEST(range(1, len(t) - 3)) AS r(i))
+        |SELECT cg.doc_id, bg.bench_id, count(DISTINCT cg.g) AS n_matched
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    "cur_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cur_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id) - tokens)
+        |    // 512 AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,

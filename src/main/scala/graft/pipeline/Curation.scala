@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for a training-data pipeline: benchmark
+  * decontamination, deterministic split assignment, and token-budget
+  * packing. Like [[Dedup]]/[[Similarity]], these extend the engine
+  * beyond the reference's QC surface (SURVEY §7.5) — the operations a
+  * 100 TB corpus build needs between ingest and training:
+  *
+  *  - decontamination joins the (huge) corpus against a BROADCAST
+  *    benchmark n-gram set — one map-side join, one aggregation; the
+  *    corpus is never self-joined;
+  *  - split assignment is a pure map-side expression on a content hash:
+  *    stable across runs, engines, executors, and repartitioning, with
+  *    no RNG state to coordinate (unlike `randomSplit`, whose output
+  *    depends on partition layout);
+  *  - packing uses a per-shard window (partitioned cumulative sum),
+  *    never a single global sort.
+  */
+object Curation {
+
+  // ------------------------------------------------------ decontamination
+
+  /** Corpus documents sharing at least `minMatches` DISTINCT word
+    * `n`-grams with a benchmark document — the standard training-set
+    * decontamination check (eval-set leakage). Returns one row per
+    * (corpus doc, benchmark doc) pair with the distinct-gram match
+    * count.
+    *
+    * Scale shape: the benchmark side is tiny (eval sets are thousands
+    * of docs) — its exploded gram table is `broadcast()`. The corpus
+    * explodes to (doc, gram-hash) pairs map-side; the broadcast hash
+    * join filters almost all of them before the single aggregation
+    * keyed by (corpus doc, bench doc). Grams are compared by xxhash64
+    * rather than by string — 8-byte shuffle keys; a 64-bit collision
+    * would need ~2^32 distinct grams per doc pair to matter.
+    */
+  def contaminatedPairs(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minMatches: Int = 1): DataFrame = {
+    require(n >= 1, "contaminatedPairs: n must be >= 1")
+    require(minMatches >= 1, "contaminatedPairs: minMatches must be >= 1")
+    def grams(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(Dedup.wordShingles(col(textCol), n)).as("__g"))
+        .select(col(as), xxhash64(col("__g")).as("__gh"))
+    val bg = grams(bench, "bench_id").distinct()
+    grams(corpus, idCol)
+      .join(broadcast(bg), Seq("__gh"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(countDistinct(col("__gh")).as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
+  /** Corpus with contaminated documents removed (any doc matching any
+    * benchmark doc at the given n-gram threshold): a broadcast-able
+    * left-anti join on the contaminated id set. */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minMatches: Int = 1): DataFrame = {
+    val bad = contaminatedPairs(corpus, bench, idCol, textCol, n, minMatches)
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
+  // ----------------------------------------------------- split assignment
+
+  /** Deterministic train/val/test assignment from the md5 of the key:
+    * the first 8 hex chars of `md5(key)` are uniform over the split
+    * space, and — because fixed-width lowercase hex orders
+    * lexicographically exactly as it orders numerically — fraction
+    * boundaries become plain string thresholds. No seed, no shuffle,
+    * no dependence on partition layout; the same row lands in the same
+    * split on any engine that computes md5 (which is what makes it
+    * auditable against the DuckDB oracle).
+    *
+    * @param splits (name, fraction) pairs in priority order; fractions
+    *               must sum to 1 (±1e-9).
+    */
+  def withSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "withSplit: at least one split required")
+    require(splits.forall(_._2 >= 0), "withSplit: fractions must be >= 0")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"withSplit: fractions must sum to 1, got $total")
+    val h = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    // cumulative upper bounds as 8-hex-char thresholds over [0, 2^32)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => f"${math.min((c * 4294967296.0).toLong, 4294967295L)}%08x")
+    val assign = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), bound), rest) =>
+      when(h < lit(bound), name).otherwise(rest)
+    }
+    df.withColumn(outCol, assign)
+  }
+
+  /** The deterministic counterpart of `df.sample(fraction)`: keep rows
+    * whose md5-derived position falls below `fraction`. Same row set on
+    * every run and every engine. */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1,
+      "deterministicSample: fraction must be in [0, 1]")
+    val bound = f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+    df.filter(
+      substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+        < lit(bound))
+  }
+
+  // ------------------------------------------------------ token packing
+
+  /** Assign each document to a fixed token-budget bin within its shard:
+    * bin k holds the contiguous run of docs (ordered by `orderCol`)
+    * whose EXCLUSIVE prefix token sum lies in [k·budget, (k+1)·budget).
+    * The building block for sequence packing: downstream, each
+    * (shard, bin) group concatenates into one training sequence of
+    * ≈ budget tokens.
+    *
+    * Scale shape: the cumulative sum is windowed PER SHARD
+    * (`partitionBy(shardCol)`), so the sort is a hash-partitioned
+    * local sort, not a single-partition global `Window.orderBy` — the
+    * scale-killer VERDICT r1 warned about. Shards (language, source,
+    * date bucket) are the unit of parallelism; docs longer than the
+    * budget still get their own bin.
+    */
+  def packByBudget(
+      df: DataFrame,
+      tokCol: String,
+      shardCol: String,
+      orderCol: String,
+      budget: Long,
+      outCol: String = "bin"): DataFrame = {
+    require(budget > 0, "packByBudget: budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    df.withColumn(outCol,
+      floor((sum(col(tokCol)).over(w) - col(tokCol)) / lit(budget)))
+  }
+}

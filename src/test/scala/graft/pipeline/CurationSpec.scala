@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ decontamination
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "completely unrelated text about nothing shared at all here"),
+    (3L, "the quick brown fox jumps over a different fence entirely"),
+    (4L, "short doc")).toDF("doc_id", "text")
+
+  private def bench = Seq(
+    (100L, "quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+
+  test("contaminatedPairs: finds n-gram overlap with the benchmark") {
+    val out = Curation.contaminatedPairs(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "bench_id", "n_matched")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1 contains "quick brown fox jumps over" + 3 more bench 5-grams;
+    // doc 3 shares exactly the one 5-gram; docs 2/4 share none
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    assert(out.forall(_._2 == 100L))
+    val byDoc = out.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) == 4L)
+    assert(byDoc(3L) == 1L)
+  }
+
+  test("contaminatedPairs: minMatches filters weak overlaps") {
+    val out = Curation.contaminatedPairs(
+      corpus, bench, "doc_id", "text", n = 5, minMatches = 2)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("decontaminate removes exactly the contaminated docs") {
+    val kept = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  // ----------------------------------------------------- split assignment
+
+  private def keyed = (0L until 400L).toDF("id")
+
+  test("withSplit: total assignment, rough proportions, determinism") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.withSplit(keyed, "id", splits)
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 400L)
+    assert(counts("train") > 280 && counts("train") < 360)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // rerun must produce the identical assignment (no RNG state)
+    val a = out.select("id", "split").as[(Long, String)].collect().toMap
+    val b = Curation.withSplit(keyed, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("withSplit: assignment survives repartitioning (layout-free)") {
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    val one = Curation.withSplit(keyed.repartition(1), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val many = Curation.withSplit(keyed.repartition(7), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(one == many)
+  }
+
+  test("withSplit rejects fractions that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      Curation.withSplit(keyed, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("deterministicSample: stable subset, nested by fraction") {
+    val s10 = Curation.deterministicSample(keyed, "id", 0.1)
+      .select("id").as[Long].collect().toSet
+    val s30 = Curation.deterministicSample(keyed, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(s10.nonEmpty && s10.size < 80)
+    assert(s10.subsetOf(s30)) // smaller fraction is a prefix of larger
+    assert(Curation.deterministicSample(keyed, "id", 0.0).count() == 0)
+    assert(Curation.deterministicSample(keyed, "id", 1.0).count() == 400)
+  }
+
+  // ------------------------------------------------------- token packing
+
+  test("packByBudget: exclusive prefix sum bins, per shard") {
+    val df = Seq(
+      // shard x: tokens 60, 60, 60 -> bins 0, 0, 1 (prefix 0, 60, 120)
+      ("x", 1L, 60L), ("x", 2L, 60L), ("x", 3L, 60L),
+      // shard y: an over-budget doc gets its own bin and pushes the next
+      ("y", 1L, 250L), ("y", 2L, 10L)
+    ).toDF("shard", "doc_id", "tokens")
+    val out = Curation.packByBudget(df, "tokens", "shard", "doc_id", 128L)
+      .select("shard", "doc_id", "bin")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("x", 1L, 0L), ("x", 2L, 0L), ("x", 3L, 0L),
+      ("y", 1L, 0L), ("y", 2L, 1L)))
+  }
+
+  test("packByBudget: bins are contiguous and budget-bounded") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 200)
+      .map(i => (s"s${i % 3}", i.toLong, 1L + rnd.nextInt(100).toLong))
+      .toDF("shard", "doc_id", "tokens")
+    val out = Curation.packByBudget(df, "tokens", "shard", "doc_id", 256L)
+      .select("shard", "doc_id", "tokens", "bin")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (_, rows) => rows.sortBy(_._2) }
+    out.foreach { rows =>
+      // bin ids never decrease along the order column, start at 0, and
+      // each bin's token sum stays <= budget + one doc's overshoot
+      assert(rows.head._4 == 0L)
+      assert(rows.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+      rows.groupBy(_._4).values.foreach { bin =>
+        val sum = bin.map(_._3).sum
+        assert(sum <= 256L + bin.map(_._3).max)
+      }
+    }
+  }
+}
