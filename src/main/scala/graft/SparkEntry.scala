@@ -761,6 +761,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tokens"), col("bin"))
         .orderBy("doc_id")
     }),
+    "cur_sample" -> ((s, dir) =>
+      Curation.deterministicSample(documents(s, dir), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    "cur_decontam_keep" -> ((s, dir) => {
+      // same planted-contamination fixture as cur_decontam; here the
+      // left-anti wrapper proves the surviving-corpus side
+      val docs = documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val planted = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), lit(12))).as("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
 
     // --- LLM pipeline: multimodal plumbing ---------------------------
     "mm_meta" -> ((s, dir) =>
@@ -1486,6 +1504,38 @@ object SparkEntry {
         |  CAST((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id) - tokens)
         |    // 512 AS BIGINT) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
+    "cur_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+    "cur_decontam_keep" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |btok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM ctok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bg AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g FROM btok,
+        |    UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
