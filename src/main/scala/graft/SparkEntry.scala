@@ -732,6 +732,25 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "text_repetition" -> ((s, dir) => {
+      // corpus is single-line; plant multi-line docs (dup full line for
+      // doc_id%3=0, distinct 5-token second line for %3=1)
+      val docs = documents(s, dir)
+      val toks = TextAnalysis.tokens(col("text"))
+      val mt = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat_ws("\n", col("text"), col("text")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat_ws("\n", col("text"),
+            concat_ws(" ", slice(toks, lit(1), lit(5)))))
+        .otherwise(col("text"))
+      TextAnalysis.repetitionStats(
+          docs.select(col("doc_id"), mt.as("text")), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "text_top2gram" -> ((s, dir) =>
+      TextAnalysis.topNgramCharFrac(documents(s, dir), "doc_id", "text", n = 2)
+        .orderBy("doc_id")),
+
     // --- LLM pipeline: dataset curation ------------------------------
     "cur_decontam" -> ((s, dir) => {
       // benchmark = every 50th doc; contaminated corpus docs are planted
@@ -1458,6 +1477,50 @@ object SparkEntry {
         |  round(avg(nt), 4) AS avg_tokens,
         |  max(n_chars) AS max_chars
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_repetition" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+        |         WHEN doc_id % 3 = 1 THEN text || chr(10) ||
+        |           array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' ')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, line
+        |  FROM src, UNNEST(string_split(text, chr(10))) AS u(line)
+        |  WHERE len(trim(line)) > 0),
+        |per AS (
+        |  SELECT doc_id, line, count(*) AS c, len(line) AS l
+        |  FROM lines GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS ndup,
+        |    sum(c * l) AS chars, sum((c - 1) * l) AS dupchars
+        |  FROM per GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(s.ndup AS DOUBLE) / s.n_lines AS dup_line_frac,
+        |  CASE WHEN s.chars > 0
+        |    THEN CAST(s.dupchars AS DOUBLE) / s.chars END AS dup_char_frac
+        |FROM documents d LEFT JOIN stats s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_top2gram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(text) AS nc,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, nc, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM tok, UNNEST(range(1, len(t))) AS r(i)),
+        |cnt AS (
+        |  SELECT doc_id, nc, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT doc_id, g AS top_gram,
+        |    CASE WHEN nc > 0
+        |      THEN CAST(c * len(g) AS DOUBLE) / nc END AS top_gram_char_frac,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+        |  FROM cnt)
+        |SELECT d.doc_id, t.top_gram, t.top_gram_char_frac
+        |FROM documents d LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "cur_decontam" ->
       """WITH bench AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),

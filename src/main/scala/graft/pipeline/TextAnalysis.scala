@@ -156,6 +156,86 @@ object TextAnalysis {
     when(best("score") > 0, best("lang")).otherwise(lit("und"))
   }
 
+  // ------------------------------------------------- repetition filters
+
+  /** All word `n`-grams of a text, NON-distinct (unlike
+    * [[Dedup.wordShingles]], which dedups for set similarity) — needed
+    * when occurrence COUNTS matter. JVM loop for the same reason as the
+    * shingle UDF: interpreted higher-order functions are too slow in
+    * explode-heavy paths. */
+  def wordNgramsAllUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[String]
+        else Array.tabulate(toks.length - n + 1)(i =>
+          toks.slice(i, i + n).mkString(" "))
+      }
+    }
+
+  /** Gopher-style (Rae et al. 2021, §A1.1) line-repetition quality
+    * signals, one row per input document:
+    *
+    *  - `n_lines`        non-blank line count
+    *  - `dup_line_frac`  fraction of lines that are repeats beyond each
+    *                     line's first occurrence
+    *  - `dup_char_frac`  fraction of characters sitting in those repeats
+    *
+    * Documents with no non-blank lines keep a row with `n_lines = 0`
+    * and null fractions. Scale shape: explode → two hash aggregations
+    * keyed by doc id (map-side partial combine applies) → broadcast-able
+    * join back; no window, no global sort.
+    */
+  def repetitionStats(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val perLine = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .filter(length(trim(col("__line"))) > 0)
+      .groupBy(col(idCol), col("__line"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__len", length(col("__line")).cast("long"))
+    val stats = perLine.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_lines"),
+      (sum(col("__c")) - count(lit(1))).as("__ndup"),
+      sum(col("__c") * col("__len")).as("__chars"),
+      sum((col("__c") - 1) * col("__len")).as("__dupchars"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (col("__ndup").cast("double") / col("n_lines")).as("dup_line_frac"),
+        when(col("__chars") > 0,
+          col("__dupchars").cast("double") / col("__chars"))
+          .as("dup_char_frac"))
+  }
+
+  /** Fraction of a document's characters covered by its single most
+    * frequent word `n`-gram (count × gram length / total chars) — the
+    * Gopher "top n-gram character fraction" boilerplate signal.
+    * Ties break on the lexicographically smallest gram so the answer
+    * is engine-independent. Docs with fewer than `n` tokens get a null
+    * fraction. Same scale shape as [[repetitionStats]].
+    */
+  def topNgramCharFrac(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(col(idCol), length(col(textCol)).as("__nc"),
+        explode(wordNgramsAllUdf(n)(col(textCol))).as("__g"))
+      .groupBy(col(idCol), col("__nc"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("__c").desc, col("__g"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__g").as("top_gram"),
+        when(col("__nc") > 0,
+          (col("__c") * length(col("__g"))).cast("double") / col("__nc"))
+          .as("top_gram_char_frac"))
+    docs.select(col(idCol)).join(top, Seq(idCol), "left")
+  }
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token hashes in a ~2^57 prime field (modular fold — no long
     * overflow under ANSI mode) — equal fingerprints ⇔ near-certainly

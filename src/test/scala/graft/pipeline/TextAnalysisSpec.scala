@@ -102,4 +102,35 @@ class TextAnalysisSpec extends SparkSpec {
       .filter($"doc_id" === 9L).select("lang_pred").as[String].head()
     assert(und == "und")
   }
+
+  test("repetitionStats: duplicate lines counted beyond first occurrence") {
+    val docs = Seq(
+      (1L, "aa bb\naa bb\ncc"),   // 3 lines, "aa bb" ×2 → 1 dup of 5 chars
+      (2L, "xx\nyy"),             // no repeats
+      (3L, ""),                   // no non-blank lines
+      (4L, "zz\n\n  \nzz")        // blank lines dropped; zz ×2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out(0) == ((1L, 3L, Some(1.0 / 3), Some(5.0 / 12))))
+    assert(out(1) == ((2L, 2L, Some(0.0), Some(0.0))))
+    assert(out(2) == ((3L, 0L, None, None)))
+    assert(out(3) == ((4L, 2L, Some(0.5), Some(0.5))))
+  }
+
+  test("topNgramCharFrac: most frequent bigram, lexicographic ties") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b" ×3 wins; 3*3/11 chars
+      (2L, "one"),           // < 2 tokens → null
+      (3L, "x y z")          // all bigrams count 1 → tie → "x y" < "y z"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramCharFrac(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(out(0)._2.contains("a b"))
+    assert(math.abs(out(0)._3.get - 9.0 / 11) < 1e-12)
+    assert(out(1) == ((2L, None, None)))
+    assert(out(2)._2.contains("x y"))
+  }
 }
