@@ -84,4 +84,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("dedup_minhash")
     assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
   }
+
+  test("decontamination broadcasts the benchmark grams, never self-joins") {
+    val p = plan("cur_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench gram table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus side must never co-shuffle or cross-join:\n$p")
+  }
+
+  test("split assignment is a pure projection: no shuffle but the oracle sort") {
+    val p = plan("cur_split")
+    assert(shuffles(p) <= 1, s"md5 split must not shuffle:\n$p")
+  }
+
+  test("token packing windows per shard, not globally") {
+    val p = physical("cur_pack")
+    assert(p.contains("hashpartitioning(lang"),
+      s"pack window must hash-partition on the shard key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition stage in the packing plan:\n$p")
+  }
 }
