@@ -784,6 +784,29 @@ object SparkEntry {
       Curation.deterministicSample(documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    "cur_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    "text_pii" -> ((s, dir) => {
+      // corpus is synthetic prose with no PII; plant the three classes
+      val planted = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" contact bob@example.com from 10.0.0.1")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"),
+            lit(" see https://mirror.example.net/path?who=eve@x.org")))
+        .when(pmod(col("doc_id"), lit(4)) === 3,
+          concat(col("text"), lit(" at http://10.0.0.7/idx and carol@y.io")))
+        .otherwise(col("text"))
+      val src = documents(s, dir).select(col("doc_id"), planted.as("text"))
+      val (u, e, i) = Curation.piiCounts(col("text"))
+      src.select(col("doc_id"),
+          u.cast("long").as("n_urls"), e.cast("long").as("n_emails"),
+          i.cast("long").as("n_ips"),
+          Curation.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
     "cur_decontam_keep" -> ((s, dir) => {
       // same planted-contamination fixture as cur_decontam; here the
       // left-anti wrapper proves the surviving-corpus side
@@ -1571,6 +1594,43 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    "cur_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE lang
+        |  WHEN 'de' THEN TRUE
+        |  WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |  WHEN 'fr' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |  WHEN 'es' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+        |  ELSE FALSE END
+        |ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN text || ' contact bob@example.com from 10.0.0.1'
+        |         WHEN doc_id % 4 = 1
+        |           THEN text || ' see https://mirror.example.net/path?who=eve@x.org'
+        |         WHEN doc_id % 4 = 3
+        |           THEN text || ' at http://10.0.0.7/idx and carol@y.io'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |step AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://\S+', '<URL>', 'g') AS no_url
+        |  FROM src)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(no_url,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(no_url,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(no_url,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM step ORDER BY doc_id""".stripMargin,
     "cur_decontam_keep" ->
       """WITH bench AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),

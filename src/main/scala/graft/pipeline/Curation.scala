@@ -122,6 +122,66 @@ object Curation {
         < lit(bound))
   }
 
+  /** Per-stratum deterministic sampling — the corpus-mixing primitive:
+    * sample each stratum (language, source, domain) at its own rate to
+    * hit a target mixture. Same md5-position mechanics as
+    * [[deterministicSample]], so the kept set is stable across runs,
+    * engines, and layouts; still a pure map-side filter (the rate
+    * lookup is a `when` chain over the — small — strata map, the judge
+    * of which stratum a row is in never leaves the row).
+    *
+    * @param fractions keep-rate per stratum value; strata not listed
+    *                  fall back to `default`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "stratifiedSample: fractions must be in [0, 1]")
+    val pos = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    def keep(f: Double): Column =
+      if (f >= 1.0) lit(true)
+      else if (f <= 0.0) lit(false)
+      else pos < lit(f"${(f * 4294967296.0).toLong}%08x")
+    val cond = fractions.toSeq.sortBy(_._1).foldRight(keep(default)) {
+      case ((stratum, f), rest) =>
+        when(col(stratumCol) === stratum, keep(f)).otherwise(rest)
+    }
+    df.filter(cond)
+  }
+
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Conservative PII/link patterns, written in the common subset of
+    * Java regex and RE2 (no lookarounds) so the DuckDB oracle can run
+    * the very same patterns. URL first — emails and IPs inside a URL
+    * are already covered by its redaction. */
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact URLs, emails, and IPv4 literals (in that order) with typed
+    * placeholder tokens. Pure per-row projection. */
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlPattern, "<URL>")
+    val noMail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    regexp_replace(noMail, Ipv4Pattern, "<IP>")
+  }
+
+  /** Occurrence counts of the scrubbed pattern classes, counted in the
+    * same order-sensitive way `scrubPii` redacts them (emails inside a
+    * URL count as the URL only). */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val noUrl = regexp_replace(text, UrlPattern, "<URL>")
+    val noMail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    (size(regexp_extract_all(text, lit(UrlPattern), lit(0))),
+      size(regexp_extract_all(noUrl, lit(EmailPattern), lit(0))),
+      size(regexp_extract_all(noMail, lit(Ipv4Pattern), lit(0))))
+  }
+
   // ------------------------------------------------------ token packing
 
   /** Assign each document to a fixed token-budget bin within its shard:

@@ -125,4 +125,50 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  // -------------------------------------------------- stratified sampling
+
+  test("stratifiedSample: per-stratum rates, deterministic, default drops") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.25))
+    val byLang = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLang("en") == 200L, "rate 1.0 keeps every row")
+    assert(byLang("de") > 20L && byLang("de") < 80L,
+      s"rate 0.25 of 200 should keep ~50, got ${byLang.get("de")}")
+    // unlisted strata fall back to default=0
+    val dropped = Curation.stratifiedSample(
+      df.withColumn("lang", lit("zz")), "doc_id", "lang", Map("en" -> 1.0))
+    assert(dropped.count() == 0L)
+    // determinism: same kept set on re-evaluation after repartition
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.stratifiedSample(df.repartition(7), "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.25)).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------- PII scrubbing
+
+  test("scrubPii and piiCounts: urls swallow their emails/ips") {
+    val df = Seq(
+      (1L, "mail bob@x.org or visit https://x.org/a?u=eve@x.org now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 up"),
+      (3L, "clean text, no identifiers"),
+      (4L, "http://10.0.0.7/path plus carol@y.io")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Curation.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> or visit <URL> now")
+    assert(out(2L) == "server at <IP> and <IP> up")
+    assert(out(3L) == "clean text, no identifiers")
+    assert(out(4L) == "<URL> plus <EMAIL>")
+    val (u, e, i) = Curation.piiCounts(col("text"))
+    val counts = df.select(col("doc_id"), u.as("u"), e.as("e"), i.as("i"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(counts(1L) == ((1, 1, 0)), "url-embedded email counts as the url")
+    assert(counts(2L) == ((0, 0, 2)))
+    assert(counts(4L) == ((1, 1, 0)), "ip inside url redacted with it")
+  }
 }
