@@ -20,7 +20,13 @@ object Bench {
     // as NEGATIVE elapsed time (error marker, distinguishable from a
     // fast success) and excluded from the headline total.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional regex filter for targeted perf iteration
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    val selected = nameFilter match {
+      case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
