@@ -575,6 +575,37 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "pipeline_curate" -> ((s, dir) => {
+      // the full curation chain over the text_pii fixture: scrub →
+      // token-length filter → exact dedup → decontaminate against the
+      // doc_id%50 benchmark slice (organic overlap only) → md5 split →
+      // per-(split, lang) corpus accounting
+      val planted = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" contact bob@example.com from 10.0.0.1")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"),
+            lit(" see https://mirror.example.net/path?who=eve@x.org")))
+        .when(pmod(col("doc_id"), lit(4)) === 3,
+          concat(col("text"), lit(" at http://10.0.0.7/idx and carol@y.io")))
+        .otherwise(col("text"))
+      val scrub = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Curation.scrubPii(planted).as("text"))
+      val kept = scrub
+        .withColumn("n_tokens", TextAnalysis.nTokens(col("text")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val deduped = Dedup.exactKeepFirst(kept, Seq("text"), "doc_id")
+      val bench = scrub.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = deduped.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val clean = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      Curation.withSplit(clean, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     // --- LLM pipeline: dedup -----------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanonical(documents(s, dir), Seq("text"), "doc_id")
@@ -1544,6 +1575,62 @@ object SparkEntry {
         |SELECT d.doc_id, t.top_gram, t.top_gram_char_frac
         |FROM documents d LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_curate" ->
+      """WITH src AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN text || ' contact bob@example.com from 10.0.0.1'
+        |         WHEN doc_id % 4 = 1
+        |           THEN text || ' see https://mirror.example.net/path?who=eve@x.org'
+        |         WHEN doc_id % 4 = 3
+        |           THEN text || ' at http://10.0.0.7/idx and carol@y.io'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM src),
+        |tok AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM scrub),
+        |kept AS (SELECT * FROM tok WHERE n_tokens >= 20),
+        |dedup AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |bench AS (SELECT doc_id, text FROM scrub WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT * FROM dedup WHERE doc_id % 50 <> 0),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |btok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM ctok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bg AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+        |  FROM btok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+        |clean AS (
+        |  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+        |SELECT
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cur_decontam" ->
       """WITH bench AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
