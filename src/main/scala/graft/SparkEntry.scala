@@ -625,6 +625,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_spans" -> ((s, dir) => {
+      // same planted near-dups as dedup_minhash: truncated copies share
+      // nearly all their 8-token spans with the originals
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val planted = documents(s, dir).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+            .as("text"))
+      Dedup.sharedSpanPairs(docs.unionByName(planted), "doc_id", "text",
+          spanTokens = 8, minShared = 3)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.withSimHash(documents(s, dir), "text")
         .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
@@ -1385,6 +1399,31 @@ object SparkEntry {
         |WHERE a.doc_id < 200
         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_spans" ->
+      """WITH planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      string_split_regex(trim(text), '\s+')
+        |        [1:greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id < 50),
+        |u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM u),
+        |sp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM tok, UNNEST(range(1, len(t) - 6)) AS r(i)),
+        |capped AS (
+        |  SELECT * FROM sp QUALIFY count(*) OVER (PARTITION BY s) <= 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(DISTINCT a.s) AS n_shared
+        |FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(DISTINCT a.s) >= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "sim_topk" ->
       """WITH p AS (

@@ -270,4 +270,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ------------------------------------------------- shared-span pairs
+
+  /** Cross-document SUBSTRING duplication (Lee et al. 2022's
+    * dedup-training-data signal, at token-span granularity): pairs of
+    * documents sharing at least `minShared` distinct `spanTokens`-token
+    * word spans, with the shared-span count per pair. Long spans make
+    * organic collisions vanishingly rare, so surviving pairs indicate
+    * copied passages — boilerplate, quotes, mirrored articles — that
+    * whole-document MinHash misses when the rest of the docs differ.
+    *
+    * Scale shape: spans hash to 8-byte keys map-side; the self-join is
+    * an equi-join ON THE SPAN HASH (never all-pairs), and `maxBucket`
+    * drops spans shared by more than that many docs (boilerplate
+    * banners would otherwise yield m²/2 pairs — at the cap they are
+    * better handled by a dedicated boilerplate pass). */
+  def sharedSpanPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minShared: Int = 1,
+      maxBucket: Int = 1000): DataFrame = {
+    require(spanTokens >= 1, "sharedSpanPairs: spanTokens must be >= 1")
+    val spans = df.select(col(idCol),
+        explode(wordShingles(col(textCol), spanTokens)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__sh"))
+    val capped = spans
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__sh")))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val a = capped.select(col("__sh"), col(idCol).as("id_a"))
+    val b = capped.select(col("__sh"), col(idCol).as("id_b"))
+    a.join(b, Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("__sh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -110,4 +110,24 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.simHashNearDupPairs(flood, "id", "text", maxBucket = 10000)
     assert(uncapped.count() == 40L * 39 / 2, "below the cap pairs flow")
   }
+
+  test("sharedSpanPairs: copied passages found, distinct spans counted once") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta"  // 6 tokens
+    val df = Seq(
+      (1L, s"intro words here $passage closing remarks"),
+      (2L, s"totally different framing $passage and more stuff"),
+      (3L, "no shared content in this document at all whatsoever"),
+      (4L, s"$passage $passage")  // passage twice: spans still distinct per doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpanPairs(df, "doc_id", "text", spanTokens = 6)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // every pair among {1,2,4} shares at least the exact 6-token passage
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out.forall(_._3 >= 1L))
+    // cap: a span present in every doc of a 20-doc flood is dropped
+    val flood = (0L until 20L).map(i => (i, passage)).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(flood, "doc_id", "text", spanTokens = 6,
+      maxBucket = 5).count() == 0)
+  }
 }
