@@ -868,6 +868,16 @@ object SparkEntry {
     }),
 
     // --- LLM pipeline: multimodal plumbing ---------------------------
+    "embed_quantize" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      val scale = Vec.int8Scale(v)
+      embeddings(s, dir)
+        .select(col("vec_id"), scale.as("scale"),
+          Vec.quantizeInt8(v, scale).as("q"), v.as("v"))
+        .select(col("vec_id"), col("scale"),
+          Vec.maxAbsError(col("v"), col("q"), col("scale")).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
     "mm_meta" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"),
@@ -1450,6 +1460,18 @@ object SparkEntry {
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |  CASE WHEN scale > 0 THEN list_transform(v, x -> floor(x / scale + 0.5))
+        |       ELSE list_transform(v, x -> 0.0) END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_max(list_transform(list_zip(v, qv),
+        |    p -> abs(p[1] - p[2] * scale))) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "embed_norm" ->
       """SELECT vec_id,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm

@@ -35,4 +35,34 @@ object Vec {
     * 1 if v · h > 0 else 0. Used by the random-hyperplane LSH. */
   def signBit(v: Column, h: Array[Double]): Column =
     when(dot(v, lit(h)) > 0, 1L).otherwise(0L)
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 scale: `max(|x|) / 127`. Storing
+    * embeddings as (scale, int8[]) cuts a float32 corpus 4× — at 100 TB
+    * that is the difference between an embedding store that fits and
+    * one that doesn't; recall loss for cosine top-k is ≲0.5% at
+    * typical dims. Zero vectors get scale 0. */
+  def int8Scale(v: Column): Column =
+    aggregate(d(v), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+
+  /** Quantize against a [[int8Scale]]-style scale. `floor(x/s + 0.5)`
+    * rather than `round()`: HALF_UP vs HALF_EVEN ambiguity across
+    * engines disappears, and |x| ≤ 127·s keeps the result in
+    * [-127, 127] with no clamp. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(d(v), x =>
+      when(scale > 0, floor(x / scale + lit(0.5)).cast("int"))
+        .otherwise(lit(0)))
+
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Largest absolute reconstruction error of a (vector, quantized)
+    * pair — bounded by scale/2 for symmetric quantization. Max, not a
+    * sum: immune to summation-order differences across engines. */
+  def maxAbsError(v: Column, q: Column, scale: Column): Column =
+    aggregate(
+      zip_with(d(v), q, (x, qq) => abs(x - qq.cast("double") * scale)),
+      lit(0.0), (acc, e) => greatest(acc, e))
 }

@@ -99,4 +99,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._2(1) > 0.9 && out(1)._2(0) < 0.1, "centroid 1 near cluster B")
     assert(out(2)._2.toSeq == Seq(-5.0, -5.0), "memberless cell unchanged")
   }
+
+  test("int8 quantization: values in [-127,127], error bounded by scale/2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),   // zero vector: scale 0, q = 0
+      (3L, Seq(1e-4, -3e-4, 2e-4, 5e-5))
+    ).toDF("id", "v")
+    val scale = Vec.int8Scale(col("v"))
+    val out = df.select(col("id"), scale.as("s"),
+        Vec.quantizeInt8(col("v"), scale).as("q"),
+        Vec.maxAbsError(col("v"), Vec.quantizeInt8(col("v"), scale), scale)
+          .as("err"))
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s1, q1, e1) = out(1L)
+    assert(q1 == Seq(64, -127, 32, 0) || q1 == Seq(63, -127, 32, 0))
+    assert(math.abs(s1 - 1.0 / 127) < 1e-15)
+    assert(e1 <= s1 / 2 + 1e-15)
+    assert(out(2L)._3 == Seq(0, 0, 0, 0) && out(2L)._2 == 0.0)
+    val (_, s3, q3, e3) = out(3L)
+    assert(q3.forall(q => q >= -127 && q <= 127))
+    assert(e3 <= s3 / 2 + 1e-15)
+    // round trip: dequantized values approximate the original
+    val back = df.filter(col("id") === 1L)
+      .select(Vec.dequantizeInt8(Vec.quantizeInt8(col("v"), scale), scale))
+      .as[Seq[Double]].head()
+    back.zip(Seq(0.5, -1.0, 0.25, 0.0)).foreach { case (b, orig) =>
+      assert(math.abs(b - orig) <= 1.0 / 127 / 2 + 1e-15)
+    }
+  }
 }
