@@ -204,6 +204,23 @@ object SparkEntry {
         .columns.filter(_.endsWith(DefaultSuffix)).sorted.toSeq
         .toDF("flag_col")
     }),
+    "p11_choices" -> ((s, dir) => {
+      // P11: the variable list offered in the UI — flagged vars only,
+      // flag/bookkeeping columns excluded (qc_window_app.R choices)
+      import s.implicits._
+      FlagSchema.flaggedVars(
+          QcFlags.addFlags(withValue2(events(s, dir)), Nil))
+        .sorted.toSeq.toDF("var")
+    }),
+    "p13_is_flagged" -> ((s, dir) => {
+      // P13: the schema predicate gating every qc_* entry point
+      import s.implicits._
+      val ev = withValue2(events(s, dir))
+      Seq(
+        ("flagged", FlagSchema.isFlaggedDf(QcFlags.addFlags(ev, Nil))),
+        ("raw", FlagSchema.isFlaggedDf(ev)))
+        .toDF("case", "is_flagged").orderBy("case")
+    }),
     "p12_by_ids" -> ((s, dir) =>
       QcPlotFeed.byIds(seeded(events(s, dir)),
           Seq(3L, 14L, 159L, 2653L, 5897L), idCol = "event_id")
@@ -984,6 +1001,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('event_id_qcflag'), ('user_id_qcflag'),
         |  ('value2_qcflag'), ('value_qcflag')) t(flag_col)
         |ORDER BY flag_col""".stripMargin,
+    "p11_choices" ->
+      """SELECT * FROM (VALUES ('event_id'), ('user_id'),
+        |  ('value'), ('value2')) t(var)
+        |ORDER BY var""".stripMargin,
+    "p13_is_flagged" ->
+      """SELECT * FROM (VALUES ('flagged', TRUE), ('raw', FALSE))
+        |  t("case", is_flagged)
+        |ORDER BY "case"""".stripMargin,
     "p12_by_ids" ->
       s"""$SeededCte SELECT event_id, value2_qcflag FROM seeded
          |WHERE event_id IN (3, 14, 159, 2653, 5897) ORDER BY event_id""".stripMargin,
