@@ -706,6 +706,22 @@ object SparkEntry {
           col("nbr_id"))
         .orderBy("probe_id", "rank")
     }),
+    "sim_topk_q8" -> ((s, dir) => {
+      // retrieval over the 4×-compressed int8 store: quantize →
+      // dequantize → exact top-k. Proves the quantized path preserves
+      // ranking end-to-end (same output contract as sim_topk).
+      val v = col("embedding").cast("array<double>")
+      val scale = Vec.int8Scale(v)
+      val deq = embeddings(s, dir)
+        .select(col("vec_id"),
+          Vec.dequantizeInt8(Vec.quantizeInt8(v, scale), scale)
+            .as("embedding"))
+      Similarity.bruteTopKWindow(deq, deq.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
     "sim_topk_agg" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10),
@@ -1470,6 +1486,23 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(p.pv, e.embedding::DOUBLE[]) DESC,
         |        e.vec_id) AS rank
         |  FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, rank, nbr_id FROM scored
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "sim_topk_q8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |d AS (SELECT vec_id,
+        |  CASE WHEN scale > 0
+        |    THEN list_transform(v, x -> floor(x / scale + 0.5) * scale)
+        |    ELSE list_transform(v, x -> 0.0) END AS v
+        |  FROM s),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM d WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.probe_id, d.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.probe_id
+        |      ORDER BY list_cosine_similarity(p.pv, d.v) DESC, d.vec_id) AS rank
+        |  FROM p CROSS JOIN d WHERE d.vec_id <> p.probe_id)
         |SELECT probe_id, rank, nbr_id FROM scored
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
     "dedup_embed" ->
