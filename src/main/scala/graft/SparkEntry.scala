@@ -138,6 +138,24 @@ object SparkEntry {
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
+    "skew_salted_join" -> ((s, dir) => {
+      // salt-invariance proof: the salted co-located join aggregates to
+      // exactly what the plain join would
+      val li = lineitem(s, dir).select(col("l_suppkey").as("suppkey"),
+        col("l_quantity"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, Seq("suppkey"), salt = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+    "skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedSumCount(lineitem(s, dir), Seq("l_returnflag"),
+          "l_quantity", salt = 8)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
+        .orderBy("l_returnflag")),
 
     "q3_join" -> ((s, dir) => {
       // TPC-H Q3-shaped: big fact (lineitem) joined to orders and a
@@ -958,6 +976,15 @@ object SparkEntry {
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT s.s_nationkey, count(*) AS n,
+        |  round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_join" ->
       """SELECT c_nationkey,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
