@@ -728,11 +728,13 @@ object SparkEntry {
       // retrieval over the 4×-compressed int8 store: quantize →
       // dequantize → exact top-k. Proves the quantized path preserves
       // ranking end-to-end (same output contract as sim_topk).
-      val v = col("embedding").cast("array<double>")
-      val scale = Vec.int8Scale(v)
-      val deq = embeddings(s, dir)
+      val deq = Vec.withInt8(
+          embeddings(s, dir)
+            .select(col("vec_id"), col("embedding").cast("array<double>")
+              .as("embedding")),
+          "embedding")
         .select(col("vec_id"),
-          Vec.dequantizeInt8(Vec.quantizeInt8(v, scale), scale)
+          Vec.dequantizeInt8(col("int8_q"), col("int8_scale"))
             .as("embedding"))
       Similarity.bruteTopKWindow(deq, deq.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 10)
@@ -920,13 +922,14 @@ object SparkEntry {
 
     // --- LLM pipeline: multimodal plumbing ---------------------------
     "embed_quantize" -> ((s, dir) => {
-      val v = col("embedding").cast("array<double>")
-      val scale = Vec.int8Scale(v)
-      embeddings(s, dir)
-        .select(col("vec_id"), scale.as("scale"),
-          Vec.quantizeInt8(v, scale).as("q"), v.as("v"))
-        .select(col("vec_id"), col("scale"),
-          Vec.maxAbsError(col("v"), col("q"), col("scale")).as("max_abs_err"))
+      Vec.withInt8(
+          embeddings(s, dir)
+            .select(col("vec_id"), col("embedding").cast("array<double>")
+              .as("v")),
+          "v")
+        .select(col("vec_id"), col("int8_scale").as("scale"),
+          Vec.maxAbsError(col("v"), col("int8_q"), col("int8_scale"))
+            .as("max_abs_err"))
         .orderBy("vec_id")
     }),
     "mm_meta" -> ((s, dir) =>

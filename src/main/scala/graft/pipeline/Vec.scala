@@ -58,6 +58,19 @@ object Vec {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Attach `<out>_scale` and `<out>_q` columns for `vecCol`, staged so
+    * the scale fold is computed ONCE per row. Composing
+    * `quantizeInt8(v, int8Scale(v))` inline instead duplicates the
+    * scale aggregation at every reference inside the lambda tree
+    * (Catalyst inlines the shared Column expression), which turned a
+    * scan-bound map into ~5 interpreted array folds per row on the
+    * quantized-retrieval bench. Multi-referenced non-cheap projections
+    * survive CollapseProject, so the staging holds in the final plan. */
+  def withInt8(df: org.apache.spark.sql.DataFrame, vecCol: String,
+      out: String = "int8"): org.apache.spark.sql.DataFrame =
+    df.withColumn(s"${out}_scale", int8Scale(col(vecCol)))
+      .withColumn(s"${out}_q", quantizeInt8(col(vecCol), col(s"${out}_scale")))
+
   /** Largest absolute reconstruction error of a (vector, quantized)
     * pair — bounded by scale/2 for symmetric quantization. Max, not a
     * sum: immune to summation-order differences across engines. */
