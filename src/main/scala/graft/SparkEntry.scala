@@ -61,6 +61,23 @@ object SparkEntry {
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Streaming twin of [[documents]] with a synthetic event time (the
+    * table has none; any time inside one watermark works for the
+    * drain-everything AvailableNow checks). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val tmp = java.nio.file.Paths.get(scratch("stream_documents"))
+    val link = tmp.resolve("documents.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    // +1 day: a row AT epoch 0 sits exactly on the stream's initial
+    // watermark and dropDuplicatesWithinWatermark expires it as late
+    s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts",
+        timestamp_seconds(pmod(col("doc_id"), lit(3600)) + 86400L))
+  }
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def lineitem(s: SparkSession, dir: String): DataFrame =
@@ -848,6 +865,27 @@ object SparkEntry {
     "text_top2gram" -> ((s, dir) =>
       TextAnalysis.topNgramCharFrac(documents(s, dir), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
+
+    "stream_curate" -> ((s, dir) => {
+      // streaming curation drained with AvailableNow; the split keys on
+      // md5(text) (content, not id) so the aggregate is invariant to
+      // WHICH of two identical docs the racy stream dedup keeps
+      import org.apache.spark.sql.streaming.Trigger
+      val out = graft.streaming.QcStream.streamingCurate(
+        documentsStream(s, dir), "text", "ts", splitKeyCol = "text",
+        minTokens = 20, watermark = "2 hours")
+      val name = s"stream_curate_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // split only (not lang): at larger SFs a few identical texts span
+      // languages, and which one the stream dedup keeps is racy — the
+      // content-keyed split and token sums are invariant either way
+      s.table(name)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split")
+    }),
 
     // --- LLM pipeline: dataset curation ------------------------------
     "cur_decontam" -> ((s, dir) => {
@@ -1680,6 +1718,28 @@ object SparkEntry {
         |  round(avg(nt), 4) AS avg_tokens,
         |  max(n_chars) AS max_chars
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "stream_curate" ->
+      """WITH scrub AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM scrub),
+        |uniq AS (
+        |  SELECT DISTINCT text, n_tokens FROM tok WHERE n_tokens >= 20)
+        |SELECT
+        |  CASE WHEN substring(md5(text), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substring(md5(text), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM uniq GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_repetition" ->
       """WITH src AS (
         |  SELECT doc_id,

@@ -66,6 +66,34 @@ object QcStream {
       .dropDuplicatesWithinWatermark(fpCol)
       .drop(fpCol)
 
+  /** Streaming face of the batch curation chain
+    * ([[graft.pipeline.Curation]]): PII scrub → token-count quality
+    * gate → fingerprint dedup within the watermark → deterministic
+    * split assignment. Everything but the dedup is stateless; the
+    * dedup's state is one long per unique document inside the
+    * watermark, so a 100 TB/day feed arrives scrubbed, gated, deduped,
+    * and already routed to train/val/test. Decontamination joins stay
+    * batch (the benchmark set is static — run them on the landed
+    * output). */
+  def streamingCurate(
+      stream: DataFrame,
+      textCol: String,
+      t: String,
+      splitKeyCol: String,
+      minTokens: Int = 20,
+      watermark: String = "1 hour",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val scrubbed = stream
+      .withColumn(textCol, graft.pipeline.Curation.scrubPii(col(textCol)))
+      .withColumn("n_tokens",
+        graft.pipeline.TextAnalysis.nTokens(col(textCol)).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+    graft.pipeline.Curation.withSplit(
+      streamingFingerprintDedup(scrubbed, textCol, t, watermark),
+      splitKeyCol, splits)
+  }
+
   /** Per-key session state for [[streamingSessionize]]: the current
     * session's id and the last event time seen. */
   case class SessionState(sessionId: Long, lastTs: Long)

@@ -107,4 +107,33 @@ class QcStreamSpec extends SparkSpec {
         "key 2: long gap across batches splits")
     } finally q.stop()
   }
+
+  test("streaming curation: scrub, gate, dedup, split in one pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Long) = new Timestamp(t0 + min * 60000)
+    val longDoc = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val out = QcStream.streamingCurate(
+      mem.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "doc_id",
+      minTokens = 20, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("qccurate")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, t(0), s"$longDoc mail me at eve@leak.io today"),
+        (2L, t(1), "too short to keep"),
+        (3L, t(2), s"$longDoc mail me at eve@leak.io today"), // dup of 1
+        (4L, t(3), s"$longDoc extra tail"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text, split FROM qccurate")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == Seq(1L, 4L),
+        s"short doc gated, duplicate dropped: ${rows.map(_._1)}")
+      assert(rows.head._2.endsWith("mail me at <EMAIL> today"),
+        "PII scrubbed before landing")
+      assert(rows.forall(r => Set("train", "val", "test").contains(r._3)))
+    } finally q.stop()
+  }
 }
