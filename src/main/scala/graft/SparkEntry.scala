@@ -920,6 +920,20 @@ object SparkEntry {
       Curation.deterministicSample(documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    "cur_source_report" -> ((s, dir) =>
+      // per-source curation telemetry: the go/no-go dashboard a corpus
+      // build reads before mixing sources
+      documents(s, dir)
+        .select(col("source"),
+          round(TextAnalysis.qualityScore(col("text"), Seq("the", "a")), 6)
+            .as("quality"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_quality"),
+          sum(when(col("quality") >= 0.8, 1L).otherwise(0L)).as("n_high"),
+          sum("nt").as("sum_tokens"))
+        .orderBy("source")),
     "cur_stratified" -> ((s, dir) =>
       Curation.stratifiedSample(documents(s, dir), "doc_id", "lang",
           Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
@@ -1890,6 +1904,43 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    "cur_source_report" ->
+      """WITH t AS (
+        |  SELECT source, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    END AS avg_token_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
+        |    END AS stopword_ratio,
+        |    CASE WHEN len(text) > 0 THEN
+        |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / len(text)
+        |    ELSE 0.0 END AS pr
+        |  FROM t),
+        |q AS (
+        |  SELECT source, n_tokens,
+        |    round(least(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0
+        |         WHEN n_tokens < 10 THEN n_tokens / 10.0
+        |         ELSE 100000.0 / n_tokens END, 1.0) * 0.25
+        |      + CASE WHEN coalesce(avg_token_len, 0.0) >= 2
+        |              AND coalesce(avg_token_len, 0.0) <= 12
+        |         THEN 1.0 ELSE 0.25 END * 0.2
+        |      + CASE WHEN coalesce(stopword_ratio, 0.0) > 0.01
+        |         THEN 1.0 ELSE 0.5 END * 0.15
+        |      + (1.0 - least(pr * 4, 1.0)) * 0.4, 6) AS quality
+        |  FROM b)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  CAST(sum(CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "cur_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CASE lang
