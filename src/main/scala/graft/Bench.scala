@@ -20,10 +20,14 @@ object Bench {
     // as NEGATIVE elapsed time (error marker, distinguishable from a
     // fast success) and excluded from the headline total.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    // optional regex filter for targeted perf iteration
+    // optional regex filter (unanchored find) for targeted perf iteration
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val selected = nameFilter match {
-      case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
+      case Some(re) =>
+        val sel = SparkEntry.queries.filter(q => re.r.findFirstIn(q._1).isDefined)
+        if (sel.isEmpty)
+          System.err.println(s"[bench] WARNING: filter '$re' selects no queries")
+        sel
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

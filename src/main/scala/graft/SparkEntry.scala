@@ -133,6 +133,50 @@ object SparkEntry {
   private def mOut(df: DataFrame): DataFrame =
     df.select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
 
+  /** Shared near-dup fixture (dedup_minhash, dedup_spans): docs 0-49
+    * re-appear with their last two tokens dropped, ids offset by 1e6,
+    * so near-dup paths have guaranteed positives at every SF. Mirrored
+    * verbatim in the oracle CTEs. */
+  private def nearDupFixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val perturbed = documents(s, dir).filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+          .as("text"))
+    docs.unionByName(perturbed)
+  }
+
+  /** Shared PII fixture (text_pii, pipeline_curate): plant the three
+    * pattern classes on doc_id%4 classes. The oracle CTEs mirror this
+    * verbatim — change both together. */
+  private def plantPii(text: Column): Column =
+    when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(text, lit(" contact bob@example.com from 10.0.0.1")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(text, lit(" see https://mirror.example.net/path?who=eve@x.org")))
+      .when(pmod(col("doc_id"), lit(4)) === 3,
+        concat(text, lit(" at http://10.0.0.7/idx and carol@y.io")))
+      .otherwise(text)
+
+  /** Shared decontamination fixture (cur_decontam, cur_decontam_keep):
+    * bench = every 50th doc; corpus = the rest plus planted
+    * contaminated copies (bench docs truncated to their first 12
+    * tokens, ids offset by 2e6) so the overlap join has guaranteed
+    * positives at every SF. Mirrored verbatim in the oracle CTEs. */
+  private def decontamFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = documents(s, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val planted = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), lit(12))).as("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    (corpus, bench)
+  }
+
   private def mOracle(caseExpr: String): String =
     s"""$SeededCte, $WinCte
        |SELECT event_id, $caseExpr AS value2_qcflag FROM win ORDER BY event_id""".stripMargin
@@ -632,17 +676,9 @@ object SparkEntry {
       // token-length filter → exact dedup → decontaminate against the
       // doc_id%50 benchmark slice (organic overlap only) → md5 split →
       // per-(split, lang) corpus accounting
-      val planted = when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(col("text"), lit(" contact bob@example.com from 10.0.0.1")))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          concat(col("text"),
-            lit(" see https://mirror.example.net/path?who=eve@x.org")))
-        .when(pmod(col("doc_id"), lit(4)) === 3,
-          concat(col("text"), lit(" at http://10.0.0.7/idx and carol@y.io")))
-        .otherwise(col("text"))
       val scrub = documents(s, dir)
         .select(col("doc_id"), col("lang"),
-          Curation.scrubPii(planted).as("text"))
+          Curation.scrubPii(plantPii(col("text"))).as("text"))
       val kept = scrub
         .withColumn("n_tokens", TextAnalysis.nTokens(col("text")).cast("long"))
         .filter(col("n_tokens") >= 20)
@@ -662,35 +698,18 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanonical(documents(s, dir), Seq("text"), "doc_id")
         .select(col("doc_id"), col("n_dups")).orderBy("doc_id")),
-    "dedup_minhash" -> ((s, dir) => {
-      // Near-dups are planted deterministically (docs 0-49 re-appear with
-      // their last two tokens dropped, ids offset by 1e6) so the LSH path
-      // has guaranteed positives at every scale factor.
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
-      val toks = TextAnalysis.tokens(col("text"))
-      val perturbed = documents(s, dir).filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
-            .as("text"))
-      Dedup.minHashNearDupPairs(docs.unionByName(perturbed), "doc_id", "text",
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashNearDupPairs(nearDupFixture(s, dir), "doc_id", "text",
           shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy("id_a", "id_b")
-    }),
-    "dedup_spans" -> ((s, dir) => {
-      // same planted near-dups as dedup_minhash: truncated copies share
-      // nearly all their 8-token spans with the originals
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
-      val toks = TextAnalysis.tokens(col("text"))
-      val planted = documents(s, dir).filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
-            .as("text"))
-      Dedup.sharedSpanPairs(docs.unionByName(planted), "doc_id", "text",
+        .orderBy("id_a", "id_b")),
+    "dedup_spans" -> ((s, dir) =>
+      // truncated copies share nearly all their 8-token spans with the
+      // originals
+      Dedup.sharedSpanPairs(nearDupFixture(s, dir), "doc_id", "text",
           spanTokens = 8, minShared = 3)
         .select(col("id_a"), col("id_b"), col("n_shared"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.withSimHash(documents(s, dir), "text")
         .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
@@ -889,17 +908,7 @@ object SparkEntry {
 
     // --- LLM pipeline: dataset curation ------------------------------
     "cur_decontam" -> ((s, dir) => {
-      // benchmark = every 50th doc; contaminated corpus docs are planted
-      // (bench docs truncated to their first 12 tokens, ids offset by
-      // 2e6) so the overlap join has guaranteed positives at every SF
-      val docs = documents(s, dir)
-      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("doc_id"), col("text"))
-      val toks = TextAnalysis.tokens(col("text"))
-      val planted = bench.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), lit(12))).as("text"))
-      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        .select(col("doc_id"), col("text")).unionByName(planted)
+      val (corpus, bench) = decontamFixture(s, dir)
       Curation.contaminatedPairs(corpus, bench, "doc_id", "text", n = 5)
         .select(col("doc_id"), col("bench_id"), col("n_matched"))
         .orderBy("doc_id", "bench_id")
@@ -941,15 +950,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_pii" -> ((s, dir) => {
       // corpus is synthetic prose with no PII; plant the three classes
-      val planted = when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(col("text"), lit(" contact bob@example.com from 10.0.0.1")))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          concat(col("text"),
-            lit(" see https://mirror.example.net/path?who=eve@x.org")))
-        .when(pmod(col("doc_id"), lit(4)) === 3,
-          concat(col("text"), lit(" at http://10.0.0.7/idx and carol@y.io")))
-        .otherwise(col("text"))
-      val src = documents(s, dir).select(col("doc_id"), planted.as("text"))
+      val src = documents(s, dir)
+        .select(col("doc_id"), plantPii(col("text")).as("text"))
       val (u, e, i) = Curation.piiCounts(col("text"))
       src.select(col("doc_id"),
           u.cast("long").as("n_urls"), e.cast("long").as("n_emails"),
@@ -958,16 +960,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "cur_decontam_keep" -> ((s, dir) => {
-      // same planted-contamination fixture as cur_decontam; here the
-      // left-anti wrapper proves the surviving-corpus side
-      val docs = documents(s, dir)
-      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("doc_id"), col("text"))
-      val toks = TextAnalysis.tokens(col("text"))
-      val planted = bench.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), lit(12))).as("text"))
-      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        .select(col("doc_id"), col("text")).unionByName(planted)
+      // same fixture as cur_decontam; the left-anti wrapper proves the
+      // surviving-corpus side
+      val (corpus, bench) = decontamFixture(s, dir)
       Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
         .select(col("doc_id")).orderBy("doc_id")
     }),

@@ -60,8 +60,12 @@ object Curation {
   }
 
   /** Corpus with contaminated documents removed (any doc matching any
-    * benchmark doc at the given n-gram threshold): a broadcast-able
-    * left-anti join on the contaminated id set. */
+    * benchmark doc at the given n-gram threshold): a left-anti join on
+    * the contaminated id set. No broadcast hint — the bad-id set's size
+    * is data-dependent (normally tiny, but a leaky benchmark over a
+    * web-scale corpus can contaminate millions of docs); AQE promotes
+    * the join to broadcast when the set is actually small instead of
+    * being forced to collect it driver-side. */
   def decontaminate(
       corpus: DataFrame,
       bench: DataFrame,
@@ -71,7 +75,7 @@ object Curation {
       minMatches: Int = 1): DataFrame = {
     val bad = contaminatedPairs(corpus, bench, idCol, textCol, n, minMatches)
       .select(col(idCol)).distinct()
-    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+    corpus.join(bad, Seq(idCol), "left_anti")
   }
 
   // ----------------------------------------------------- split assignment
@@ -84,6 +88,11 @@ object Curation {
     * no dependence on partition layout; the same row lands in the same
     * split on any engine that computes md5 (which is what makes it
     * auditable against the DuckDB oracle).
+    *
+    * Null keys: `md5(null)` is null, every threshold comparison is
+    * null, and the when-chain falls through — null-keyed rows land in
+    * the LAST split deterministically. Validate keys upstream if that
+    * is not acceptable.
     *
     * @param splits (name, fraction) pairs in priority order; fractions
     *               must sum to 1 (±1e-9).
@@ -111,15 +120,20 @@ object Curation {
 
   /** The deterministic counterpart of `df.sample(fraction)`: keep rows
     * whose md5-derived position falls below `fraction`. Same row set on
-    * every run and every engine. */
+    * every run and every engine. `fraction = 1` keeps every row
+    * (including the ~1-in-4.3B keys whose md5 prefix is `ffffffff`);
+    * null keys hash to null and are dropped at any fraction < 1. */
   def deterministicSample(
       df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1,
       "deterministicSample: fraction must be in [0, 1]")
-    val bound = f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
-    df.filter(
-      substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
-        < lit(bound))
+    if (fraction >= 1.0) df
+    else {
+      val bound = f"${(fraction * 4294967296.0).toLong}%08x"
+      df.filter(
+        substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+          < lit(bound))
+    }
   }
 
   /** Per-stratum deterministic sampling — the corpus-mixing primitive:
@@ -206,7 +220,11 @@ object Curation {
       budget: Long,
       outCol: String = "bin"): DataFrame = {
     require(budget > 0, "packByBudget: budget must be positive")
+    // ROWS frame, not the default RANGE: with ties on orderCol a RANGE
+    // frame gives tied rows the same cumulative sum, skipping bins and
+    // overfilling past the budget
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(outCol,
       floor((sum(col(tokCol)).over(w) - col(tokCol)) / lit(budget)))
   }

@@ -68,13 +68,21 @@ object QcStream {
 
   /** Streaming face of the batch curation chain
     * ([[graft.pipeline.Curation]]): PII scrub → token-count quality
-    * gate → fingerprint dedup within the watermark → deterministic
+    * gate → exact-content dedup within the watermark → deterministic
     * split assignment. Everything but the dedup is stateless; the
     * dedup's state is one long per unique document inside the
     * watermark, so a 100 TB/day feed arrives scrubbed, gated, deduped,
-    * and already routed to train/val/test. Decontamination joins stay
-    * batch (the benchmark set is static — run them on the landed
-    * output). */
+    * and already routed to train/val/test.
+    *
+    * The dedup keys on the EXACT scrubbed text (via xxhash64), not the
+    * whitespace-insensitive fingerprint: with a fingerprint key, two
+    * reformatted variants of one document would racily keep either
+    * one while `md5(text)`-keyed splits differ between them — the
+    * output would depend on arrival order. Exact-content keying makes
+    * the (dedup, split) pair consistent; chain
+    * [[streamingFingerprintDedup]] upstream if whitespace-variant
+    * collapsing is wanted. Decontamination joins stay batch (the
+    * benchmark set is static — run them on the landed output). */
   def streamingCurate(
       stream: DataFrame,
       textCol: String,
@@ -89,9 +97,12 @@ object QcStream {
       .withColumn("n_tokens",
         graft.pipeline.TextAnalysis.nTokens(col(textCol)).cast("long"))
       .filter(col("n_tokens") >= minTokens)
-    graft.pipeline.Curation.withSplit(
-      streamingFingerprintDedup(scrubbed, textCol, t, watermark),
-      splitKeyCol, splits)
+    val deduped = scrubbed
+      .withColumn("__th", xxhash64(col(textCol)))
+      .withWatermark(t, watermark)
+      .dropDuplicatesWithinWatermark("__th")
+      .drop("__th")
+    graft.pipeline.Curation.withSplit(deduped, splitKeyCol, splits)
   }
 
   /** Per-key session state for [[streamingSessionize]]: the current

@@ -126,6 +126,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packByBudget: ties on the order column still fill bins from 0") {
+    // RANGE-frame regression: three tied rows would all see cumulative
+    // sum 300 and land in bin 1, leaving bin 0 empty
+    val tied = Seq(("x", 1L, 100L), ("x", 1L, 100L), ("x", 1L, 100L))
+      .toDF("shard", "ord", "tokens")
+    // exclusive per-ROW prefixes 0/100/200 → bins 0,0,1; the RANGE
+    // frame gave every tied row prefix 200 → bins 1,1,1 (bin 0 empty)
+    val bins = Curation.packByBudget(tied, "tokens", "shard", "ord", 128L)
+      .select("bin").as[Long].collect().sorted.toSeq
+    assert(bins == Seq(0L, 0L, 1L), s"exclusive prefix sums per ROW: $bins")
+  }
+
   // -------------------------------------------------- stratified sampling
 
   test("stratifiedSample: per-stratum rates, deterministic, default drops") {
