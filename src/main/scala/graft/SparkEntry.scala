@@ -446,6 +446,24 @@ object SparkEntry {
         .filter(col("qc_date") === date_add(lit(d0), 3))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
+    "s10_split_layout" -> ((s, dir) => {
+      // the training-corpus layout: write split-partitioned parquet so
+      // reading one split is a partition-pruned scan (no full-corpus
+      // pass to assemble a training set); slice 'val' and match the
+      // unpartitioned oracle
+      val tmp = scratch("s10")
+      Curation.withSplit(documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .withColumn("n_tokens",
+          TextAnalysis.nTokens(col("text")).cast("long"))
+        .write.mode("overwrite").partitionBy("split")
+        .parquet(s"$tmp/docs_by_split")
+      s.read.parquet(s"$tmp/docs_by_split")
+        .filter(col("split") === "val")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
     "s8_manifest" -> ((s, dir) => {
       val tmp = scratch("s8")
       val manifest = QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
@@ -1161,6 +1179,15 @@ object SparkEntry {
       """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
         |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM events, b WHERE CAST(ts AS DATE) = d0 + 3""".stripMargin,
+    "s10_split_layout" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |    AS sum_tokens
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= 'cccccccc'
+        |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "s7_dual_export" ->
       s"""$SeededCte
          |SELECT * FROM (

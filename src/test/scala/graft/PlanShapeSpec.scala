@@ -98,6 +98,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) <= 1, s"md5 split must not shuffle:\n$p")
   }
 
+  test("split-partitioned corpus layout prunes to one split at read") {
+    val p = plan("s10_split_layout")
+    assert(p.contains("PartitionFilters: [isnotnull(split"),
+      s"reading one split must be a partition-pruned scan:\n$p")
+  }
+
   test("token packing windows per shard, not globally") {
     val p = physical("cur_pack")
     assert(p.contains("hashpartitioning(lang"),
