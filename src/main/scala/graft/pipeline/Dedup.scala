@@ -308,4 +308,57 @@ object Dedup {
       .agg(countDistinct(col("__sh")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  // --------------------------------------------------- near-dup clusters
+
+  /** Connected components over a near-dup pair list — the dedup
+    * endgame: candidate pairs (from MinHash/SimHash/span joins) chain
+    * into CLUSTERS (a≈b, b≈c ⇒ {a,b,c}), each keeping one canonical
+    * representative (the minimum id, like [[exactCanonical]]).
+    *
+    * Min-label propagation: each node repeatedly takes the minimum
+    * label in its neighborhood until fixpoint — a driver-side loop of
+    * keyed joins/aggregations (each iteration shuffles on the id, with
+    * `localCheckpoint` truncating the growing lineage). Near-dup
+    * graphs have tiny diameter (dup chains, not paths), so this
+    * converges in a handful of rounds; `maxIters` bounds the
+    * pathological case and throws rather than return half-converged
+    * labels.
+    *
+    * @return (id, cluster) — one row per node appearing in `pairs`,
+    *         cluster = min id of its component.
+    */
+  def nearDupClusters(
+      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("__nc")).as("__nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.select(col("id"), col("cluster").as("__old")), Seq("id"))
+        .filter(col("cluster") =!= col("__old"))
+        .isEmpty
+      labels = updated
+      iters += 1
+    }
+    require(converged,
+      s"nearDupClusters: no fixpoint after $maxIters iterations " +
+        "(component diameter exceeds maxIters)")
+    labels
+  }
 }

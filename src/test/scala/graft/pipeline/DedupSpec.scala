@@ -130,4 +130,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sharedSpanPairs(flood, "doc_id", "text", spanTokens = 6,
       maxBucket = 5).count() == 0)
   }
+
+  test("nearDupClusters: pair chains collapse to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a chain, {10,11}, and a 7-node path
+    // 20-26 exercising multi-round label propagation
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)) ++
+      (20L until 26L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert((20L to 26L).forall(out(_) == 20L),
+      s"path component must fully converge: $out")
+    assert(out.size == 13)
+  }
 }
