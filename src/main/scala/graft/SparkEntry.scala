@@ -890,6 +890,21 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "text_len_pctl" -> ((s, dir) =>
+      // exact per-lang token-length percentiles (linear interpolation,
+      // matching DuckDB quantile_cont). Exact percentile buffers each
+      // group's values — right for telemetry over grouped samples; at
+      // full corpus scale swap in approx_percentile (t-digest, bounded
+      // memory), which no exact oracle can check.
+      documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.nTokens(col("text")).cast("double").as("nt"))
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(nt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(nt, 0.9)"), 6).as("p90"),
+          round(expr("percentile(nt, 0.99)"), 6).as("p99"))
+        .orderBy("lang")),
     "text_repetition" -> ((s, dir) => {
       // corpus is single-line; plant multi-line docs (dup full line for
       // doc_id%3=0, distinct 5-token second line for %3=1)
@@ -1815,6 +1830,17 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM uniq GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_len_pctl" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT lang,
+        |  round(quantile_cont(nt, 0.5), 6) AS p50,
+        |  round(quantile_cont(nt, 0.9), 6) AS p90,
+        |  round(quantile_cont(nt, 0.99), 6) AS p99
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_repetition" ->
       """WITH src AS (
         |  SELECT doc_id,
