@@ -923,6 +923,10 @@ object SparkEntry {
     "text_top2gram" -> ((s, dir) =>
       TextAnalysis.topNgramCharFrac(documents(s, dir), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("doc_id", "rank")),
 
     "stream_curate" -> ((s, dir) => {
       // streaming curation drained with AvailableNow; the split keys on
@@ -987,6 +991,21 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    "cur_temperature" -> ((s, dir) =>
+      Curation.temperatureWeights(documents(s, dir), "lang", alpha = 0.3)
+        .select(col("lang"), col("n").cast("long").as("n_docs"),
+          round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+          round(col("keep_rate"), 6).as("keep_rate"))
+        .orderBy("lang")),
+    "cur_temp_sample" -> ((s, dir) => {
+      // weights → downsample, entirely on-cluster (no collect between)
+      val d = documents(s, dir)
+      val rates = Curation.temperatureWeights(d, "lang", alpha = 0.3)
+        .select(col("lang"), col("keep_rate"))
+      Curation.rateSample(d, "doc_id", "lang", rates, "keep_rate")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     "text_pii" -> ((s, dir) => {
       // corpus is synthetic prose with no PII; plant the three classes
       val src = documents(s, dir)
@@ -1007,6 +1026,18 @@ object SparkEntry {
     }),
 
     // --- LLM pipeline: multimodal plumbing ---------------------------
+    "embed_centroids" -> ((s, dir) =>
+      Vec.labelCentroids(embeddings(s, dir), "embedding", "label")
+        .select(col("label"), col("i").cast("long").as("i"),
+          round(col("c"), 6).as("c"), col("n"))
+        .orderBy("label", "i")),
+    "embed_dispersion" -> ((s, dir) =>
+      Vec.centroidCosines(embeddings(s, dir), "vec_id", "embedding", "label")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("cos"), 6).as("mean_cos"),
+          round(min("cos"), 6).as("min_cos"))
+        .orderBy("label")),
     "embed_quantize" -> ((s, dir) => {
       Vec.withInt8(
           embeddings(s, dir)
@@ -1688,6 +1719,28 @@ object SparkEntry {
         |  list_max(list_transform(list_zip(v, qv),
         |    p -> abs(p[1] - p[2] * scale))) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    "embed_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings)
+        |SELECT label, i, round(avg(v), 6) AS c, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    "embed_dispersion" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i, avg(v) AS c FROM x GROUP BY 1, 2),
+        |d AS (
+        |  SELECT x.vec_id, x.label,
+        |    sum(x.v * c.c) AS dot, sum(x.v * x.v) AS n2, sum(c.c * c.c) AS c2
+        |  FROM x JOIN c USING (label, i) GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT vec_id, label, dot / (sqrt(n2) * sqrt(c2)) AS cos FROM d)
+        |SELECT label, count(*) AS n, round(avg(cos), 6) AS mean_cos,
+        |  round(min(cos), 6) AS min_cos
+        |FROM cos GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_norm" ->
       """SELECT vec_id,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
@@ -1866,6 +1919,25 @@ object SparkEntry {
         |    THEN CAST(s.dupchars AS DOUBLE) / s.chars END AS dup_char_frac
         |FROM documents d LEFT JOIN stats s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf * (ln((1 + n.n) / (1 + dfreq.df)) + 1) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_top2gram" ->
       """WITH tok AS (
         |  SELECT doc_id, len(text) AS nc,
@@ -2037,6 +2109,32 @@ object SparkEntry {
         |  WHEN 'es' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         |  ELSE FALSE END
         |ORDER BY doc_id""".stripMargin,
+    "cur_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n, n / sum(n) OVER () AS p FROM c),
+        |w AS (SELECT lang, n, p,
+        |    pow(p, 0.3) / sum(pow(p, 0.3)) OVER () AS q FROM s)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs, round(p, 6) AS p,
+        |  round(q, 6) AS q,
+        |  round((q / p) / max(q / p) OVER (), 6) AS keep_rate
+        |FROM w ORDER BY lang""".stripMargin,
+    "cur_temp_sample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n, n / sum(n) OVER () AS p FROM c),
+        |w AS (SELECT lang, n, p,
+        |    pow(p, 0.3) / sum(pow(p, 0.3)) OVER () AS q FROM s),
+        |r AS (
+        |  SELECT lang, round((q / p) / max(q / p) OVER (), 6) AS rate FROM w)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.rate >= 1.0
+        |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |        < printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))
+        |ORDER BY d.doc_id""".stripMargin,
     "text_pii" ->
       """WITH src AS (
         |  SELECT doc_id,

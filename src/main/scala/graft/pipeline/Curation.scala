@@ -167,6 +167,62 @@ object Curation {
     df.filter(cond)
   }
 
+  // ------------------------------------------- temperature-balanced mixing
+
+  /** Temperature-sampled mixture weights over a stratum column — the
+    * standard recipe for balancing a multilingual / multi-source corpus
+    * (mT5 §3.1, XLM-R §3.1): stratum share `p = n/N` is flattened to
+    * `q = p^alpha / Σ p^alpha` (`alpha = 1` keeps the natural mix,
+    * `alpha → 0` approaches uniform), and `keep_rate = (q/p) / max(q/p)`
+    * realizes that mixture by pure downsampling — the most-boosted
+    * stratum keeps everything, every other stratum keeps
+    * proportionally less.
+    *
+    * Scale shape: one hash aggregate over the corpus (map-side combine;
+    * output is one row per stratum), then window arithmetic ON THE
+    * STRATUM CATALOG — a handful of rows, like the dense window
+    * renumber. The corpus is scanned once.
+    */
+  def temperatureWeights(
+      df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      "temperatureWeights: alpha must be in (0, 1]")
+    // single-partition windows are safe here: they run on the stratum
+    // catalog (≤ thousands of rows), never the corpus
+    val all = Window.partitionBy(lit(1))
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("p", col("n") / sum("n").over(all))
+      .withColumn("q", pow(col("p"), alpha) / sum(pow(col("p"), alpha)).over(all))
+      .withColumn("keep_rate",
+        (col("q") / col("p")) / max(col("q") / col("p")).over(all))
+  }
+
+  /** Downsample each stratum at a rate carried in a (small) rates table
+    * — the realization step for [[temperatureWeights]], or any
+    * data-derived per-stratum rate. Same md5-position mechanics as
+    * [[deterministicSample]] (stable across runs / engines / layouts),
+    * but the rate arrives as a COLUMN via a broadcast join instead of a
+    * compile-time literal, so the whole weights→sample pipeline stays
+    * on the cluster — no collect, no driver round-trip.
+    *
+    * Rates are rounded to 6 decimals before the threshold so the kept
+    * set is reproducible across engines whose float reductions differ
+    * in the last ulp. Rows whose stratum is absent from `rates` are
+    * dropped (inner join) — list every stratum to keep.
+    */
+  def rateSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      rates: DataFrame, rateCol: String): DataFrame = {
+    val pos = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    val r = round(col(rateCol), 6)
+    val bound = format_string("%08x", floor(r * 4294967296d).cast("long"))
+    df.join(broadcast(rates.select(col(stratumCol), col(rateCol))),
+        Seq(stratumCol), "inner")
+      .filter(r >= 1.0 || pos < bound)
+      .drop(rateCol)
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Conservative PII/link patterns, written in the common subset of

@@ -236,6 +236,43 @@ object TextAnalysis {
     docs.select(col(idCol)).join(top, Seq(idCol), "left")
   }
 
+  /** Top-`k` TF-IDF terms per document — the classic keyword/topic
+    * signal for corpus exploration and near-dup triage. Terms are
+    * lowercased whitespace tokens; `idf = ln((1+N)/(1+df)) + 1`
+    * (sklearn's smoothed form, never negative or zero) with `N` the
+    * corpus document count and `df` the term's document frequency;
+    * score = `tf · idf`. Ties rank by term so output is deterministic
+    * across engines.
+    *
+    * Scale shape: explode → (doc, term) hash aggregate (map-side
+    * combine) → term-keyed aggregate for `df` → join back on term →
+    * top-k via a window PARTITIONED BY doc (never global). N arrives
+    * via a broadcast one-row cross join, like the window origin (A5).
+    * The term-keyed join co-shuffles two term-keyed tables — both
+    * already aggregated, so rows ≈ vocabulary, not corpus.
+    */
+  def tfIdfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "tfIdfTopTerms: k must be >= 1")
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(1d) + col("__n")) / (lit(1d) + col("df"))) + 1d))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token hashes in a ~2^57 prime field (modular fold — no long
     * overflow under ANSI mode) — equal fingerprints ⇔ near-certainly

@@ -78,4 +78,46 @@ object Vec {
     aggregate(
       zip_with(d(v), q, (x, qq) => abs(x - qq.cast("double") * scale)),
       lit(0.0), (acc, e) => greatest(acc, e))
+
+  // -------------------------------------------------- label centroids
+
+  /** Per-label, per-dimension centroid table — the prototype vectors of
+    * a labeled embedding set (class means for nearest-centroid
+    * classification, cluster means for diagnostics). One row per
+    * (label, dimension) with the member count.
+    *
+    * Scale shape: posexplode (×dim, narrow) → ONE hash aggregate keyed
+    * (label, dim) with map-side combine; output is labels×dims rows —
+    * a catalog, not a corpus. */
+  def labelCentroids(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String, labelCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(labelCol), posexplode(d(col(vecCol))).as(Seq("i", "v")))
+      .groupBy(col(labelCol), col("i"))
+      .agg(avg("v").as("c"), count(lit(1)).as("n"))
+
+  /** Cosine of every vector to its OWN label's centroid — the
+    * intra-class cohesion signal (low/negative cosines flag mislabeled
+    * or outlier members; per-label averages rank label quality).
+    *
+    * Scale shape: the centroid catalog from [[labelCentroids]] is tiny
+    * and BROADCAST back onto the exploded corpus; the dot/norm fold is
+    * a second (id, label)-keyed aggregate with map-side combine. The
+    * corpus is scanned twice, shuffled only as ×dim partial-aggregate
+    * output — never joined against itself. */
+  def centroidCosines(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
+    val x = df.select(
+      col(idCol), col(labelCol), posexplode(d(col(vecCol))).as(Seq("i", "v")))
+    val c = labelCentroids(df, vecCol, labelCol)
+      .select(col(labelCol), col("i"), col("c"))
+    x.join(broadcast(c), Seq(labelCol, "i"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("v") * col("c")).as("dot"),
+        sum(col("v") * col("v")).as("n2"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col(idCol), col(labelCol),
+        (col("dot") / (sqrt(col("n2")) * sqrt(col("c2")))).as("cos"))
+  }
 }

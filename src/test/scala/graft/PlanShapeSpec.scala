@@ -104,6 +104,25 @@ class PlanShapeSpec extends SparkSpec {
       s"reading one split must be a partition-pruned scan:\n$p")
   }
 
+  test("temperature sampling: rates broadcast to the corpus, corpus never shuffles") {
+    // weights aggregate the corpus once (1 exchange), window arithmetic
+    // runs on the tiny stratum catalog (single-partition there is by
+    // design), and the rate join back to the corpus must broadcast.
+    val p = plan("cur_temp_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates table must broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never co-shuffle against the rates:\n$p")
+  }
+
+  test("tf-idf top-k windows per document, df join keyed on term") {
+    val p = physical("text_tfidf")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"top-k window must partition by document:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the one-row N join may cross:\n$p")
+  }
+
   test("token packing windows per shard, not globally") {
     val p = physical("cur_pack")
     assert(p.contains("hashpartitioning(lang"),

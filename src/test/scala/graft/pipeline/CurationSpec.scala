@@ -161,6 +161,63 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ------------------------------------------- temperature-balanced mixing
+
+  test("temperatureWeights: alpha=1 is the natural mix, keep_rate 1") {
+    val df = (0L until 100L).map(i => (i, if (i % 10 == 0) "rare" else "big"))
+      .toDF("doc_id", "lang")
+    val w = Curation.temperatureWeights(df, "lang", alpha = 1.0)
+      .select("lang", "p", "q", "keep_rate")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(math.abs(w("big")._1 - 0.9) < 1e-12)
+    assert(math.abs(w("big")._2 - 0.9) < 1e-12, "alpha=1: q == p")
+    assert(math.abs(w("big")._3 - 1.0) < 1e-12)
+    assert(math.abs(w("rare")._3 - 1.0) < 1e-12)
+  }
+
+  test("temperatureWeights: alpha<1 flattens toward the rare stratum") {
+    val df = (0L until 100L).map(i => (i, if (i < 90) "big" else "rare"))
+      .toDF("doc_id", "lang")
+    val w = Curation.temperatureWeights(df, "lang", alpha = 0.5)
+      .select("lang", "q", "keep_rate")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // q = p^.5 / Z: big .9^.5=.9487, rare .1^.5=.3162 → q_big ≈ .75
+    assert(math.abs(w("big")._1 - 0.75) < 1e-3)
+    assert(math.abs(w("rare")._1 - 0.25) < 1e-3)
+    // rare gets the biggest boost → keeps everything; big downsampled
+    // to (q/p)_big / (q/p)_rare = (.8333)/(2.5) = 1/3
+    assert(math.abs(w("rare")._2 - 1.0) < 1e-12)
+    assert(math.abs(w("big")._2 - 1.0 / 3.0) < 1e-3)
+    intercept[IllegalArgumentException] {
+      Curation.temperatureWeights(df, "lang", alpha = 0.0)
+    }
+  }
+
+  test("rateSample realizes the weights' mixture deterministically") {
+    val df = (0L until 1000L).map(i => (i, if (i < 900) "big" else "rare"))
+      .toDF("doc_id", "lang")
+    val rates = Curation.temperatureWeights(df, "lang", alpha = 0.5)
+      .select(col("lang"), col("keep_rate"))
+    val out = Curation.rateSample(df, "doc_id", "lang", rates, "keep_rate")
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("rare") == 100L, "max-boost stratum keeps every row")
+    assert(byLang("big") > 200L && byLang("big") < 400L,
+      s"rate 1/3 of 900 should keep ~300, got ${byLang.get("big")}")
+    // deterministic under relayout
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.rateSample(
+      df.repartition(7), "doc_id", "lang", rates, "keep_rate")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // strata missing from the rates table are dropped, not kept
+    val partial = Curation.rateSample(df, "doc_id", "lang",
+      rates.filter(col("lang") === "rare"), "keep_rate")
+    assert(partial.select("lang").distinct().as[String].collect().toSeq
+      == Seq("rare"))
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   test("scrubPii and piiCounts: urls swallow their emails/ips") {

@@ -131,4 +131,34 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(b - orig) <= 1.0 / 127 / 2 + 1e-15)
     }
   }
+
+  test("labelCentroids: per-label per-dim means with member counts") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(3.0f, 2.0f)),
+      (3L, 1, Seq(0.0f, 4.0f))).toDF("vec_id", "label", "embedding")
+    val c = Vec.labelCentroids(df, "embedding", "label")
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(c((0, 0)) == ((2.0, 2L)))
+    assert(c((0, 1)) == ((1.0, 2L)))
+    assert(c((1, 0)) == ((0.0, 1L)))
+    assert(c((1, 1)) == ((4.0, 1L)))
+  }
+
+  test("centroidCosines: member on the centroid ray scores 1, orthogonal 0") {
+    // label 0 members are colinear (centroid stays on the ray → cos 1);
+    // label 1 members are orthogonal axes (centroid at 45° → cos .7071)
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(3.0f, 0.0f)),
+      (3L, 1, Seq(2.0f, 0.0f)),
+      (4L, 1, Seq(0.0f, 2.0f))).toDF("vec_id", "label", "embedding")
+    val cos = Vec.centroidCosines(df, "vec_id", "embedding", "label")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(cos(1L) - 1.0) < 1e-12)
+    assert(math.abs(cos(2L) - 1.0) < 1e-12)
+    assert(math.abs(cos(3L) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(cos(4L) - math.sqrt(0.5)) < 1e-12)
+  }
 }

@@ -133,4 +133,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == ((2L, None, None)))
     assert(out(2)._2.contains("x y"))
   }
+
+  test("tfIdfTopTerms: smoothed idf, rare terms win, ties rank by term") {
+    val docs = Seq(
+      (1L, "Apple banana apple"), // case-folds: apple ×2
+      (2L, "banana cherry"),
+      (3L, "cherry cherry durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSeq
+    // N=3; idf(df=1)=ln(2)+1, idf(df=2)=ln(4/3)+1
+    val idf1 = math.log(2.0) + 1
+    val idf2 = math.log(4.0 / 3.0) + 1
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2) == Seq("apple", "banana"), "tf=2 rare term first")
+    assert(math.abs(d1.head._5 - 2 * idf1) < 1e-6)
+    // doc 2: banana and cherry tie exactly (tf=1, df=2) → term order
+    assert(out.filter(_._1 == 2L).map(_._2) == Seq("banana", "cherry"))
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(_._2) == Seq("cherry", "durian"))
+    assert(math.abs(d3.head._5 - 2 * idf2) < 1e-6)
+    assert(out.forall(r => r._6 == 1 || r._6 == 2))
+  }
 }
