@@ -556,6 +556,30 @@ object SparkEntry {
         .select(col("event_id"), col("r_event_id"))
         .orderBy("event_id")
     }),
+    "ts_asof_fwd" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      graft.timeseries.TimeSeriesOps.asofJoin(
+          purchases, signups, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", direction = "forward")
+        .select(col("event_id"), col("r_event_id"))
+        .orderBy("event_id")
+    }),
+    "ts_asof_near" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      graft.timeseries.TimeSeriesOps.asofJoin(
+          purchases, signups, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", direction = "nearest")
+        .select(col("event_id"), col("r_event_id"))
+        .orderBy("event_id")
+    }),
     "ts_sessionize" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.sessionize(
           events(s, dir), keys = Seq("user_id"), t = "ts",
@@ -927,6 +951,31 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("doc_id", "rank")),
+    "text_sentences" -> ((s, dir) => {
+      // corpus is punctuation-free; plant a sentence break + terminal
+      val planted = concat(substring(col("text"), 1, 40), lit(". "),
+        substring(col("text"), 41, 1000000), lit("!"))
+      val (n, avg) = TextAnalysis.sentenceStats(planted)
+      documents(s, dir)
+        .select(col("doc_id"), n.cast("long").as("n_sentences"),
+          avg.as("avg_sentence_chars"))
+        .orderBy("doc_id")
+    }),
+    "text_c4_lines" -> ((s, dir) => {
+      // plant multi-line docs: %3==0 → one of two lines ends in '.',
+      // %3==1 → both lines terminal, else single unpunctuated line
+      val planted = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(".\n"), col("text")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit("!\n"), col("text"), lit("?")))
+        .otherwise(col("text"))
+      val (n, fracLines, fracChars) = TextAnalysis.lineQualityStats(planted)
+      documents(s, dir)
+        .select(col("doc_id"), n.cast("long").as("n_lines"),
+          fracLines.as("frac_terminal_lines"),
+          fracChars.as("frac_chars_kept"))
+        .orderBy("doc_id")
+    }),
 
     "stream_curate" -> ((s, dir) => {
       // streaming curation drained with AvailableNow; the split keys on
@@ -1005,6 +1054,28 @@ object SparkEntry {
       Curation.rateSample(d, "doc_id", "lang", rates, "keep_rate")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+    "cur_mix_report" -> ((s, dir) =>
+      Curation.temperatureMixReport(documents(s, dir), "doc_id", "lang",
+          alpha = 0.3)
+        .select(col("lang"), col("n_kept"),
+          round(col("achieved_q"), 6).as("achieved_q"),
+          round(col("target_q"), 6).as("target_q"))
+        .orderBy("lang")),
+    "dedup_matrix" -> ((s, dir) => {
+      // corpus texts are (near-)unique at small SFs; plant a 'mirror'
+      // source republishing every 7th doc (every 21st twice) so the
+      // matrix has both cross-source and same-source duplicate mass
+      val d = documents(s, dir)
+      val m1 = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("source", lit("mirror"))
+      val m2 = d.filter(pmod(col("doc_id"), lit(21)) === 0)
+        .withColumn("doc_id", col("doc_id") + 20000000L)
+        .withColumn("source", lit("mirror"))
+      Dedup.exactDupMatrix(d.unionByName(m1).unionByName(m2),
+          "text", "source")
+        .orderBy("source_a", "source_b")
     }),
     "text_pii" -> ((s, dir) => {
       // corpus is synthetic prose with no PII; plant the three classes
@@ -1375,6 +1446,30 @@ object SparkEntry {
         |    AS r_event_id
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.s_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "ts_asof_fwd" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT event_id AS r_event_id, user_id, ts AS s_ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, s.r_event_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts <= s.s_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "ts_asof_near" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT event_id AS r_event_id, user_id, ts AS s_ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, n.r_event_id
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT r_event_id FROM s
+        |  WHERE s.user_id = p.user_id
+        |  ORDER BY abs(epoch(s.s_ts - p.ts)),
+        |    CASE WHEN s.s_ts <= p.ts THEN 0 ELSE 1 END
+        |  LIMIT 1) n ON TRUE
         |ORDER BY p.event_id""".stripMargin,
     "ts_sessionize" ->
       """WITH c AS (
@@ -1938,6 +2033,45 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_sentences" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || '. ' || substring(text, 41) || '!' AS t
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '[.!?]+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS ss
+        |  FROM planted)
+        |SELECT doc_id, len(ss) AS n_sentences,
+        |  CASE WHEN len(ss) > 0 THEN
+        |    CAST(list_sum(list_transform(ss, x -> len(x))) AS DOUBLE) / len(ss)
+        |  END AS avg_sentence_chars
+        |FROM parts ORDER BY doc_id""".stripMargin,
+    "text_c4_lines" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || '.' || chr(10) || text
+        |         WHEN doc_id % 3 = 1 THEN text || '!' || chr(10) || text || '?'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      x -> trim(x)), x -> len(x) > 0) AS ls
+        |  FROM planted),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, x -> regexp_matches(x, '[.!?]$')) AS kept
+        |  FROM lines)
+        |SELECT doc_id, len(ls) AS n_lines,
+        |  CASE WHEN len(ls) > 0
+        |    THEN CAST(len(kept) AS DOUBLE) / len(ls) END AS frac_terminal_lines,
+        |  CASE WHEN list_sum(list_transform(ls, x -> len(x))) > 0 THEN
+        |    CAST(coalesce(list_sum(list_transform(kept, x -> len(x))), 0) AS DOUBLE)
+        |      / list_sum(list_transform(ls, x -> len(x)))
+        |  END AS frac_chars_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
     "text_top2gram" ->
       """WITH tok AS (
         |  SELECT doc_id, len(text) AS nc,
@@ -2135,6 +2269,48 @@ object SparkEntry {
         |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
         |        < printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))
         |ORDER BY d.doc_id""".stripMargin,
+    "cur_mix_report" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n, n / sum(n) OVER () AS p FROM c),
+        |w AS (SELECT lang, n, p,
+        |    pow(p, 0.3) / sum(pow(p, 0.3)) OVER () AS q FROM s),
+        |r AS (
+        |  SELECT lang, round((q / p) / max(q / p) OVER (), 6) AS rate FROM w),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE r.rate >= 1.0
+        |     OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |          < printf('%08x', CAST(floor(r.rate * 4294967296) AS BIGINT))),
+        |k AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY 1),
+        |f AS (
+        |  SELECT lang, n_kept,
+        |    CAST(n_kept AS DOUBLE) / CAST(sum(n_kept) OVER () AS DOUBLE)
+        |      AS achieved
+        |  FROM k)
+        |SELECT f.lang, f.n_kept, round(f.achieved, 6) AS achieved_q,
+        |  round(w.q, 6) AS target_q
+        |FROM f JOIN w USING (lang) ORDER BY f.lang""".stripMargin,
+    "dedup_matrix" ->
+      """WITH all_docs AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT text, 'mirror' FROM documents WHERE doc_id % 21 = 0),
+        |g AS (
+        |  SELECT md5(text) AS h, source AS s, count(*) AS c
+        |  FROM all_docs GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a.s AS source_a, b.s AS source_b,
+        |    CAST(sum(CASE WHEN a.s = b.s THEN a.c * (a.c - 1) / 2
+        |                  ELSE a.c * b.c END) AS BIGINT) AS dup_pairs
+        |  FROM g a JOIN g b ON a.h = b.h AND a.s <= b.s
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, dup_pairs FROM m
+        |WHERE dup_pairs > 0 ORDER BY source_a, source_b""".stripMargin,
     "text_pii" ->
       """WITH src AS (
         |  SELECT doc_id,

@@ -223,6 +223,25 @@ object Curation {
       .drop(rateCol)
   }
 
+  /** Closes the temperature-mixing loop: compute weights, realize the
+    * downsample, and report per-stratum kept counts with achieved vs
+    * target mixture shares — the verification a corpus build runs after
+    * re-weighting. One extra corpus aggregate beyond [[rateSample]];
+    * the share arithmetic runs on the stratum catalog. */
+  def temperatureMixReport(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double): DataFrame = {
+    val w = temperatureWeights(df, stratumCol, alpha)
+    val kept = rateSample(df, keyCol, stratumCol,
+      w.select(col(stratumCol), col("keep_rate")), "keep_rate")
+    val all = Window.partitionBy(lit(1))
+    kept.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumn("achieved_q", col("n_kept") / sum("n_kept").over(all))
+      .join(broadcast(w.select(col(stratumCol), col("q").as("target_q"))),
+        Seq(stratumCol))
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Conservative PII/link patterns, written in the common subset of

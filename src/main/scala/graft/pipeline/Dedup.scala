@@ -35,6 +35,34 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Cross-source exact-duplicate matrix: for every unordered source
+    * pair (`source_a <= source_b`, same-source included), the number of
+    * duplicate document pairs sharing identical `textCol` — the "who
+    * copies from whom" telemetry a corpus build reads before weighting
+    * sources. Same-source pairs count C(c,2); cross-source `c_a·c_b`.
+    * Pairs-free groups are dropped (sparse matrix).
+    *
+    * Scale shape: the corpus collapses FIRST to (text-hash, source)
+    * counts — one hash aggregate with map-side combine; the self-join
+    * runs on that aggregated table (rows ≈ distinct texts), keyed on
+    * the 8-byte hash. A text shared by k sources yields k² joined rows
+    * — bounded by the source count, not the corpus. */
+  def exactDupMatrix(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val g = df.groupBy(xxhash64(col(textCol)).as("__h"), col(srcCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val a = g.select(col("__h"), col("__s").as("source_a"), col("__c").as("__ca"))
+    val b = g.select(col("__h"), col("__s").as("source_b"), col("__c").as("__cb"))
+    a.join(b, Seq("__h"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("__pairs",
+        when(col("source_a") === col("source_b"),
+          (col("__ca") * (col("__ca") - 1) / 2).cast("long"))
+          .otherwise(col("__ca") * col("__cb")))
+      .groupBy("source_a", "source_b")
+      .agg(sum("__pairs").as("dup_pairs"))
+      .filter(col("dup_pairs") > 0)
+  }
+
   // ---------------------------------------------------- shingles / minhash
 
   /** Word n-gram shingles (distinct), space-joined. A JVM loop rather

@@ -236,6 +236,37 @@ object TextAnalysis {
     docs.select(col(idCol)).join(top, Seq(idCol), "left")
   }
 
+  /** Sentence segmentation stats: sentence count and mean sentence
+    * length in characters (whitespace-trimmed), splitting on runs of
+    * terminal punctuation `[.!?]+`. Null mean for sentence-less docs.
+    * Per-row and shuffle-free; the split runs over one document's
+    * sentences, so the interpreted higher-order functions stay cheap. */
+  def sentenceStats(text: Column): (Column, Column) = {
+    val parts = filter(transform(split(text, "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)
+    val n = size(parts)
+    val total = aggregate(transform(parts, length(_).cast("long")), lit(0L), _ + _)
+    (n, when(n > 0, total.cast("double") / n))
+  }
+
+  /** C4-style (Raffel et al. 2020, §2.2) line-quality signals per
+    * document: non-blank line count, the fraction of lines ending in
+    * terminal punctuation (`.`/`!`/`?` — C4 keeps only such lines), and
+    * the fraction of characters on those lines (what a C4 line filter
+    * would retain). Null fractions for docs with no non-blank lines.
+    * Pure per-row projection — scan-bound at any scale. */
+  def lineQualityStats(text: Column): (Column, Column, Column) = {
+    val lines = filter(transform(split(text, "\n"), x => trim(x)),
+      x => length(x) > 0)
+    val kept = filter(lines, x => x.rlike("[.!?]$"))
+    def chars(xs: Column): Column =
+      aggregate(transform(xs, length(_).cast("long")), lit(0L), _ + _)
+    val n = size(lines)
+    (n,
+      when(n > 0, size(kept).cast("double") / n),
+      when(chars(lines) > 0, chars(kept).cast("double") / chars(lines)))
+  }
+
   /** Top-`k` TF-IDF terms per document — the classic keyword/topic
     * signal for corpus exploration and near-dup triage. Terms are
     * lowercased whitespace tokens; `idf = ln((1+N)/(1+df)) + 1`

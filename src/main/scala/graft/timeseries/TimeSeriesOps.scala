@@ -17,17 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
-  /** Backward as-of join: for every left row, the single LATEST right
-    * row of the same key with `rightTime <= leftTime` (and within
-    * `toleranceSecs`, if given) — nulls when there is none. Implemented
-    * as union → per-key time-ordered running `last(right, ignoreNulls)`
-    * → keep left rows: one shuffle on the key regardless of either
-    * side's size, never a per-row probe.
+  /** As-of join: for every left row, the single nearest right row of
+    * the same key in the given `direction` (and within `toleranceSecs`,
+    * if given) — nulls when there is none.
+    *
+    *  - `"backward"` (default): latest right with `rightTime <= leftTime`
+    *  - `"forward"`: earliest right with `rightTime >= leftTime`
+    *  - `"nearest"`: whichever of the two is closer in time; exact-tie
+    *    distances resolve backward
+    *
+    * Implemented as union → per-key time-ordered running
+    * `last(right, ignoreNulls)` → keep left rows: one shuffle on the
+    * key regardless of either side's size, never a per-row probe.
+    * Forward is the same running fold over the reversed time order;
+    * nearest runs both folds over the ONE exchange (two in-partition
+    * sorts, no extra shuffle).
     *
     * Right payload columns come back prefixed with `rightPrefix`. At
     * equal timestamps the right row is visible to the left row
-    * (`>=` semantics, matching DuckDB/pandas ASOF); ties among right
-    * rows at the same instant need a caller-side tiebreaker.
+    * (`>=`/`<=` semantics, matching DuckDB/pandas ASOF); ties among
+    * right rows at the same instant need a caller-side tiebreaker.
     */
   def asofJoin(
       left: DataFrame,
@@ -36,8 +45,11 @@ object TimeSeriesOps {
       leftTime: String,
       rightTime: String,
       toleranceSecs: Option[Double] = None,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin: need at least one key column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got $direction")
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     val lPayload = left.columns.filterNot(keys.contains).toSeq
 
@@ -52,19 +64,37 @@ object TimeSeriesOps {
         Seq(col(leftTime).as("__t"), lit(1).as("__side"),
           lit(null).cast(rType).as("__r")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+    val part = Window.partitionBy(keys.map(col): _*)
+    // backward: rights sort BEFORE lefts at equal __t (side 0 < 1), so
+    // an equal-timestamp right is inside the running frame; forward
+    // reverses time, where the same side order keeps that visibility
+    val wB = part.orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedCol = last(col("__r"), ignoreNulls = true).over(w)
+    val wF = part.orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fold(w: org.apache.spark.sql.expressions.WindowSpec) =
+      last(col("__r"), ignoreNulls = true).over(w)
+    def dist(m: Column): Column =
+      abs(col("__t").cast("double") - m(rightTime).cast("double"))
 
+    val u = lSide.unionByName(rSide)
+    val withM = direction match {
+      case "backward" => u.withColumn("__m", fold(wB))
+      case "forward"  => u.withColumn("__m", fold(wF))
+      case "nearest"  => u
+        .withColumn("__mb", fold(wB)).withColumn("__mf", fold(wF))
+        .withColumn("__m",
+          when(col("__mb").isNull, col("__mf"))
+            .when(col("__mf").isNull, col("__mb"))
+            .when(dist(col("__mf")) < dist(col("__mb")), col("__mf"))
+            .otherwise(col("__mb")))
+        .drop("__mb", "__mf")
+    }
     val tolOk = toleranceSecs match {
-      case Some(tol) =>
-        col("__m").isNotNull &&
-          (col("__t").cast("double") - col("__m")(rightTime).cast("double")) <= tol
+      case Some(tol) => col("__m").isNotNull && dist(col("__m")) <= tol
       case None => col("__m").isNotNull
     }
-    val out = lSide.unionByName(rSide)
-      .withColumn("__m", matchedCol)
+    val out = withM
       .filter(col("__side") === 1)
       .withColumn("__m", when(tolOk, col("__m")))
     rPayload.foldLeft(out) { (d, c) =>

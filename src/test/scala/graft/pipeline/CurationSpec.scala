@@ -218,6 +218,22 @@ class CurationSpec extends SparkSpec {
       == Seq("rare"))
   }
 
+  test("temperatureMixReport: achieved share tracks the target mixture") {
+    val df = (0L until 1000L).map(i => (i, if (i < 900) "big" else "rare"))
+      .toDF("doc_id", "lang")
+    val out = Curation.temperatureMixReport(df, "doc_id", "lang", alpha = 0.5)
+      .select("lang", "n_kept", "achieved_q", "target_q")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("rare")._1 == 100L, "max-boost stratum keeps everything")
+    assert(math.abs(out("big")._3 - 0.75) < 1e-3)
+    assert(math.abs(out("rare")._3 - 0.25) < 1e-3)
+    // achieved share is the sampled realization of the target
+    assert(math.abs(out("big")._2 - out("big")._3) < 0.1,
+      s"achieved ${out("big")._2} should track target ${out("big")._3}")
+    assert(math.abs(out("big")._2 + out("rare")._2 - 1.0) < 1e-12)
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   test("scrubPii and piiCounts: urls swallow their emails/ips") {

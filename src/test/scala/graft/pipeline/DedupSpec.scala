@@ -145,4 +145,16 @@ class DedupSpec extends SparkSpec {
       s"path component must fully converge: $out")
     assert(out.size == 13)
   }
+
+  test("exactDupMatrix: same-source C(c,2), cross-source product, sparse") {
+    val df = Seq(
+      (1L, "x", "A"), (2L, "x", "B"), (3L, "x", "B"),
+      (4L, "y", "A"), (5L, "z", "C")).toDF("doc_id", "text", "source")
+    val out = Dedup.exactDupMatrix(df, "text", "source")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // "x": A×1, B×2 → A-B 1·2 = 2, B-B C(2,2) = 1; "y"/"z" no pairs;
+    // A-A absent entirely (sparse, not zero-filled)
+    assert(out == Map(("A", "B") -> 2L, ("B", "B") -> 1L))
+  }
 }

@@ -155,4 +155,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(d3.head._5 - 2 * idf2) < 1e-6)
     assert(out.forall(r => r._6 == 1 || r._6 == 2))
   }
+
+  test("sentenceStats: terminal-punct runs split, blanks dropped") {
+    val df = Seq(
+      (1L, "One two. Three!? Four"),  // 3 sentences: 7, 5, 4 chars
+      (2L, "no terminal punct here"), // 1 sentence
+      (3L, "")).toDF("doc_id", "text")
+    val (n, avg) = TextAnalysis.sentenceStats(col("text"))
+    val out = df.select(col("doc_id"), n, avg)
+      .as[(Long, Int, Option[Double])].collect().sortBy(_._1)
+    assert(out(0)._2 == 3)
+    assert(math.abs(out(0)._3.get - (7 + 5 + 4) / 3.0) < 1e-12)
+    assert(out(1)._2 == 1)
+    assert(out(2) == ((3L, 0, None)))
+  }
+
+  test("lineQualityStats: C4 terminal-line fractions by lines and chars") {
+    val df = Seq(
+      (1L, "Good line.\nbad line\nAlso good!"), // 2/3 lines; 20/28 chars
+      (2L, "\n \n"),                            // no non-blank lines
+      (3L, "single unterminated")).toDF("doc_id", "text")
+    val (n, fl, fc) = TextAnalysis.lineQualityStats(col("text"))
+    val out = df.select(col("doc_id"), n, fl, fc)
+      .as[(Long, Int, Option[Double], Option[Double])].collect().sortBy(_._1)
+    assert(out(0)._2 == 3)
+    assert(math.abs(out(0)._3.get - 2.0 / 3) < 1e-12)
+    assert(math.abs(out(0)._4.get - 20.0 / 28) < 1e-12)
+    assert(out(1) == ((2L, 0, None, None)))
+    assert(out(2)._3.contains(0.0) && out(2)._4.contains(0.0))
+  }
 }

@@ -45,6 +45,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(px == 11.0)
   }
 
+  test("asofJoin forward: earliest right at-or-after, <= at equal timestamps") {
+    val out = TimeSeriesOps.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts",
+        direction = "forward")
+      .select("t_id", "r_q_id").as[(Long, Option[Long])].collect().sortBy(_._1)
+    // 100 (00:04) → quote 2 (00:05); 101 equal ts → quote 2;
+    // 102 (00:01) → quote 3 (00:02); 103 key C → none
+    assert(out.toSeq == Seq(
+      (100L, Some(2L)), (101L, Some(2L)), (102L, Some(3L)), (103L, None)))
+  }
+
+  test("asofJoin nearest: closer side wins, exact ties go backward") {
+    // trade at 00:02:30 sits 150s after quote 1 and 150s before quote 2
+    // → exact tie → backward (quote 1); trade at 00:04 is 60s from
+    // quote 2 vs 240s from quote 1 → forward wins
+    val t = Seq(
+      (200L, "A", ts("2024-01-01 00:02:30")),
+      (201L, "A", ts("2024-01-01 00:04:00")),
+      (202L, "B", ts("2024-01-01 00:01:00")), // only a later quote exists
+      (203L, "C", ts("2024-01-01 00:01:00"))
+    ).toDF("t_id", "sym", "t_ts")
+    val out = TimeSeriesOps.asofJoin(t, quotes, Seq("sym"), "t_ts", "q_ts",
+        direction = "nearest")
+      .select("t_id", "r_q_id").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (200L, Some(1L)), (201L, Some(2L)), (202L, Some(3L)), (203L, None)))
+    // tolerance applies to the chosen side's distance
+    val tol = TimeSeriesOps.asofJoin(t, quotes, Seq("sym"), "t_ts", "q_ts",
+        direction = "nearest", toleranceSecs = Some(100.0))
+      .select("t_id", "r_q_id").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(tol.toSeq == Seq(
+      (200L, None), (201L, Some(2L)), (202L, Some(3L)), (203L, None)))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.asofJoin(t, quotes, Seq("sym"), "t_ts", "q_ts",
+        direction = "sideways")
+    }
+  }
+
   test("sessionize: gap splits, per-key independence, 0-based ids") {
     val ev = Seq(
       (1L, "u1", ts("2024-01-01 00:00:00")),
