@@ -355,6 +355,17 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("v_median"),
           count(col("value")).as("n"))
         .orderBy("event_type")),
+    "a11_agreement" -> ((s, dir) => {
+      // manual (seeded) flags vs a deliberately-miscalibrated auto
+      // range rule (>140 / <90 instead of >150 / <100)
+      val auto = when(col("value2").isNull || isnan(col("value2")), -1)
+        .when(col("value2") > 140, -2)
+        .when(col("value2") < 90, 1)
+        .otherwise(0)
+      QcProgress.agreement(
+        seeded(events(s, dir)).withColumn("auto_qcflag", auto),
+        "value2_qcflag", "auto_qcflag")
+    }),
     "a9_win_count" -> ((s, dir) =>
       QcWindows.windowCatalog(
         QcWindows.withWinId(events(s, dir), "ts", 24.0), "ts", "value")
@@ -509,6 +520,28 @@ object SparkEntry {
     }),
 
     // --- streaming (Structured Streaming, batch-oracle-verified) -----
+    "stream_enrich" -> ((s, dir) => {
+      // stream-static broadcast join: purchases stream enriched with a
+      // static per-user signup dimension, bucketed by days-since-signup
+      // (null bucket = purchase by a user with no signup event)
+      import org.apache.spark.sql.streaming.Trigger
+      val dim = events(s, dir).filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+      val enriched = graft.streaming.QcStream
+        .enrichStatic(purchases, dim, Seq("user_id"))
+        .withColumn("days_since",
+          floor((col("ts").cast("double") - col("signup_ts").cast("double"))
+            / 86400.0).cast("long"))
+      val agg = enriched.groupBy(col("days_since"))
+        .agg(count(lit(1)).as("n"))
+      val name = s"stream_enrich_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("days_since")
+    }),
     "stream_progress" -> ((s, dir) => {
       // The continuous-ingest path (SURVEY §7.5): flag init + auto-flag
       // + watermarked tumbling progress over a FILE STREAM of the same
@@ -580,6 +613,14 @@ object SparkEntry {
         .select(col("event_id"), col("r_event_id"))
         .orderBy("event_id")
     }),
+    "ts_funnel" -> ((s, dir) =>
+      graft.timeseries.TimeSeriesOps.funnelCounts(
+          events(s, dir), "user_id", "event_type", "ts",
+          Seq("signup", "view", "purchase"))
+        .orderBy("step_idx")),
+    "sketch_kmv" -> ((s, dir) =>
+      Sketch.kmvDistinct(events(s, dir), "user_id", 64, Seq("event_type"))
+        .orderBy("event_type")),
     "ts_sessionize" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.sessionize(
           events(s, dir), keys = Seq("user_id"), t = "ts",
@@ -1338,6 +1379,37 @@ object SparkEntry {
       """SELECT round(min(value) - (max(value) - min(value)) * 0.02, 6) AS y_min,
         |  round(max(value) + (max(value) - min(value)) * 0.02, 6) AS y_max
         |FROM events""".stripMargin,
+    "a11_agreement" ->
+      s"""$SeededCte, auto AS (
+         |  SELECT *, CASE WHEN value2 IS NULL OR isnan(value2) THEN -1
+         |                 WHEN value2 > 140 THEN -2
+         |                 WHEN value2 < 90 THEN 1
+         |                 ELSE 0 END AS auto_qcflag
+         |  FROM seeded),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN value2_qcflag = auto_qcflag THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_agree,
+         |    sum(CASE WHEN value2_qcflag = -2 THEN 1 ELSE 0 END) AS am2,
+         |    sum(CASE WHEN auto_qcflag = -2 THEN 1 ELSE 0 END) AS bm2,
+         |    sum(CASE WHEN value2_qcflag = -1 THEN 1 ELSE 0 END) AS am1,
+         |    sum(CASE WHEN auto_qcflag = -1 THEN 1 ELSE 0 END) AS bm1,
+         |    sum(CASE WHEN value2_qcflag = 0 THEN 1 ELSE 0 END) AS a0,
+         |    sum(CASE WHEN auto_qcflag = 0 THEN 1 ELSE 0 END) AS b0,
+         |    sum(CASE WHEN value2_qcflag = 1 THEN 1 ELSE 0 END) AS a1,
+         |    sum(CASE WHEN auto_qcflag = 1 THEN 1 ELSE 0 END) AS b1
+         |  FROM auto),
+         |p AS (
+         |  SELECT n, n_agree,
+         |    CAST(n_agree AS DOUBLE) / n AS po,
+         |    (CAST(am2 AS DOUBLE) / n) * (CAST(bm2 AS DOUBLE) / n)
+         |      + (CAST(am1 AS DOUBLE) / n) * (CAST(bm1 AS DOUBLE) / n)
+         |      + (CAST(a0 AS DOUBLE) / n) * (CAST(b0 AS DOUBLE) / n)
+         |      + (CAST(a1 AS DOUBLE) / n) * (CAST(b1 AS DOUBLE) / n) AS pe
+         |  FROM g)
+         |SELECT n, n_agree, po, pe,
+         |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+         |FROM p""".stripMargin,
     "a10_value_stats" ->
       """SELECT event_type, min(value) AS v_min, max(value) AS v_max,
         |  round(avg(value), 6) AS v_avg,
@@ -1413,6 +1485,18 @@ object SparkEntry {
          |            AND NOT (value2 IS NULL OR isnan(value2)) THEN 1
          |       ELSE f2 END AS value2_qcflag
          |FROM p2 ORDER BY event_id""".stripMargin,
+    "stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT CASE WHEN d.user_id IS NULL THEN NULL
+        |              ELSE CAST(floor(epoch(e.ts - d.signup_ts) / 86400.0)
+        |                AS BIGINT) END AS days_since
+        |  FROM events e LEFT JOIN dim d USING (user_id)
+        |  WHERE e.event_type = 'purchase')
+        |SELECT days_since, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_progress" ->
       s"""$SeededCte
          |SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_start_s,
@@ -1471,6 +1555,47 @@ object SparkEntry {
         |    CASE WHEN s.s_ts <= p.ts THEN 0 ELSE 1 END
         |  LIMIT 1) n ON TRUE
         |ORDER BY p.event_id""".stripMargin,
+    "sketch_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM h),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(least(max(cnt), 64) AS BIGINT) AS n_sketch,
+        |    max(CASE WHEN rk = 64 THEN h END) AS hk,
+        |    max(cnt) AS cnt
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_sketch,
+        |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+        |    AS est_distinct
+        |FROM g ORDER BY event_type""".stripMargin,
+    "ts_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'view',
+        |  CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |ORDER BY step_idx""".stripMargin,
     "ts_sessionize" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts,

@@ -116,4 +116,37 @@ object QcProgress {
     }
     one.select(inline(array(rows: _*)))
   }
+
+  /** Inter-flagger agreement between two flag columns over the closed
+    * domain {-2,-1,0,1} — the calibration check between a manual QC
+    * pass and an automated detector (or two reviewers): observed
+    * agreement `po`, chance agreement `pe` from the marginals, and
+    * Cohen's kappa `(po−pe)/(1−pe)` (null when pe = 1, i.e. both
+    * flaggers are constant and identical). ONE hash aggregate pass,
+    * one-row output — the A1 shape; flags outside the domain
+    * contribute to `n`/`po` but not to `pe`'s marginals.
+    *
+    * The arithmetic keeps a fixed left-to-right operand order so the
+    * result is bit-identical across engines computing the same
+    * formula — no rounding needed. */
+  def agreement(df: DataFrame, flagA: String, flagB: String): DataFrame = {
+    val a = qcol(flagA)
+    val b = qcol(flagB)
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val aggs =
+      Seq(count(lit(1)).as("__n"), cnt(a === b).as("__agree")) ++
+        Domain.flatMap { k =>
+          Seq(cnt(a === k).as(s"__a$k"), cnt(b === k).as(s"__b$k"))
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    val po = col("__agree").cast("double") / n
+    val pe = Domain.map { k =>
+      (col(s"__a$k").cast("double") / n) * (col(s"__b$k").cast("double") / n)
+    }.reduce(_ + _)
+    one.select(
+      col("__n").as("n"), col("__agree").as("n_agree"),
+      po.as("po"), pe.as("pe"),
+      when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

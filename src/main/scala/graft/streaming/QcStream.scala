@@ -66,6 +66,19 @@ object QcStream {
       .dropDuplicatesWithinWatermark(fpCol)
       .drop(fpCol)
 
+  /** Stream-static enrichment: broadcast-join a static dimension onto
+    * a stream. Stream-static joins are STATELESS — every micro-batch
+    * joins against the static snapshot, no watermark or state store
+    * involved — so this composes freely with watermarked aggregation
+    * downstream. The dimension is broadcast explicitly: at cluster
+    * scale the stream side never shuffles for the join. */
+  def enrichStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Streaming face of the batch curation chain
     * ([[graft.pipeline.Curation]]): PII scrub → token-count quality
     * gate → exact-content dedup within the watermark → deterministic

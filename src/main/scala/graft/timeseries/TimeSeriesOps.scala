@@ -154,6 +154,40 @@ object TimeSeriesOps {
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
   }
 
+  /** Ordered funnel analysis: how many keys (users) reach each step of
+    * `steps` IN ORDER — step k counts a key only if some step-k event
+    * happens at-or-after that key's earliest valid step-(k−1) arrival
+    * (the strict sequential funnel, not mere set membership; `>=`
+    * admits same-instant progression). Returns one row per step with
+    * `step_idx`, `step`, and `n_keys`, monotonically non-increasing.
+    *
+    * Scale shape: per step, one key-keyed aggregate (map-side combine)
+    * joined to the previous frontier ON THE KEY — every table involved
+    * is one row per key, co-partitioned on the same key, so the k-step
+    * funnel is k keyed shuffles over key-sized tables, never an event
+    * self-join and no per-key event-list state. */
+  def funnelCounts(
+      df: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelCounts: need at least one step")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tCol)).as("__t"))
+    val frontiers = steps.tail.scanLeft(first) { (prev, st) =>
+      df.filter(col(typeCol) === st)
+        .join(prev.select(col(keyCol), col("__t")), Seq(keyCol))
+        .filter(col(tCol) >= col("__t"))
+        .groupBy(col(keyCol)).agg(min(col(tCol)).as("__t"))
+    }
+    frontiers.zip(steps).zipWithIndex.map { case ((d, st), i) =>
+      d.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i.toLong).as("step_idx"), lit(st).as("step"),
+          col("n_keys"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-session summary (count, span) — the aggregation usually
     * chained after [[sessionize]]; one additional groupBy shuffle. */
   def sessionStats(

@@ -57,4 +57,21 @@ class QcProgressSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("na_consistent"))
     assert(r.getAs[scala.collection.Seq[Int]]("bad_flags").toSeq == Seq(7))
   }
+
+  test("agreement: hand-computed Cohen's kappa; degenerate marginals null") {
+    val df = Seq(
+      (1L, 1, 1), (2L, 1, 0), (3L, 0, 0), (4L, -1, -1)
+    ).toDF("id", "a_qcflag", "b_qcflag")
+    val r = QcProgress.agreement(df, "a_qcflag", "b_qcflag").collect()(0)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("n_agree") == 3)
+    assert(math.abs(r.getAs[Double]("po") - 0.75) < 1e-15)
+    // marginals a: {1:.5, 0:.25, -1:.25}, b: {1:.25, 0:.5, -1:.25}
+    // pe = .5·.25 + .25·.5 + .25·.25 = .3125
+    assert(math.abs(r.getAs[Double]("pe") - 0.3125) < 1e-15)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4375 / 0.6875) < 1e-15)
+    // identical constant flaggers: po = pe = 1 → kappa undefined
+    val const = Seq((1L, 1, 1), (2L, 1, 1)).toDF("id", "a_qcflag", "b_qcflag")
+    val rc = QcProgress.agreement(const, "a_qcflag", "b_qcflag").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("kappa")))
+  }
 }

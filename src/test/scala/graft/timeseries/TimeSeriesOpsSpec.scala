@@ -112,6 +112,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (3L, 20L)))
   }
 
+  test("funnelCounts: strict order, greedy-earliest anchors, monotone counts") {
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "u1", "signup", 1L), (2L, "u1", "view", 2L), (3L, "u1", "purchase", 3L),
+      // u2: pre-signup view ignored; post-signup view at 5 is the
+      // anchor, so the purchase at 4 does NOT count
+      (4L, "u2", "view", 1L), (5L, "u2", "signup", 2L),
+      (6L, "u2", "view", 5L), (7L, "u2", "purchase", 4L),
+      // u3: no view → stops after signup
+      (8L, "u3", "signup", 1L), (9L, "u3", "purchase", 2L),
+      // u4: never signs up → counted nowhere
+      (10L, "u4", "view", 1L), (11L, "u4", "purchase", 2L)
+    ).toDF("id", "user", "type", "t")
+    val out = TimeSeriesOps.funnelCounts(ev, "user", "type", "t",
+        Seq("signup", "view", "purchase"))
+      .orderBy("step_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((0L, "signup", 3L), (1L, "view", 2L),
+      (2L, "purchase", 1L)))
+  }
+
   test("sessionStats aggregates count and span per session") {
     val ev = Seq(
       (1L, "u1", ts("2024-01-01 00:00:00")),
