@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) sketch: the deterministic distinct-count /
+  * uniform-sample sketch. Every key hashes to a 60-bit value; the
+  * sketch keeps only the k SMALLEST distinct hashes per group. From
+  * the k-th smallest hash `h_k`, distinct cardinality is estimated as
+  * `(k−1) · 2^60 / h_k` (Bar-Yossef et al. 2002); with fewer than k
+  * distinct hashes the sketch IS the exact distinct set.
+  *
+  * Unlike RNG-based reservoir sampling, the hash bottom-k is a pure
+  * function of the data — identical across runs, engines, partition
+  * layouts, and merge orders (the property every law in this repo's
+  * sampling family relies on). State is O(k) longs, partial-aggregated
+  * map-side: the shuffle carries ≤ k hashes per group per partition —
+  * the same bounded-merge shape as [[Similarity.TopKAgg]].
+  */
+object Sketch {
+
+  /** 60-bit hash: the first 15 hex digits of md5, as a long — chosen
+    * over xxhash64 because every SQL engine can reproduce it
+    * (`CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)`). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** 2^60 as a double (exact). */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** Bounded bottom-k distinct-merge aggregator over hashes: keeps the
+    * k smallest DISTINCT values, sorted ascending. */
+  class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def trim(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    def zero: Seq[Long] = Nil
+    def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      // early-exit: a full buffer ignores hashes at-or-above its max
+      if (b.length >= k && h >= b.last) b else trim(b :+ h)
+    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** The sketch column: bottom-k distinct hashes of `keyCol`,
+    * ascending. Use inside `groupBy(...).agg(...)`. */
+  def kmv(keyCol: String, k: Int): Column =
+    udaf(new KmvAgg(k)).apply(hash60(col(keyCol)))
+
+  /** Per-group distinct-count estimates: `n_sketch` (hashes retained),
+    * `est_distinct` — exact when the group has < k distinct keys, the
+    * KMV estimator otherwise. The estimate is a deterministic double:
+    * same bits on any engine computing the same formula. */
+  def kmvDistinct(
+      df: DataFrame, keyCol: String, k: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(k >= 2, "kmvDistinct: k must be >= 2")
+    val sk = df.groupBy(groupCols.map(col): _*)
+      .agg(kmv(keyCol, k).as("__kmv"))
+    sk.select(groupCols.map(col) :+
+      size(col("__kmv")).cast("long").as("n_sketch") :+
+      when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+          element_at(col("__kmv"), k).cast("double"))
+        .as("est_distinct"): _*)
+  }
+}
