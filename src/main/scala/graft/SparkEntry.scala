@@ -562,6 +562,26 @@ object SparkEntry {
           col("n_missing"), col("n_flagged"))
         .orderBy("win_start_s")
     }),
+    "stream_sessionize" -> ((s, dir) => {
+      // flatMapGroupsWithState sessionization over the events file
+      // stream, drained AvailableNow; session_id = opening event's
+      // epoch millis, checked against the batch lag/running-max oracle
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+      val out = QcStream.streamingSessionize(ev, gapSecs = 3600.0)
+      val name = s"stream_sessionize_${System.nanoTime()}"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("key").as("user_id"),
+          expr("unix_micros(ts) DIV 1000").as("ts_ms"),
+          col("sessionId").as("session_id"))
+        .orderBy("user_id", "ts_ms", "session_id")
+    }),
 
     // --- time-series relational ops ----------------------------------
     "ts_asof" -> ((s, dir) => {
@@ -621,6 +641,15 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketch.kmvDistinct(events(s, dir), "user_id", 64, Seq("event_type"))
         .orderBy("event_type")),
+    "ts_rolling" -> ((s, dir) =>
+      graft.timeseries.TimeSeriesOps.rollingStats(
+          events(s, dir), keys = Seq("user_id"), t = "ts", v = "value",
+          windowSecs = 3600L, carry = Seq("event_id"))
+        .select(col("event_id"), col("roll_n").cast("long").as("roll_n"),
+          round(col("roll_sum"), 4).as("roll_sum"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          col("roll_min"), col("roll_max"))
+        .orderBy("event_id")),
     "ts_sessionize" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.sessionize(
           events(s, dir), keys = Seq("user_id"), t = "ts",
@@ -1136,6 +1165,13 @@ object SparkEntry {
       Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "cur_decontam_bloom" -> ((s, dir) => {
+      // Bloom pre-prune + exact confirm: output must equal
+      // cur_decontam_keep bit-for-bit (same oracle SQL)
+      val (corpus, bench) = decontamFixture(s, dir)
+      Curation.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
 
     // --- LLM pipeline: multimodal plumbing ---------------------------
     "embed_centroids" -> ((s, dir) =>
@@ -1596,6 +1632,34 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
         |  CAST((SELECT count(*) FROM s3) AS BIGINT)
         |ORDER BY step_idx""".stripMargin,
+    // millisecond gap compare mirrors the stream's Timestamp.getTime
+    // arithmetic exactly (micros would disagree within 1ms of the gap)
+    "stream_sessionize" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, epoch_ms(ts) AS tms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR tms - lag(epoch_ms(ts)) OVER w > 3600000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, tms AS ts_ms,
+        |  max(CASE WHEN ns = 1 THEN tms END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |FROM c ORDER BY user_id, ts_ms, session_id""".stripMargin,
+    "ts_rolling" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_ms(ts) AS tms FROM events)
+        |SELECT event_id,
+        |  CAST(count(value) OVER w AS BIGINT) AS roll_n,
+        |  round(sum(value) OVER w, 4) AS roll_sum,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "ts_sessionize" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts,
@@ -2465,6 +2529,36 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM step ORDER BY doc_id""".stripMargin,
     "cur_decontam_keep" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |btok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM ctok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bg AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g FROM btok,
+        |    UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    // Bloom pre-prune changes the PLAN, not the result: same oracle as
+    // the exact path proves the false-positive confirm join works.
+    "cur_decontam_bloom" ->
       """WITH bench AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
         |planted AS (

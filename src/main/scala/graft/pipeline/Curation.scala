@@ -47,10 +47,7 @@ object Curation {
       minMatches: Int = 1): DataFrame = {
     require(n >= 1, "contaminatedPairs: n must be >= 1")
     require(minMatches >= 1, "contaminatedPairs: minMatches must be >= 1")
-    def grams(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
-        explode(Dedup.wordShingles(col(textCol), n)).as("__g"))
-        .select(col(as), xxhash64(col("__g")).as("__gh"))
+    def grams(df: DataFrame, as: String) = gramHashes(df, idCol, textCol, n, as)
     val bg = grams(bench, "bench_id").distinct()
     grams(corpus, idCol)
       .join(broadcast(bg), Seq("__gh"))
@@ -74,6 +71,54 @@ object Curation {
       n: Int = 8,
       minMatches: Int = 1): DataFrame = {
     val bad = contaminatedPairs(corpus, bench, idCol, textCol, n, minMatches)
+      .select(col(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** (id, xxhash64(n-gram)) pairs — the shared kernel under both
+    * decontamination paths. */
+  private def gramHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      as: String): DataFrame =
+    df.select(col(idCol).as(as),
+      explode(Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .select(col(as), xxhash64(col("__g")).as("__gh"))
+
+  /** [[decontaminate]] with a Bloom-filter pre-prune — the 100 TB
+    * shape. The broadcast-join path ships every corpus gram hash into
+    * the join operator; here a Bloom filter over the benchmark's gram
+    * hashes (built distributed via `stat.bloomFilter`, merged on the
+    * driver, broadcast once) discards ~all corpus grams inside the
+    * scan stage, so only the tiny candidate stream reaches the join.
+    * Bloom false positives are killed by the exact confirm join, so
+    * the OUTPUT is bit-identical to [[decontaminate]] at any `fpp` —
+    * the filter only trades a little broadcast memory for a shorter
+    * candidate stream. The benchmark side is counted first to size the
+    * filter (one extra job over the small side; ~9.6 bits/key at the
+    * default 1% fpp).
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minMatches: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, "decontaminateBloom: n must be >= 1")
+    require(minMatches >= 1, "decontaminateBloom: minMatches must be >= 1")
+    require(fpp > 0 && fpp < 1, "decontaminateBloom: fpp must be in (0,1)")
+    val bg = gramHashes(bench, idCol, textCol, n, "bench_id").distinct()
+    val nGrams = math.max(bg.count(), 1L)
+    val bf = bg.stat.bloomFilter("__gh", nGrams, fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val bad = gramHashes(corpus, idCol, textCol, n, idCol)
+      .filter(mightContain(col("__gh"))) // scan-stage prune
+      .join(broadcast(bg), Seq("__gh")) // exact confirm: no FP survives
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(countDistinct(col("__gh")).as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
       .select(col(idCol)).distinct()
     corpus.join(bad, Seq(idCol), "left_anti")
   }

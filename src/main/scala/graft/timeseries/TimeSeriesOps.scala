@@ -188,6 +188,46 @@ object TimeSeriesOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Rolling time-RANGE aggregates: for every row, stats over the same
+    * key's rows in the trailing `windowSecs` seconds (inclusive of the
+    * current instant) — the moving average / trailing count every
+    * monitoring and feature-engineering pipeline asks of a time-series
+    * engine.
+    *
+    * A RANGE frame (not ROWS): rows at the same millisecond are frame
+    * peers and all see the identical frame, so the result is
+    * independent of any tie-breaking order — deterministic across
+    * engines and partition layouts. The frame is keyed on epoch
+    * MILLISECONDS (integer), the finest grain both Spark
+    * (`unix_micros DIV 1000`) and DuckDB (`epoch_ms`) truncate to
+    * identically.
+    *
+    * Scale shape: ONE hash shuffle on `keys`, then an in-partition sort
+    * and a single running frame per key — the same exchange profile as
+    * [[sessionize]]; no self-join, no per-row range probe. Skewed keys
+    * are bounded by the per-key data, not the window width.
+    */
+  def rollingStats(
+      df: DataFrame,
+      keys: Seq[String],
+      t: String,
+      v: String,
+      windowSecs: Long,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(windowSecs >= 0, "rollingStats: windowSecs must be >= 0")
+    // exact for |micros| < 2^53; floor matches DuckDB's epoch_ms truncation
+    val tms = floor(unix_micros(col(t)) / lit(1000.0)).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tms)
+      .rangeBetween(-windowSecs * 1000L, Window.currentRow)
+    df.select((keys.map(col) ++ carry.map(col) :+ col(t) :+ col(v)) ++ Seq(
+      count(col(v)).over(w).as("roll_n"),
+      sum(col(v)).over(w).as("roll_sum"),
+      avg(col(v)).over(w).as("roll_avg"),
+      min(col(v)).over(w).as("roll_min"),
+      max(col(v)).over(w).as("roll_max")): _*)
+  }
+
   /** Per-session summary (count, span) — the aggregation usually
     * chained after [[sessionize]]; one additional groupBy shuffle. */
   def sessionStats(

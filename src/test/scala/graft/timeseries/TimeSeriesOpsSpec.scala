@@ -133,6 +133,37 @@ class TimeSeriesOpsSpec extends SparkSpec {
       (2L, "purchase", 1L)))
   }
 
+  test("rollingStats: trailing RANGE frame per key, peers share frames") {
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00"), 10.0),
+      (2L, "u1", ts("2024-01-01 00:30:00"), 20.0),
+      (3L, "u1", ts("2024-01-01 01:15:00"), 30.0), // 00:00 now out of 1h range
+      (4L, "u1", ts("2024-01-01 01:15:00"), 40.0), // tie: same frame as row 3
+      (5L, "u2", ts("2024-01-01 00:30:00"), 7.0)   // other key: isolated
+    ).toDF("id", "user", "t", "v")
+    val out = TimeSeriesOps.rollingStats(ev, Seq("user"), "t", "v",
+        windowSecs = 3600L, carry = Seq("id"))
+      .select("id", "roll_n", "roll_sum").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 10.0),          // only itself
+      (2L, 2L, 30.0),          // 00:00 within 1h (inclusive)
+      (3L, 3L, 90.0),          // 00:30 + both peers at 01:15
+      (4L, 3L, 90.0),          // RANGE peer: identical frame
+      (5L, 1L, 7.0)))
+  }
+
+  test("rollingStats is partition-layout invariant") {
+    val ev = (0L until 200L).map(i =>
+        (i, s"u${i % 5}", new Timestamp(i * 47000L), i.toDouble))
+      .toDF("id", "user", "t", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeriesOps.rollingStats(df, Seq("user"), "t", "v", 600L, Seq("id"))
+        .select("id", "roll_n", "roll_sum").as[(Long, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(run(ev) == run(ev.repartition(7)))
+  }
+
   test("sessionStats aggregates count and span per session") {
     val ev = Seq(
       (1L, "u1", ts("2024-01-01 00:00:00")),
