@@ -130,4 +130,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"no single-partition stage in the packing plan:\n$p")
   }
+
+  test("rolling stats: one keyed shuffle, no self-join, no global window") {
+    // allowed: the key hash exchange + the oracle sort's range exchange
+    val p = plan("ts_rolling")
+    assert(shuffles(p) <= 2, s"rolling frame must be one keyed pass:\n$p")
+    val phys = physical("ts_rolling")
+    assert(phys.contains("hashpartitioning(user_id"),
+      s"frame must partition by the series key:\n$phys")
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("CartesianProduct"),
+      s"never a range self-join:\n$phys")
+  }
+
+  test("bloom decontamination: confirm join broadcasts, no cross join") {
+    // the final LeftAnti (corpus vs bad ids) deliberately has no
+    // broadcast hint — AQE promotes it at runtime (see decontaminate's
+    // scaladoc) — so only the gram-level joins are constrained here
+    val p = plan("cur_decontam_bloom")
+    assert(p.contains("BroadcastHashJoin"),
+      s"confirm join must broadcast the bench grams:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"never an all-pairs stage:\n$p")
+    val smj = "SortMergeJoin (LeftAnti|Inner|LeftOuter)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smj.forall(_ == "LeftAnti"),
+      s"only the AQE-promotable anti-join may sort-merge:\n$p")
+  }
+
+  test("kmv sketch: partial-aggregates map-side before the group exchange") {
+    // ObjectHashAggregate partial → exchange on group key → final:
+    // the shuffle carries ≤k hashes per (group, partition), never rows
+    val phys = physical("sketch_kmv")
+    assert(phys.contains("hashpartitioning(event_type"),
+      s"sketch merge must exchange on the group key:\n$phys")
+    assert(countOcc(phys, "ObjectHashAggregate") >= 2,
+      s"bottom-k must partial-aggregate before the shuffle:\n$phys")
+  }
 }
