@@ -355,6 +355,12 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("v_median"),
           count(col("value")).as("n"))
         .orderBy("event_type")),
+    "a12_histogram" -> ((s, dir) =>
+      Sketch.fixedHistogram(events(s, dir), "value",
+          lo = 0.0, hi = 200.0, nBins = 20, groupCols = Seq("event_type"))
+        .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+          col("n"))
+        .orderBy("event_type", "bucket")),
     "a11_agreement" -> ((s, dir) => {
       // manual (seeded) flags vs a deliberately-miscalibrated auto
       // range rule (>140 / <90 instead of >150 / <100)
@@ -581,6 +587,26 @@ object SparkEntry {
           expr("unix_micros(ts) DIV 1000").as("ts_ms"),
           col("sessionId").as("session_id"))
         .orderBy("user_id", "ts_ms", "session_id")
+    }),
+    "stream_sliding" -> ((s, dir) => {
+      // OVERLAPPING event-time windows (24h width, 6h slide): every
+      // event lands in 4 windows; state is bounded by the watermark at
+      // a real trigger (complete mode here so the drained table covers
+      // the whole fixture for the oracle)
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "48 hours")
+        .groupBy(window(col("ts"), "24 hours", "6 hours").as("win"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value")), 4).as("sum_value"))
+      val name = s"stream_sliding_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_timestamp(col("win.start")).as("win_start_s"),
+          col("n_rows"), col("sum_value"))
+        .orderBy("win_start_s")
     }),
 
     // --- time-series relational ops ----------------------------------
@@ -969,6 +995,22 @@ object SparkEntry {
             lower(regexp_replace(col("text"), "\\s+", " ")), 5, 4))
             .cast("long").as("n_fingerprints"))
         .orderBy("doc_id")),
+    "cur_rollup" -> ((s, dir) =>
+      // grand-total / per-lang / per-(lang, source) in ONE pass: the
+      // rollup expands grouping sets inside a single hash aggregate —
+      // no union of three scans. grouping() flags exported explicitly
+      // (bit order of grouping_id differs across engines).
+      documents(s, dir)
+        .select(col("lang"), col("source"),
+          TextAnalysis.nTokens(col("text")).as("nt"))
+        .rollup("lang", "source")
+        .agg(grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("sum_tokens"))
+        .select(col("lang"), col("source"), col("g_lang"), col("g_source"),
+          col("n_docs"), col("sum_tokens"))
+        .orderBy("g_lang", "g_source", "lang", "source")),
     "text_corpus_stats" -> ((s, dir) =>
       documents(s, dir)
         .select(col("lang"), TextAnalysis.nTokens(col("text")).as("nt"),
@@ -1228,7 +1270,17 @@ object SparkEntry {
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id"),
           Multimodal.stubFeatures(col("payload"), 16).as("features"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+    "mm_frames" -> ((s, dir) =>
+      // synthetic frame counts (the corpus has no real video); the
+      // explode fan-out shape ahead of per-frame feature extraction
+      Multimodal.sampleFrames(
+          documents(s, dir)
+            .select(col("doc_id"),
+              pmod(col("doc_id"), lit(11)).cast("int").as("n_frames")),
+          "n_frames", stride = 3)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash-family-dependent /
@@ -1632,6 +1684,41 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
         |  CAST((SELECT count(*) FROM s3) AS BIGINT)
         |ORDER BY step_idx""".stripMargin,
+    // this DuckDB build has no width_bucket; the explicit arithmetic is
+    // bit-identical (bin width 10.0 is exact binary, same IEEE divide)
+    "a12_histogram" ->
+      """SELECT event_type,
+        |  CASE WHEN value < 0.0 THEN 0
+        |       WHEN value >= 200.0 THEN 21
+        |       ELSE CAST(floor(value / 10.0) + 1 AS BIGINT) END AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cur_rollup" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT lang, source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY ROLLUP (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+        |FROM documents,
+        |  UNNEST(range(0, CAST(doc_id % 11 AS BIGINT), 3)) AS r(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "stream_sliding" ->
+      """WITH k AS (SELECT UNNEST(range(0, 4)) AS i),
+        |w AS (
+        |  SELECT (CAST(floor(epoch(ts) / 21600) AS BIGINT) - i) * 21600
+        |    AS win_start_s, value
+        |  FROM events, k)
+        |SELECT win_start_s, count(*) AS n_rows,
+        |  round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // millisecond gap compare mirrors the stream's Timestamp.getTime
     // arithmetic exactly (micros would disagree within 1ms of the gap)
     "stream_sessionize" ->

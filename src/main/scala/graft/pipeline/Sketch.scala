@@ -51,6 +51,23 @@ object Sketch {
   def kmv(keyCol: String, k: Int): Column =
     udaf(new KmvAgg(k)).apply(hash60(col(keyCol)))
 
+  /** Fixed-width histogram: per-group bucket counts over `[lo, hi)`
+    * with `width_bucket` semantics (bucket 0 below `lo`, `nBins + 1`
+    * at-or-above `hi`, nulls in a null bucket) — identical in Spark
+    * and DuckDB, so the profile is engine-portable. ONE hash aggregate
+    * with map-side combine: the shuffle carries ≤ (nBins + 2) rows per
+    * group per partition no matter the data size — the cheap first
+    * look at a value column before committing to flag thresholds. */
+  def fixedHistogram(
+      df: DataFrame, v: String, lo: Double, hi: Double, nBins: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(nBins >= 1, "fixedHistogram: nBins must be >= 1")
+    require(lo < hi, "fixedHistogram: lo must be < hi")
+    df.groupBy((groupCols.map(col) :+
+        width_bucket(col(v), lit(lo), lit(hi), lit(nBins)).as("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-group distinct-count estimates: `n_sketch` (hashes retained),
     * `est_distinct` — exact when the group has < k distinct keys, the
     * KMV estimator otherwise. The estimate is a deterministic double:

@@ -35,6 +35,25 @@ class SketchSpec extends SparkSpec {
     assert(a == c, "duplicate rows must not move the sketch")
   }
 
+  test("fixedHistogram: width_bucket bins with under/overflow buckets") {
+    val df = Seq(
+      ("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 10.0),
+      ("a", 99.9), ("a", 100.0), ("b", 250.0)
+    ).toDF("grp", "v")
+    val out = Sketch.fixedHistogram(df, "v", 0.0, 100.0, 10, Seq("grp"))
+      .select(col("grp"), col("bucket").cast("long"), col("n"))
+      .as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", 0L, 1L),   // -5.0 below lo → underflow bucket
+      ("a", 1L, 2L),   // 0.0, 9.9 in [0, 10)
+      ("a", 2L, 1L),   // 10.0 lands in the NEXT bin (half-open)
+      ("a", 10L, 1L),  // 99.9 in the last real bin
+      ("a", 11L, 1L),  // 100.0 at hi → overflow bucket
+      ("b", 11L, 1L)), // 250.0 overflow, other group
+      s"got $out")
+  }
+
   test("hash60 is a 60-bit non-negative value") {
     val hs = (0L until 200L).toDF("id")
       .select(Sketch.hash60(col("id")).as("h")).as[Long].collect()
