@@ -218,6 +218,40 @@ object SparkEntry {
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
         .orderBy("l_returnflag")),
 
+    "q6_filter_agg" -> ((s, dir) =>
+      // TPC-H Q6-shaped: the pure pushdown showcase — every predicate
+      // must reach the parquet scan, the agg is a one-row fold
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))),
+    "q5_region_join" -> ((s, dir) => {
+      // TPC-H Q5-shaped: the fact-fact shuffle join (lineitem ⋈ orders)
+      // under a chain of BROADCAST dims (customer, supplier, nation,
+      // region) — the join-order / broadcast-planning competence probe
+      val r = s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_name") === "ASIA")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
     "q3_join" -> ((s, dir) => {
       // TPC-H Q3-shaped: big fact (lineitem) joined to orders and a
       // BROADCAST customer dim — the join competence the reference
@@ -667,6 +701,16 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketch.kmvDistinct(events(s, dir), "user_id", 64, Seq("event_type"))
         .orderBy("event_type")),
+    "ts_gap_stats" -> ((s, dir) =>
+      graft.timeseries.TimeSeriesOps.gapStats(
+          events(s, dir), keys = Seq("user_id"), t = "ts",
+          orderCols = Seq("event_id"))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("sum_gap_s"), 4).as("sum_gap_s"),
+          round(col("avg_gap_s"), 4).as("avg_gap_s"),
+          round(col("min_gap_s"), 4).as("min_gap_s"),
+          round(col("max_gap_s"), 4).as("max_gap_s"))
+        .orderBy("user_id")),
     "ts_rolling" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.rollingStats(
           events(s, dir), keys = Seq("user_id"), t = "ts", v = "value",
@@ -1734,6 +1778,41 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_id
         |FROM c ORDER BY user_id, ts_ms, session_id""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q5_region_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "ts_gap_stats" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |  round(sum(gap_us) / 1e6, 4) AS sum_gap_s,
+        |  round(avg(gap_us) / 1e6, 4) AS avg_gap_s,
+        |  round(min(gap_us) / 1e6, 4) AS min_gap_s,
+        |  round(max(gap_us) / 1e6, 4) AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_rolling" ->
       """WITH e AS (
         |  SELECT event_id, user_id, value, epoch_ms(ts) AS tms FROM events)

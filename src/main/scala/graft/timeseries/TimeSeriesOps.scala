@@ -228,6 +228,33 @@ object TimeSeriesOps {
       max(col(v)).over(w).as("roll_max")): _*)
   }
 
+  /** Per-key inter-arrival (gap) statistics: count/avg/min/max of the
+    * seconds between consecutive events — the cadence profile that
+    * tells you whether a series is regular enough to resample, and the
+    * first thing to check before trusting a watermark. Gap arithmetic
+    * runs on exact integer MICROSECONDS (the lag difference) and is
+    * divided out to seconds only at the end, so both engines aggregate
+    * identical integers. One keyed shuffle: lag + aggregate share the
+    * same hash exchange. */
+  def gapStats(
+      df: DataFrame,
+      keys: Seq[String],
+      t: String,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(t) +: orderCols.map(col)): _*)
+    val gapUs = unix_micros(col(t)) - lag(unix_micros(col(t)), 1).over(w)
+    df.select(keys.map(col) :+ gapUs.as("__gap_us"): _*)
+      .filter(col("__gap_us").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        (sum(col("__gap_us")) / lit(1e6)).as("sum_gap_s"),
+        (avg(col("__gap_us")) / lit(1e6)).as("avg_gap_s"),
+        (min(col("__gap_us")) / lit(1e6)).as("min_gap_s"),
+        (max(col("__gap_us")) / lit(1e6)).as("max_gap_s"))
+  }
+
   /** Per-session summary (count, span) — the aggregation usually
     * chained after [[sessionize]]; one additional groupBy shuffle. */
   def sessionStats(

@@ -131,6 +131,28 @@ class PlanShapeSpec extends SparkSpec {
       s"no single-partition stage in the packing plan:\n$p")
   }
 
+  test("q6: every predicate pushes to the parquet scan, one-row agg") {
+    val p = plan("q6_filter_agg")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(f), s"expected $f pushed to scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"),
+      s"untouched columns must be pruned:\n$readSchema")
+  }
+
+  test("q5: dims broadcast; only the fact-fact join may exchange") {
+    val p = plan("q5_region_join")
+    assert(countOcc(p, "BroadcastHashJoin") >= 4,
+      s"customer/supplier/nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross join:\n$p")
+    // lineitem ⋈ orders may shuffle (both fact-sized at real scale);
+    // everything else must not add exchanges beyond agg + oracle sort
+    assert(shuffles(p) <= 4, s"too many exchanges:\n$p")
+  }
+
   test("rolling stats: one keyed shuffle, no self-join, no global window") {
     // allowed: the key hash exchange + the oracle sort's range exchange
     val p = plan("ts_rolling")

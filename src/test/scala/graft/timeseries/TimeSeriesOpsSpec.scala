@@ -164,6 +164,19 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(7)))
   }
 
+  test("gapStats: inter-arrival seconds per key, singleton keys drop out") {
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00")),
+      (2L, "u1", ts("2024-01-01 00:01:00")),
+      (3L, "u1", ts("2024-01-01 00:04:00")),
+      (4L, "u2", ts("2024-01-01 00:00:00"))  // one event → no gaps
+    ).toDF("id", "user", "t")
+    val out = TimeSeriesOps.gapStats(ev, Seq("user"), "t", Seq("id"))
+      .select("user", "n_gaps", "avg_gap_s", "min_gap_s", "max_gap_s")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("u1", 2L, 120.0, 60.0, 180.0)))
+  }
+
   test("sessionStats aggregates count and span per session") {
     val ev = Seq(
       (1L, "u1", ts("2024-01-01 00:00:00")),
