@@ -252,6 +252,32 @@ object SparkEntry {
           .as("revenue"))
         .orderBy("n_name")
     }),
+    "q14_promo" -> ((s, dir) => {
+      // TPC-H Q14-shaped: conditional aggregation over a broadcast
+      // part join — promo revenue share in one pass
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      lineitem(s, dir)
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2)
+            .as("promo_rev"),
+          round(sum(rev), 2).as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          round(col("promo_rev") / col("total_rev") * 100.0, 6)
+            .as("promo_pct"))
+    }),
+    "q8_no_orders" -> ((s, dir) => {
+      // anti-join breadth: customers with no RECENT order, by segment
+      // (unfiltered, the synthetic data gives every customer an order)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
     "q3_join" -> ((s, dir) => {
       // TPC-H Q3-shaped: big fact (lineitem) joined to orders and a
       // BROADCAST customer dim — the join competence the reference
@@ -621,6 +647,36 @@ object SparkEntry {
           expr("unix_micros(ts) DIV 1000").as("ts_ms"),
           col("sessionId").as("session_id"))
         .orderBy("user_id", "ts_ms", "session_id")
+    }),
+    "stream_join" -> ((s, dir) => {
+      // STREAM-STREAM inner join: purchases matched to same-user
+      // signups within the preceding day. Watermarks + the time-range
+      // predicate bound the join state (each side keeps ≤ watermark +
+      // range of history); inner-join rows emit as matched, so the
+      // AvailableNow drain yields exactly the batch join
+      import org.apache.spark.sql.streaming.Trigger
+      val signups = eventsStream(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+        .withWatermark("s_ts", "2 days")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event"))
+        .withWatermark("p_ts", "2 days")
+      val joined = purchases.join(signups,
+        col("p_user") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 1 DAY"))
+      val name = s"stream_join_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("p_event").as("event_id"),
+          col("p_user").as("user_id"),
+          expr("unix_micros(s_ts) DIV 1000").as("s_ts_ms"))
+        .orderBy("event_id", "s_ts_ms")
     }),
     "stream_sliding" -> ((s, dir) => {
       // OVERLAPPING event-time windows (24h width, 6h slide): every
@@ -1778,6 +1834,32 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_id
         |FROM c ORDER BY user_id, ts_ms, session_id""".stripMargin,
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT p_type, l_extendedprice * (1.0 - l_discount) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END), 2)
+        |      AS promo_rev,
+        |    round(sum(rev), 2) AS total_rev
+        |  FROM j)
+        |SELECT promo_rev, total_rev,
+        |  round(promo_rev / total_rev * 100.0, 6) AS promo_pct
+        |FROM a""".stripMargin,
+    "q8_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "stream_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(s.ts) AS s_ts_ms
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        |  AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+        |ORDER BY 1, 3""".stripMargin,
     "q6_filter_agg" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |  count(*) AS n
