@@ -859,6 +859,19 @@ object SparkEntry {
         .filter(col("value_qcflag") === ManualFlag)
         .select(col("event_id")).orderBy("event_id")
     }),
+    "u3_pivot" -> ((s, dir) =>
+      // pivot with an EXPLICIT value list: no collect-distinct
+      // pre-job, the plan is a single hash aggregate with one
+      // conditional-count column per type — wide-format feature
+      // extraction at fact-table scale
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), col("click"), col("error"),
+          col("purchase"), col("signup"), col("view"))
+        .orderBy("user_id")),
     "a1_multi" -> ((s, dir) =>
       QcProgress.summary(
         QcFlags.addFlags(withValue2(events(s, dir)), Seq("value", "value2")))
@@ -2047,6 +2060,14 @@ object SparkEntry {
     "auto_range" ->
       """SELECT event_id FROM events
         |WHERE value < 10.0 OR value > 400.0 ORDER BY event_id""".stripMargin,
+    "u3_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a1_multi" ->
       s"""$SeededCte SELECT * FROM (
          |SELECT 'value' AS variable,
