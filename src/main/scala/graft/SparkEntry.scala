@@ -859,6 +859,12 @@ object SparkEntry {
         .filter(col("value_qcflag") === ManualFlag)
         .select(col("event_id")).orderBy("event_id")
     }),
+    "plot_m4" -> ((s, dir) =>
+      // weekly buckets per event_type: each bucket keeps only the rows
+      // carrying its min/max value and first/last time
+      QcPlotFeed.m4Downsample(events(s, dir), "ts", "value",
+          widthSecs = 604800L, keys = Seq("event_type"))
+        .select(col("event_id")).orderBy("event_id")),
     "u3_pivot" -> ((s, dir) =>
       // pivot with an EXPLICIT value list: no collect-distinct
       // pre-job, the plan is a single hash aggregate with one
@@ -2060,6 +2066,21 @@ object SparkEntry {
     "auto_range" ->
       """SELECT event_id FROM events
         |WHERE value < 10.0 OR value > 400.0 ORDER BY event_id""".stripMargin,
+    "plot_m4" ->
+      """WITH b AS (
+        |  SELECT event_id, value, epoch_ms(ts) AS tms,
+        |    CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS bucket,
+        |    event_type
+        |  FROM events)
+        |SELECT event_id FROM (
+        |  SELECT event_id,
+        |    min(value) OVER w AS vmin, max(value) OVER w AS vmax,
+        |    min(tms) OVER w AS tmin, max(tms) OVER w AS tmax,
+        |    value, tms
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type, bucket))
+        |WHERE value = vmin OR value = vmax OR tms = tmin OR tms = tmax
+        |ORDER BY event_id""".stripMargin,
     "u3_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -90,4 +90,48 @@ object QcPlotFeed {
     val clean = QcFlags.cleanForPlot(df, suffix).withColumn("panel", lit("clean"))
     raw.unionByName(clean)
   }
+
+  /** M4 plot downsampling (Jugel et al., VLDB 2014, "M4: A
+    * Visualization-Oriented Time Series Data Aggregation"): per
+    * time bucket keep exactly the rows carrying the bucket's min/max
+    * VALUE and first/last TIME — the four points that make a line
+    * render of the bucket pixel-identical to rendering every row. The
+    * scale answer to the reference's "scattergl for speed on large
+    * data" (README.md:53): a million-row series decimates to ≤ 4·k
+    * rows before it ever reaches a browser.
+    *
+    * Set semantics, no tie-breaking: EVERY row matching one of the
+    * four extremes survives (ties are rare on real measurements and
+    * harmless to the drawing). Null values never match an extreme and
+    * are dropped — mask first (P5/P6) if nulls should gap the line.
+    * Buckets are absolute epoch-aligned (`floor(epoch_ms / width)`),
+    * so the output is independent of the frame being viewed.
+    *
+    * ONE keyed shuffle: the four extremes come from a single window
+    * over (keys, bucket) and the filter is a narrow projection on top
+    * — the same exchange profile as a grouped aggregate, with no
+    * join back. */
+  def m4Downsample(
+      df: DataFrame,
+      t: String,
+      v: String,
+      widthSecs: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(widthSecs > 0, "m4Downsample: widthSecs must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val tms = floor(unix_micros(qcol(t)) / lit(1000.0)).cast("long")
+    val w = Window.partitionBy(
+      (keys.map(qcol) :+ col("__bucket")): _*)
+    df.withColumn("__tms", tms)
+      .withColumn("__bucket",
+        floor(col("__tms") / lit(widthSecs * 1000.0)).cast("long"))
+      .withColumn("__vmin", min(qcol(v)).over(w))
+      .withColumn("__vmax", max(qcol(v)).over(w))
+      .withColumn("__tmin", min(col("__tms")).over(w))
+      .withColumn("__tmax", max(col("__tms")).over(w))
+      .filter(
+        qcol(v) === col("__vmin") || qcol(v) === col("__vmax") ||
+        col("__tms") === col("__tmin") || col("__tms") === col("__tmax"))
+      .drop("__bucket", "__tms", "__vmin", "__vmax", "__tmin", "__tmax")
+  }
 }

@@ -40,6 +40,34 @@ class QcPlotFeedSpec extends SparkSpec {
     assert(QcPlotFeed.byIds(df, Seq(1L, 3L)).count() == 2)
   }
 
+  test("M4 downsample keeps exactly first/last/min/max rows per bucket") {
+    def ts(min: Int) = new Timestamp(86400000L + min * 60000L)
+    val series = Seq(
+      // bucket 0 (first hour, 10-min cadence): first=0, last=50,
+      // min at 20 (-5.0), max at 30 (99.0); 10 and 40 interior → dropped
+      (1L, ts(0), 10.0), (2L, ts(10), 20.0), (3L, ts(20), -5.0),
+      (4L, ts(30), 99.0), (5L, ts(40), 30.0), (6L, ts(50), 25.0),
+      // bucket 1: two rows, both extremes
+      (7L, ts(60), 1.0), (8L, ts(70), 2.0),
+      // null value: never an extreme
+      (9L, ts(45), Double.NaN)
+    ).toDF("id", "t", "v")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val kept = QcPlotFeed.m4Downsample(series, "t", "v", widthSecs = 3600L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 6L, 7L, 8L))
+  }
+
+  test("M4 downsample is partition-layout invariant") {
+    def ts(min: Int) = new Timestamp(86400000L + min * 60000L)
+    val series = (0 until 500).map(i => (i.toLong, ts(i), (i * 37 % 101).toDouble))
+      .toDF("id", "t", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      QcPlotFeed.m4Downsample(df, "t", "v", widthSecs = 1800L)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(run(series) == run(series.repartition(11)))
+  }
+
   test("U1 rawCleanUnion doubles rows with panel discriminator and strict mask") {
     val u = QcPlotFeed.rawCleanUnion(df)
     assert(u.count() == 8)
