@@ -1061,6 +1061,18 @@ object SparkEntry {
           col("nbr_id"))
         .orderBy("probe_id", "rank")
     }),
+    "sim_ivf_pruned" -> ((s, dir) => {
+      // the persisted IVF layout: write corpus partitionBy(cell), probe
+      // via a partition-IN filter — must return exactly sim_ivf's rows
+      val emb = embeddings(s, dir)
+      val path = scratch("ivf_index")
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", path, nlist = 16)
+      Similarity.ivfProbeIndex(s, path, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
     "sim_ivf" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),

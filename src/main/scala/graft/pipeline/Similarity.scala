@@ -153,19 +153,11 @@ object Similarity {
     cs
   }
 
-  /** IVF (inverted-file) coarse quantizer: `nlist` deterministic seed
-    * centroids (pseudo-random corpus sample by id hash — IVF-flat with
-    * sampled centroids; a Lloyd refinement is an optional upgrade, the
-    * list structure is identical). Every corpus vector is assigned to
-    * its nearest centroid's list; a probe searches only its `nprobe`
-    * nearest lists. At scale the corpus can be WRITTEN bucketed by
-    * `cell` (partitionBy), making each probe a partition-pruned scan.
-    */
-  def ivfTopK(
-      corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 32, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
-    // deterministic pseudo-random centroid sample (no RNG, stable runs)
+  /** Deterministic IVF centroids: a pseudo-random corpus sample by id
+    * hash (no RNG, stable runs), optionally Lloyd-refined. */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, refineIters: Int = 0): Array[(Int, Array[Double])] = {
     val sampled: Array[(Int, Array[Double])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)))
@@ -175,23 +167,36 @@ object Similarity {
       .map { case (r, i) => // element-type agnostic (float or double arrays)
         (i, r.getSeq[Number](1).map(_.doubleValue()).toArray)
       }
-    val cents =
-      if (refineIters > 0) refineCentroids(corpus, vecCol, sampled, refineIters)
-      else sampled
+    if (refineIters > 0) refineCentroids(corpus, vecCol, sampled, refineIters)
+    else sampled
+  }
 
-    def cellDists(v: Column): Column = centDists(cents)(v, col("__nv"))
-
-    val assigned = corpus
+  /** Corpus with its IVF `cell` assignment (nearest centroid). */
+  def ivfAssign(
+      corpus: DataFrame, vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame =
+    corpus
       .withColumn("__nv", Vec.norm(col(vecCol)))
-      .withColumn("cell", array_min(cellDists(col(vecCol))).getField("cid"))
+      .withColumn("cell",
+        array_min(centDists(cents)(col(vecCol), col("__nv"))).getField("cid"))
       .drop("__nv")
-    val probeCells = probes
+
+  /** Probes exploded to their `nprobe` nearest cells. */
+  private def ivfProbeCells(
+      probes: DataFrame, vecCol: String,
+      cents: Array[(Int, Array[Double])], nprobe: Int): DataFrame =
+    probes
       .withColumn("__nv", Vec.norm(col(vecCol)))
       .withColumn("cell",
         explode(transform(
-          slice(array_sort(cellDists(col(vecCol))), 1, nprobe), _.getField("cid"))))
+          slice(array_sort(centDists(cents)(col(vecCol), col("__nv"))),
+            1, nprobe), _.getField("cid"))))
       .drop("__nv")
 
+  /** Per-probe exact rank over the candidates from the probed cells. */
+  private def ivfScore(
+      probeCells: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val scored = probeCells
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"), col("cell"))
       .join(assigned.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
@@ -203,6 +208,70 @@ object Similarity {
         .orderBy(col("cosine").desc, col("nbr_id"))))
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "nbr_id", "cosine")
+  }
+
+  /** IVF (inverted-file) coarse quantizer: `nlist` deterministic seed
+    * centroids (pseudo-random corpus sample by id hash — IVF-flat with
+    * sampled centroids; a Lloyd refinement is an optional upgrade, the
+    * list structure is identical). Every corpus vector is assigned to
+    * its nearest centroid's list; a probe searches only its `nprobe`
+    * nearest lists. For the persisted form where each probe is a
+    * partition-pruned scan, see [[ivfWriteIndex]]/[[ivfProbeIndex]]. */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
+    ivfScore(ivfProbeCells(probes, vecCol, cents, nprobe),
+      ivfAssign(corpus, vecCol, cents), idCol, vecCol, k)
+  }
+
+  /** Persist the IVF index: the corpus written `partitionBy("cell")`
+    * (one directory per inverted list) plus the centroid table beside
+    * it. At 100 TB this layout IS the index — a probe touching
+    * `nprobe` cells reads `nprobe/nlist` of the data via partition
+    * pruning, no row-level work on the rest. */
+  def ivfWriteIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 32, refineIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
+    ivfAssign(corpus, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c.toSeq)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: the probes' `nprobe` cells are
+    * collected (≤ nlist ints — metadata-sized) and pushed into the
+    * scan as a partition `IN` filter, so only the probed inverted
+    * lists are ever read. Results are identical to [[ivfTopK]] with
+    * the same parameters — the layout changes the PLAN, not the
+    * answer. */
+  def ivfProbeIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val probeCells = ivfProbeCells(probes, vecCol, cents, nprobe)
+    val wanted = probeCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(wanted.map(Integer.valueOf): _*))
+    ivfScore(probeCells, index, idCol, vecCol, k)
   }
 
   /** Approximate top-k: LSH-bucketed candidate generation (union of the

@@ -62,6 +62,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf2 == ivf)
   }
 
+  test("persisted IVF index: pruned probe equals in-memory ivfTopK") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_spec").toString
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", path, nlist = 8)
+    val pruned = Similarity
+      .ivfProbeIndex(spark, path, probes, "vec_id", "embedding", 10, nprobe = 4)
+      .select("probe_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val mem = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 4)
+      .select("probe_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(pruned == mem, "the layout changes the plan, not the answer")
+    // the scan must actually prune: cell dirs beyond the probed set
+    // exist on disk but are excluded by the partition filter
+    val plan = Similarity
+      .ivfProbeIndex(spark, path, probes, "vec_id", "embedding", 10, nprobe = 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell")),
+      s"probe must push a partition IN filter:\n$plan")
+  }
+
   test("hyperplaneBands: deterministic across invocations") {
     val b1 = Similarity.hyperplaneBands(emb, "vec_id", "embedding", 32)
       .as[(Long, Int, Long)].collect().toSet
