@@ -757,6 +757,12 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketch.kmvDistinct(events(s, dir), "user_id", 64, Seq("event_type"))
         .orderBy("event_type")),
+    "ts_ewma" -> ((s, dir) =>
+      graft.timeseries.TimeSeriesOps.ewma(
+          events(s, dir), keys = Seq("user_id"), t = "ts", v = "value",
+          alpha = 0.2, lookback = 50, orderCols = Seq("event_id"))
+        .select(col("event_id"), round(col("ewma"), 4).as("ewma"))
+        .orderBy("event_id")),
     "ts_gap_stats" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.gapStats(
           events(s, dir), keys = Seq("user_id"), t = "ts",
@@ -1913,6 +1919,25 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // closed form of the bounded fold: within row i's 50-row frame the
+    // OLDEST row j0 carries weight (1-a)^(rn_i - rn_j0) (the seed) and
+    // every later row j carries a*(1-a)^(rn_i - rn_j)
+    "ts_ewma" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events)
+        |SELECT i.event_id,
+        |  round(sum(
+        |    CASE WHEN j.rn = greatest(1, i.rn - 49)
+        |         THEN pow(0.8, i.rn - j.rn)
+        |         ELSE 0.2 * pow(0.8, i.rn - j.rn) END * j.value), 4)
+        |    AS ewma
+        |FROM r i JOIN r j
+        |  ON i.user_id = j.user_id AND j.rn BETWEEN i.rn - 49 AND i.rn
+        |GROUP BY i.event_id
+        |ORDER BY i.event_id""".stripMargin,
     "ts_gap_stats" ->
       """WITH g AS (
         |  SELECT user_id,

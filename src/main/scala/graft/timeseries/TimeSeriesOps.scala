@@ -228,6 +228,46 @@ object TimeSeriesOps {
       max(col(v)).over(w).as("roll_max")): _*)
   }
 
+  /** Exponentially-weighted moving average (pandas `ewm(adjust=false)`
+    * semantics) over a bounded lookback of the last `lookback` rows
+    * per key: `s := (1−α)·s + α·x`, seeded with the frame's oldest
+    * value. The bound does two jobs: it caps the per-row fold cost,
+    * and it keeps the weights (`(1−α)^j`, j < lookback) inside double
+    * range — the unbounded recursion cannot be expressed as a finite
+    * closed form without `(1−α)^{-i}` overflow. With
+    * `(1−α)^lookback ≪ 1` the truncation error is negligible
+    * (`0.8^50 ≈ 1e-5` of the oldest value's weight).
+    *
+    * ONE keyed shuffle; the fold runs over a `collect_list` ROWS frame
+    * (bounded: `lookback` elements), so memory per row is O(lookback).
+    * Null values would silently skip fold steps (collect_list drops
+    * them) — mask or fill first. */
+  def ewma(
+      df: DataFrame,
+      keys: Seq[String],
+      t: String,
+      v: String,
+      alpha: Double,
+      lookback: Int = 50,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "ewma: alpha must be in (0, 1]")
+    require(lookback >= 1, "ewma: lookback must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(t) +: orderCols.map(col)): _*)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val vals = collect_list(col(v)).over(w)
+    val folded = aggregate(
+      vals,
+      struct(lit(0.0).as("s"), lit(false).as("init")),
+      (acc, x) => struct(
+        when(acc("init"),
+          lit(1.0 - alpha) * acc("s") + lit(alpha) * x)
+          .otherwise(x).as("s"),
+        lit(true).as("init")),
+      acc => acc("s"))
+    df.withColumn("ewma", folded)
+  }
+
   /** Per-key inter-arrival (gap) statistics: count/avg/min/max of the
     * seconds between consecutive events — the cadence profile that
     * tells you whether a series is regular enough to resample, and the

@@ -164,6 +164,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(7)))
   }
 
+  test("ewma: adjust=false recursion seeded at the frame's oldest row") {
+    val ev = Seq(
+      (1L, "u", ts("2024-01-01 00:00:00"), 10.0),
+      (2L, "u", ts("2024-01-01 00:01:00"), 20.0),
+      (3L, "u", ts("2024-01-01 00:02:00"), 30.0)
+    ).toDF("id", "user", "t", "v")
+    val out = TimeSeriesOps.ewma(ev, Seq("user"), "t", "v",
+        alpha = 0.5, lookback = 50, orderCols = Seq("id"))
+      .select("id", "ewma").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // s1=10; s2=.5*10+.5*20=15; s3=.5*15+.5*30=22.5
+    assert(out == Seq((1L, 10.0), (2L, 15.0), (3L, 22.5)))
+  }
+
+  test("ewma: lookback truncates the frame (seed re-anchors)") {
+    val ev = Seq(
+      (1L, "u", ts("2024-01-01 00:00:00"), 100.0),
+      (2L, "u", ts("2024-01-01 00:01:00"), 0.0),
+      (3L, "u", ts("2024-01-01 00:02:00"), 0.0)
+    ).toDF("id", "user", "t", "v")
+    val out = TimeSeriesOps.ewma(ev, Seq("user"), "t", "v",
+        alpha = 0.5, lookback = 2, orderCols = Seq("id"))
+      .select("id", "ewma").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // row 3's frame is [0, 0] — the 100 fell out of the lookback
+    assert(out == Seq((1L, 100.0), (2L, 50.0), (3L, 0.0)))
+  }
+
   test("gapStats: inter-arrival seconds per key, singleton keys drop out") {
     val ev = Seq(
       (1L, "u1", ts("2024-01-01 00:00:00")),
