@@ -541,6 +541,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("lang")
     }),
+    "s11_upsert" -> ((s, dir) => {
+      // checkpoint maintenance: merge a 10%-of-keys delta (doubled
+      // value, bumped version) into the base snapshot; latest wins
+      val base = events(s, dir)
+        .select(col("event_id"), col("value"), lit(0L).as("version"))
+      val delta = events(s, dir)
+        .filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("event_id"), (col("value") * 2).as("value"),
+          lit(1L).as("version"))
+      QcExport.upsertByKey(base, delta, Seq("event_id"), "version")
+        .orderBy("event_id")
+    }),
+    "s12_json_source" -> ((s, dir) => {
+      // JSON-lines roundtrip: write a projection as json, read it back
+      // with an explicit schema (no inference pass), aggregate — the
+      // third source format after parquet and csv
+      val tmp = scratch("s12")
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(s"$tmp/ev_json")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(schema).json(s"$tmp/ev_json")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
     "s8_manifest" -> ((s, dir) => {
       val tmp = scratch("s8")
       val manifest = QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
@@ -1577,6 +1608,23 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= 'cccccccc'
         |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "s11_upsert" ->
+      """WITH base AS (
+        |  SELECT event_id, value, 0 AS version, 0 AS src FROM events),
+        |upd AS (
+        |  SELECT event_id, value * 2 AS value, 1 AS version, 1 AS src
+        |  FROM events WHERE event_id % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_id ORDER BY version DESC, src DESC) AS rn
+        |  FROM u)
+        |SELECT event_id, value, CAST(version AS BIGINT) AS version
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "s12_json_source" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s7_dual_export" ->
       s"""$SeededCte
          |SELECT * FROM (

@@ -44,6 +44,28 @@ object QcExport {
   def readCheckpoint(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Keyed upsert: merge `updates` into `base`, the highest
+    * `versionCol` per key winning (updates win exact version ties) —
+    * checkpoint maintenance without a table format: rewrite the
+    * checkpoint as `upsertByKey(readCheckpoint(...), delta, ...)`.
+    * ONE hash shuffle on the key (union is free); at real scale,
+    * partition the checkpoint on the key range so the rewrite only
+    * touches partitions the delta hits. */
+  def upsertByKey(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(qcol): _*)
+      .orderBy(qcol(versionCol).desc, col("__src").desc)
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
   /** ISO-8601 UTC rendering of the time column for text sinks
     * (R/qc_exports.R:61-66: `format(t, "%Y-%m-%dT%H:%M:%SZ", tz="UTC")`). */
   def isoUtc(df: DataFrame, timeCol: String): DataFrame =

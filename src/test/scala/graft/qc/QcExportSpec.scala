@@ -74,4 +74,22 @@ class QcExportSpec extends SparkSpec {
       df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.count() == 3)
   }
+
+  test("upsertByKey: highest version wins, updates win ties, inserts append") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 3L), (2L, "b", 5L)).toDF("k", "v", "ver")
+    val upd = Seq(
+      (1L, "a2", 4L), // newer → replaces
+      (2L, "b2", 5L), // tie → update wins
+      (3L, "c", 1L)   // new key → inserted
+    ).toDF("k", "v", "ver")
+    val out = QcExport.upsertByKey(base, upd, Seq("k"), "ver")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a2", 4L), (2L, "b2", 5L), (3L, "c", 1L)))
+    // stale update never downgrades
+    val stale = Seq((1L, "old", 2L)).toDF("k", "v", "ver")
+    val kept = QcExport.upsertByKey(base, stale, Seq("k"), "ver")
+      .filter(col("k") === 1L).as[(Long, String, Long)].head()
+    assert(kept == ((1L, "a", 3L)))
+  }
 }
