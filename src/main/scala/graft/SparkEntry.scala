@@ -421,6 +421,14 @@ object SparkEntry {
         .select(col("event_type"), col("bucket").cast("long").as("bucket"),
           col("n"))
         .orderBy("event_type", "bucket")),
+    "drift_psi" -> ((s, dir) =>
+      // distribution drift of value between the first and second half
+      // of the month, per event_type — the model-monitoring score
+      Sketch.psiDrift(events(s, dir), "value",
+          cohort = col("ts") < lit("2024-01-16").cast("timestamp"),
+          lo = 0.0, hi = 200.0, nBins = 20, groupCols = Seq("event_type"))
+        .select(col("event_type"), round(col("psi"), 6).as("psi"))
+        .orderBy("event_type")),
     "a11_agreement" -> ((s, dir) => {
       // manual (seeded) flags vs a deliberately-miscalibrated auto
       // range rule (>140 / <90 instead of >150 / <100)
@@ -1869,6 +1877,24 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
         |  CAST((SELECT count(*) FROM s3) AS BIGINT)
         |ORDER BY step_idx""".stripMargin,
+    "drift_psi" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 200.0 THEN 21
+        |         ELSE CAST(floor(value / 10.0) + 1 AS BIGINT) END AS bucket,
+        |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS na,
+        |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS nb
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(na) OVER (PARTITION BY event_type) AS ta,
+        |            sum(nb) OVER (PARTITION BY event_type) AS tb
+        |  FROM h)
+        |SELECT event_type,
+        |  round(sum(((na + 0.5) / (ta + 11.0) - (nb + 0.5) / (tb + 11.0))
+        |    * ln(((na + 0.5) / (ta + 11.0)) / ((nb + 0.5) / (tb + 11.0)))), 6)
+        |    AS psi
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     // this DuckDB build has no width_bucket; the explicit arithmetic is
     // bit-identical (bin width 10.0 is exact binary, same IEEE divide)
     "a12_histogram" ->

@@ -68,6 +68,45 @@ object Sketch {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Population-stability-index drift between two cohorts of the same
+    * table (e.g. last week vs history): per group, the value
+    * distributions are binned with [[fixedHistogram]] semantics and
+    * compared via `PSI = Σ (pA−pB)·ln(pA/pB)` over the observed bins
+    * (the standard model-monitoring drift score; PSI > 0.2
+    * conventionally = drift). Each observed bin's count gets an `eps`
+    * floor on BOTH sides — the usual smoothing that keeps ln finite
+    * when a bin is empty in one cohort; the denominator adds
+    * `eps·(nBins+2)` so the formula is a fixed, engine-portable
+    * definition. Null values fall outside every bucket and are
+    * ignored.
+    *
+    * ONE aggregation pass over the table (cohort is a column — never a
+    * join of two scans), then arithmetic on the tiny (group × bin)
+    * result; the per-group totals reuse the same exchange via a keyed
+    * window. */
+  def psiDrift(
+      df: DataFrame, v: String, cohort: Column,
+      lo: Double, hi: Double, nBins: Int,
+      groupCols: Seq[String], eps: Double = 0.5): DataFrame = {
+    require(nBins >= 1, "psiDrift: nBins must be >= 1")
+    require(eps > 0, "psiDrift: eps must be > 0 (ln smoothing)")
+    import org.apache.spark.sql.expressions.Window
+    val h = df
+      .groupBy((groupCols.map(col) :+
+        width_bucket(col(v), lit(lo), lit(hi), lit(nBins)).as("bucket")): _*)
+      .agg(
+        count(when(cohort, lit(1))).as("__na"),
+        count(when(!cohort, lit(1))).as("__nb"))
+      .filter(col("bucket").isNotNull)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val denom = lit(eps * (nBins + 2))
+    val pa = (col("__na") + lit(eps)) / (sum(col("__na")).over(w) + denom)
+    val pb = (col("__nb") + lit(eps)) / (sum(col("__nb")).over(w) + denom)
+    h.withColumn("__term", (pa - pb) * log(pa / pb))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__term")).as("psi"))
+  }
+
   /** Per-group distinct-count estimates: `n_sketch` (hashes retained),
     * `est_distinct` — exact when the group has < k distinct keys, the
     * KMV estimator otherwise. The estimate is a deterministic double:

@@ -54,6 +54,23 @@ class SketchSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("psiDrift: identical cohorts score ~0, a shifted cohort scores high") {
+    val same = (0 until 2000).map { i =>
+      ("g", (i % 100).toDouble, i % 2 == 0)
+    }.toDF("grp", "v", "isA")
+    val psi0 = Sketch.psiDrift(same, "v", col("isA"), 0.0, 100.0, 10,
+      Seq("grp")).select("psi").as[Double].head()
+    assert(math.abs(psi0) < 0.01, s"identical halves must not drift: $psi0")
+
+    val shifted = (0 until 2000).map { i =>
+      val isA = i % 2 == 0
+      ("g", if (isA) (i % 50).toDouble else 50.0 + i % 50, isA)
+    }.toDF("grp", "v", "isA")
+    val psi1 = Sketch.psiDrift(shifted, "v", col("isA"), 0.0, 100.0, 10,
+      Seq("grp")).select("psi").as[Double].head()
+    assert(psi1 > 1.0, s"disjoint supports must drift hard: $psi1")
+  }
+
   test("hash60 is a 60-bit non-negative value") {
     val hs = (0L until 200L).toDF("id")
       .select(Sketch.hash60(col("id")).as("h")).as[Long].collect()
