@@ -71,15 +71,41 @@ object TextAnalysis {
     graft.functions.charNgrams(padded, n)
   }
 
+  /** Train Cavnar–Trenkle n-gram profiles: per language, the `topK`
+    * most frequent character n-grams (ties → lexicographically first
+    * gram), as a driver-side model — langs × topK strings, the same
+    * collect-a-tiny-model shape as `Similarity.ivfCentroids`. */
+  def langProfilesNgram(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, langCol: String,
+      n: Int = 3, topK: Int = 300): Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(langCol).as("__lang"),
+        explode(charNgrams(col(textCol), n)).as("__g"))
+      .groupBy(col("__lang"), col("__g"))
+      .agg(count(lit(1)).as("__lc"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__lang").orderBy(col("__lc").desc, col("__g"))))
+      .filter(col("__r") <= topK)
+      .select("__lang", "__g")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) => (l, rows.map(_.getString(1)).toSeq) }
+      .toSeq.sortBy(_._1)
+  }
+
   /** N-gram-profile language ID (Cavnar–Trenkle): build per-language
-    * top-`topK` character-n-gram profiles from a LABELED corpus, then
-    * classify each document by which profile its gram occurrences hit
-    * most (ties → lexicographically first language; no hits → "und").
+    * top-`topK` character-n-gram profiles from a LABELED corpus
+    * ([[langProfilesNgram]]), then classify each document by which
+    * profile its gram occurrences hit most (ties → lexicographically
+    * first language; no hits → "und").
     *
-    * Scale shape: profiles are a tiny (langs × topK) table built by one
-    * grouped count + a per-language rank, then BROADCAST back; scoring
-    * is a broadcast join + grouped count — no all-pairs, nothing
-    * driver-side but the profile table.
+    * Scale shape: the profile is a driver-side model (langs × topK
+    * strings); scoring is ONE explode + grouped conditional-count pass
+    * — each gram occurrence probes `langs` broadcast hash sets
+    * (Catalyst `InSet`), no join, no per-doc window, and the argmax is
+    * a `greatest` over (score, priority) structs inside the same
+    * aggregate projection. One shuffle, keyed by document.
     *
     * @return (doc_id, lang_pred) one row per input document
     */
@@ -87,27 +113,28 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, langCol: String,
       n: Int = 3, topK: Int = 300): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // one aggregation over the exploded grams; BOTH the profile build
-    // and the scoring derive from this per-(doc, gram) count table, so
-    // gram generation happens once (and the exchange is reusable)
-    val gcnt = docs.select(col(idCol), col(langCol).as("__lang"),
-        explode(charNgrams(col(textCol), n)).as("__g"))
-      .groupBy(col(idCol), col("__lang"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val profiles = gcnt.groupBy(col("__lang").as("p_lang"), col("__g"))
-      .agg(sum(col("__c")).as("__lc"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("p_lang").orderBy(col("__lc").desc, col("__g"))))
-      .filter(col("__r") <= topK)
-      .select("p_lang", "__g")
-    val best = gcnt.join(broadcast(profiles), Seq("__g"))
-      .groupBy(col(idCol), col("p_lang")).agg(sum(col("__c")).as("__m"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("__m").desc, col("p_lang"))))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("p_lang").as("lang_pred"))
-    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+    val profiles = langProfilesNgram(docs, textCol, langCol, n, topK)
+    require(profiles.nonEmpty, "langIdNgramProfile: no labeled languages")
+    val scores = profiles.zipWithIndex.map { case ((_, grams), i) =>
+      sum(when(col("__g").isInCollection(grams), 1L).otherwise(0L))
+        .as(s"__s_$i")
+    }
+    // max (score, -index): ties resolve to the SMALLEST language index
+    // = lexicographically first language (profiles are sorted)
+    val structs = profiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"__s_$i").as("s"), lit(-i).as("p"), lit(lang).as("l"))
+    }
+    val best =
+      if (structs.length == 1) structs.head
+      else greatest(structs: _*)
+    val scored = docs
+      .select(col(idCol), explode(charNgrams(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol))
+      .agg(scores.head, scores.tail: _*)
+      .select(col(idCol),
+        when(best.getField("s") > 0, best.getField("l"))
+          .otherwise(lit("und")).as("lang_pred"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
   }
 
