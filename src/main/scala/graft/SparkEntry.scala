@@ -1037,6 +1037,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_prefix" -> ((s, dir) => {
+      // EXACT jaccard-threshold self-join over the whole (reduced)
+      // corpus — no probe restriction: prefix filtering generates the
+      // candidates. Mirrors planted with the first word dropped.
+      val d = documents(s, dir)
+      val corpus = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(14)) === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\s*\\S+\\s*", "").as("text")))
+      Dedup.prefixJaccardPairs(corpus, "doc_id", "text", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_ngram" -> ((s, dir) => {
       val docs = documents(s, dir)
       // token SETS pre-hashed to sorted longs (native tokenSet expr):
@@ -2279,6 +2292,31 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // brute force over all (size-prefiltered) pairs: the oracle checks
+    // the RESULT of the prefix-filter algorithm, not its plan — exact
+    // threshold joins are algorithm-independent
+    "dedup_prefix" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id,
+        |    regexp_replace(text, '^\s*\S+\s*', '') AS text
+        |  FROM documents WHERE doc_id % 14 = 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM corpus),
+        |s AS (SELECT doc_id, toks, len(toks) AS sz FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks)) AS ic, a.sz AS sa, b.sz AS sb
+        |  FROM s a JOIN s b
+        |    ON a.doc_id < b.doc_id
+        |    AND least(a.sz, b.sz) >= 0.9 * greatest(a.sz, b.sz))
+        |SELECT id_a, id_b, CAST(ic AS DOUBLE) / (sa + sb - ic) AS jaccard
+        |FROM p WHERE CAST(ic AS DOUBLE) / (sa + sb - ic) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id,

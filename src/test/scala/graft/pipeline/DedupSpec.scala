@@ -157,4 +157,31 @@ class DedupSpec extends SparkSpec {
     // A-A absent entirely (sparse, not zero-filled)
     assert(out == Map(("A", "B") -> 2L, ("B", "B") -> 1L))
   }
+
+  test("prefixJaccardPairs equals brute force at every threshold (exactness)") {
+    // pseudo-random small docs with planted near-dups: the prefix
+    // filter is a THEOREM (no recall loss), so the pair set must match
+    // an all-pairs scan exactly
+    val words = ('a' to 'z').map(_.toString)
+    def doc(seed: Int, n: Int) =
+      (0 until n).map(i => words((seed * 31 + i * 17) % 26)).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc(i, 12 + i % 9)))
+    val mutated = (0 until 40 by 4).map(i =>
+      (100L + i, doc(i, 12 + i % 9) + " zzz")) // one appended token
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val fast = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val toks = (c: org.apache.spark.sql.Column) =>
+        graft.functions.tokenSet(TextAnalysis.tokens(c))
+      val a = docs.select(col("doc_id").as("id_a"), toks(col("text")).as("sa"))
+      val b = docs.select(col("doc_id").as("id_b"), toks(col("text")).as("sb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("j", Dedup.jaccardSorted(col("sa"), col("sb")))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"threshold $t: prefix filter must be exact")
+      assert(brute.nonEmpty || t > 0.9, s"fixture vacuous at $t")
+    }
+  }
 }
