@@ -717,6 +717,24 @@ object SparkEntry {
           expr("unix_micros(s_ts) DIV 1000").as("s_ts_ms"))
         .orderBy("event_id", "s_ts_ms")
     }),
+    "stream_kmv" -> ((s, dir) => {
+      // the KMV sketch as STREAMING state: per-day distinct-user
+      // estimates with O(k) state per window — the mergeable-sketch
+      // property is exactly what lets it ride a streaming aggregate
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "48 hours")
+        .groupBy(window(col("ts"), "24 hours").as("win"))
+        .agg(Sketch.kmv("user_id", 64).as("__kmv"))
+      val name = s"stream_kmv_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val (n, est) = Sketch.kmvEstimate(col("__kmv"), 64)
+      s.table(name)
+        .select(unix_timestamp(col("win.start")).as("win_start_s"), n, est)
+        .orderBy("win_start_s")
+    }),
     "stream_sliding" -> ((s, dir) => {
       // OVERLAPPING event-time windows (24h width, 6h slide): every
       // event lands in 4 windows; state is bounded by the watermark at
@@ -1934,6 +1952,29 @@ object SparkEntry {
         |FROM documents,
         |  UNNEST(range(0, CAST(doc_id % 11 AS BIGINT), 3)) AS r(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "stream_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_start_s,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT win_start_s, h,
+        |    row_number() OVER (PARTITION BY win_start_s ORDER BY h) AS rk,
+        |    count(*) OVER (PARTITION BY win_start_s) AS cnt
+        |  FROM h),
+        |g AS (
+        |  SELECT win_start_s,
+        |    CAST(least(max(cnt), 64) AS BIGINT) AS n_sketch,
+        |    max(CASE WHEN rk = 64 THEN h END) AS hk,
+        |    max(cnt) AS cnt
+        |  FROM r GROUP BY 1)
+        |SELECT win_start_s, n_sketch,
+        |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+        |    AS est_distinct
+        |FROM g ORDER BY win_start_s""".stripMargin,
     "stream_sliding" ->
       """WITH k AS (SELECT UNNEST(range(0, 4)) AS i),
         |w AS (

@@ -111,17 +111,23 @@ object Sketch {
     * `est_distinct` — exact when the group has < k distinct keys, the
     * KMV estimator otherwise. The estimate is a deterministic double:
     * same bits on any engine computing the same formula. */
+  /** (n_sketch, est_distinct) columns from a bottom-k sketch column:
+    * exact when fewer than k hashes were retained, the KMV estimator
+    * otherwise. */
+  def kmvEstimate(sketch: Column, k: Int): (Column, Column) = (
+    size(sketch).cast("long").as("n_sketch"),
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+        element_at(sketch, k).cast("double"))
+      .as("est_distinct"))
+
   def kmvDistinct(
       df: DataFrame, keyCol: String, k: Int,
       groupCols: Seq[String]): DataFrame = {
     require(k >= 2, "kmvDistinct: k must be >= 2")
     val sk = df.groupBy(groupCols.map(col): _*)
       .agg(kmv(keyCol, k).as("__kmv"))
-    sk.select(groupCols.map(col) :+
-      size(col("__kmv")).cast("long").as("n_sketch") :+
-      when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
-          element_at(col("__kmv"), k).cast("double"))
-        .as("est_distinct"): _*)
+    val (n, est) = kmvEstimate(col("__kmv"), k)
+    sk.select(groupCols.map(col) :+ n :+ est: _*)
   }
 }

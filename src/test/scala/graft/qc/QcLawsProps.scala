@@ -82,4 +82,35 @@ object QcLawsProps extends Properties("QcLaws") {
         .orderBy("id").select("v").as[Option[Double]].collect()
       p5.zip(p6).forall { case (a5, a6) => a6.isEmpty || a5 == a6 }
     }
+
+  private val upsertGen: Gen[List[(Long, String, Long)]] =
+    Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 6L)
+      v <- Gen.alphaLowerStr.map(_.take(4))
+      ver <- Gen.choose(0L, 5L)
+    } yield (k, v, ver)).map(
+      // one row per (key, version): duplicate (k, ver) rows with
+      // different payloads are ambiguous by the upsert contract
+      _.groupBy(t => (t._1, t._3)).map(_._2.head).toList)
+
+  property("upsert is idempotent and version-monotone") =
+    forAll(upsertGen, upsertGen) { (baseRows, updRows) =>
+      import spark.implicits._
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+      val base = baseRows.toDF("k", "v", "ver")
+      val upd = updRows.toDF("k", "v", "ver")
+      val once = QcExport.upsertByKey(base, upd, Seq("k"), "ver")
+      // idempotence: re-applying the same delta changes nothing
+      val twice = QcExport.upsertByKey(once, upd, Seq("k"), "ver")
+      // monotonicity: no key's version ever decreases
+      val baseVers = baseRows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(_._3).max }
+      val onceSnap = snap(once)
+      snap(twice) == onceSnap &&
+        onceSnap.groupBy(_._1).forall { case (k, rs) =>
+          rs.map(_._3).max >= baseVers.getOrElse(k, Long.MinValue)
+        } &&
+        onceSnap.size == onceSnap.map(_._1).size // one row per key
+    }
 }
