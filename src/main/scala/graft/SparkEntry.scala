@@ -928,6 +928,23 @@ object SparkEntry {
       QcPlotFeed.m4Downsample(events(s, dir), "ts", "value",
           widthSecs = 604800L, keys = Seq("event_type"))
         .select(col("event_id")).orderBy("event_id")),
+    "sql_api" -> ((s, dir) => {
+      // the pure-SQL surface: native graft expressions resolved inside
+      // spark.sql after GraftExtensions registration — what a SQL-only
+      // user of the engine runs
+      graft.GraftExtensions.register(s)
+      documents(s, dir).createOrReplaceTempView("graft_docs")
+      s.sql("""
+        SELECT doc_id,
+          CAST(size(char_ngrams(concat(' ',
+            trim(lower(regexp_replace(text, '[^\\p{L}]+', ' '))), ' '), 3))
+            AS BIGINT) AS n_grams,
+          CAST(size(token_set(
+            CASE WHEN length(trim(text)) = 0 THEN array()
+                 ELSE split(trim(text), '\\s+') END)) AS BIGINT)
+            AS n_distinct_tokens
+        FROM graft_docs ORDER BY doc_id""")
+    }),
     "u3_pivot" -> ((s, dir) =>
       // pivot with an EXPLICIT value list: no collect-distinct
       // pre-job, the plan is a single hash aggregate with one
@@ -2246,6 +2263,19 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY event_type, bucket))
         |WHERE value = vmin OR value = vmax OR tms = tmin OR tms = tmax
         |ORDER BY event_id""".stripMargin,
+    "sql_api" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ' ' || trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g')))
+        |      || ' ' AS t,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS BIGINT)
+        |    AS n_grams,
+        |  CAST(len(toks) AS BIGINT) AS n_distinct_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
     "u3_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
