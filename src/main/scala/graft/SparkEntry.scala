@@ -916,6 +916,17 @@ object SparkEntry {
         .filter(col("v3_qcflag") === ManualFlag)
         .select(col("event_id")).orderBy("event_id")
     }),
+    "auto_mad" -> ((s, dir) => {
+      // plant heavy-tail contamination (every 97th event +500) — the
+      // base synthetic is uniform, whose max modified z is ~1.3
+      val ev = events(s, dir).withColumn("v_mad",
+        col("value") + when(pmod(col("event_id"), lit(97)) === 0, 500.0)
+          .otherwise(0.0))
+      val flagged = QcFlags.addFlags(ev, Seq("v_mad"))
+      QcAuto.flagMadOutliers(flagged, "v_mad", col("event_type"))
+        .filter(col("v_mad_qcflag") === ManualFlag)
+        .select(col("event_id")).orderBy("event_id")
+    }),
     "auto_range" -> ((s, dir) => {
       val flagged = QcFlags.addFlags(events(s, dir), Seq("value"))
       QcAuto.flagRange(flagged, "value", 10.0, 400.0)
@@ -2244,6 +2255,22 @@ object SparkEntry {
         |  FROM v3)
         |SELECT event_id FROM w
         |WHERE nl >= 6 AND nt >= 6 AND abs(step) > 30.0
+        |ORDER BY event_id""".stripMargin,
+    "auto_mad" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    value + CASE WHEN event_id % 97 = 0 THEN 500.0 ELSE 0.0 END AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.v, m.med, abs(e.v - m.med) AS res
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(res, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_id FROM d JOIN md USING (event_type)
+        |WHERE md.mad > 0 AND 0.6745 * abs(d.v - d.med) / md.mad > 3.5
         |ORDER BY event_id""".stripMargin,
     "auto_range" ->
       """SELECT event_id FROM events

@@ -45,6 +45,40 @@ object QcAuto {
     QcActions.flagSelected(marked, v, abs(col("__z")) > z, suffix).drop("__z")
   }
 
+  /** Robust (MAD) outlier detector: flag values whose modified
+    * z-score `0.6745·|v − median| / MAD` exceeds `z` within their
+    * `bucket` (Iglewicz–Hoban 3.5 convention by default). Median and
+    * MAD come from EXACT linear-interpolation percentiles —
+    * deterministic and DuckDB-replayable (`quantile_cont`), unlike
+    * mean/std this survives the very outliers it hunts. Groups with
+    * MAD = 0 flag nothing (degenerate distribution, not evidence).
+    *
+    * Two grouped aggregates over the bucket (median pass, then MAD of
+    * residuals vs the broadcast medians) + a guarded flag projection —
+    * exact percentiles buffer per-group values, the right trade for
+    * telemetry-sized groups; swap approx_percentile at full scale. */
+  def flagMadOutliers(
+      df: DataFrame, v: String, bucket: Column,
+      z: Double = 3.5, suffix: String = DefaultSuffix): DataFrame = {
+    val med = df.groupBy(bucket.as("__b"))
+      .agg(expr(s"percentile(${qname(v)}, 0.5)").as("__med"))
+    val withMed = df.withColumn("__b", bucket)
+      .join(broadcast(med), Seq("__b"))
+    val mad = withMed
+      .withColumn("__res", abs(qcol(v) - col("__med")))
+      .groupBy(col("__b"))
+      .agg(expr("percentile(__res, 0.5)").as("__mad"))
+    val scored = withMed.join(broadcast(mad), Seq("__b"))
+      .withColumn("__mz",
+        when(col("__mad") > 0,
+          lit(0.6745) * abs(qcol(v) - col("__med")) / col("__mad")))
+    QcActions.flagSelected(scored, v, col("__mz") > z, suffix)
+      .drop("__b", "__med", "__mad", "__mz")
+  }
+
+  /** Backtick-quoted name for raw-SQL expr() contexts. */
+  private def qname(n: String): String = s"`$n`"
+
   /** Flatline detector: `minRun`+ consecutive identical non-missing
     * values ⇒ ManualFlag for every row of the run. Run ids via the
     * change-counter idiom (sum of value-changed markers over the

@@ -49,6 +49,22 @@ class QcAutoSpec extends SparkSpec {
     assert(out == 0, "only 2 consecutive identical non-missing values — not a 3-run")
   }
 
+  test("flagMadOutliers: robust to the outlier itself; MAD=0 groups flag nothing") {
+    // 20 values near 10 plus one gross outlier: mean/std would be
+    // dragged, the median/MAD is not
+    val vals = (0 until 20).map(i => 10.0 + (i % 5) * 0.1) :+ 1000.0
+    val df = QcFlags.addFlags(series(vals), Seq("v"))
+    val out = QcAuto.flagMadOutliers(df, "v", lit(0))
+    val flagged = out.filter(col("v_qcflag") === ManualFlag)
+      .select("id").as[Long].collect().toSeq
+    assert(flagged == Seq(20L), s"only the outlier: $flagged")
+
+    // constant series → MAD 0 → nothing flagged, no division blow-up
+    val const = QcFlags.addFlags(series(Seq.fill(10)(7.0) :+ 7.0), Seq("v"))
+    assert(QcAuto.flagMadOutliers(const, "v", lit(0))
+      .filter(col("v_qcflag") === ManualFlag).count() == 0)
+  }
+
   test("flagRange flags outside [lo, hi] only") {
     val flagged = QcFlags.addFlags(series(Seq(5.0, 50.0, 500.0)), Seq("v"))
     val out = QcAuto.flagRange(flagged, "v", 10.0, 100.0)
