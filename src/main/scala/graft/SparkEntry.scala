@@ -278,6 +278,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("c_mktsegment")
     }),
+    "q17_small_qty" -> ((s, dir) => {
+      // TPC-H Q17-shaped: the correlated-subquery pattern decorrelated
+      // into a per-part aggregate joined back (broadcast — the agg
+      // output is dim-sized); avg yearly revenue lost if small orders
+      // were dropped
+      val perPart = lineitem(s, dir)
+        .groupBy(col("l_partkey").as("agg_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      lineitem(s, dir)
+        .join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
     "q3_join" -> ((s, dir) => {
       // TPC-H Q3-shaped: big fact (lineitem) joined to orders and a
       // BROADCAST customer dim — the join competence the reference
@@ -2053,6 +2067,14 @@ object SparkEntry {
         |  AND p.event_type = 'purchase' AND s.event_type = 'signup'
         |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
         |ORDER BY 1, 3""".stripMargin,
+    "q17_small_qty" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS agg_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem JOIN pp ON l_partkey = agg_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "q6_filter_agg" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |  count(*) AS n

@@ -68,6 +68,29 @@ class QcPlotFeedSpec extends SparkSpec {
     assert(run(series) == run(series.repartition(11)))
   }
 
+  test("M4 pixel-identity: per bucket, kept rows preserve min/max/first/last") {
+    def ts(min: Int) = new Timestamp(86400000L + min * 60000L)
+    val series = (0 until 1000).map(i =>
+        (i.toLong, ts(i), ((i * 73) % 997).toDouble))
+      .toDF("id", "t", "v")
+    val width = 3600L
+    // the implementation's exact bucketing (ms-keyed, epoch-aligned)
+    val bucket = floor(
+      floor(unix_micros(col("t")) / lit(1000.0)) / lit(width * 1000.0))
+      .cast("long").as("b")
+    val kept = QcPlotFeed.m4Downsample(series, "t", "v", width)
+      .select(col("id"), col("t"), col("v"), bucket)
+    val full = series.select(col("v"), col("t"), bucket)
+    def profile(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("b").agg(min("v"), max("v"), min("t"), max("t"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getTimestamp(3), r.getTimestamp(4)))
+        .toMap
+    assert(profile(kept) == profile(full),
+      "a line render of the kept rows must match the full series")
+    assert(kept.count() < 200, "and actually decimate (<= 4ish per bucket)")
+  }
+
   test("U1 rawCleanUnion doubles rows with panel discriminator and strict mask") {
     val u = QcPlotFeed.rawCleanUnion(df)
     assert(u.count() == 8)
