@@ -1958,7 +1958,7 @@ object SparkEntry {
         |         ELSE CAST(floor(value / 10.0) + 1 AS BIGINT) END AS bucket,
         |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS na,
         |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS nb
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |t AS (
         |  SELECT *, sum(na) OVER (PARTITION BY event_type) AS ta,
         |            sum(nb) OVER (PARTITION BY event_type) AS tb

@@ -108,7 +108,10 @@ object Curation {
     require(n >= 1, "decontaminateBloom: n must be >= 1")
     require(minMatches >= 1, "decontaminateBloom: minMatches must be >= 1")
     require(fpp > 0 && fpp < 1, "decontaminateBloom: fpp must be in (0,1)")
+    // persisted: the count job, the bloom build, and the confirm join
+    // would otherwise each re-run the bench explode+distinct
     val bg = gramHashes(bench, idCol, textCol, n, "bench_id").distinct()
+      .persist()
     val nGrams = math.max(bg.count(), 1L)
     val bf = bg.stat.bloomFilter("__gh", nGrams, fpp)
     val bfB = corpus.sparkSession.sparkContext.broadcast(bf)

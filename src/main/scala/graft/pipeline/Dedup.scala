@@ -159,8 +159,12 @@ object Dedup {
       .withColumn("__r", row_number().over(
         wDoc.orderBy(col("__df"), col("__tok"))))
       .withColumn("__sz", count(lit(1)).over(wDoc))
+    // the -1e-9 guards ceil against FP overshoot when t·sz is exactly
+    // an integer (a longer prefix is always safe; a shorter one can
+    // miss boundary pairs and break exactness)
     val prefix = ranked.filter(
-      col("__r") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      col("__r") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
       .select(col(idCol), col("__tok"))
     val cand = prefix.as("pa")
       .join(prefix.as("pb"), col("pa.__tok") === col("pb.__tok") &&

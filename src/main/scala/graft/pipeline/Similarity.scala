@@ -266,7 +266,9 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val probeCells = ivfProbeCells(probes, vecCol, cents, nprobe)
+    // persisted: the cell collection below and the scoring join would
+    // otherwise both evaluate the centroid-distance assignment
+    val probeCells = ivfProbeCells(probes, vecCol, cents, nprobe).persist()
     val wanted = probeCells.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val index = spark.read.parquet(s"$path/index")

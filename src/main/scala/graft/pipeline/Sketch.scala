@@ -107,10 +107,6 @@ object Sketch {
       .agg(sum(col("__term")).as("psi"))
   }
 
-  /** Per-group distinct-count estimates: `n_sketch` (hashes retained),
-    * `est_distinct` — exact when the group has < k distinct keys, the
-    * KMV estimator otherwise. The estimate is a deterministic double:
-    * same bits on any engine computing the same formula. */
   /** (n_sketch, est_distinct) columns from a bottom-k sketch column:
     * exact when fewer than k hashes were retained, the KMV estimator
     * otherwise. */
@@ -121,6 +117,10 @@ object Sketch {
         element_at(sketch, k).cast("double"))
       .as("est_distinct"))
 
+  /** Per-group distinct-count estimates: `n_sketch` (hashes retained),
+    * `est_distinct` — exact when the group has < k distinct keys, the
+    * KMV estimator otherwise. The estimate is a deterministic double:
+    * same bits on any engine computing the same formula. */
   def kmvDistinct(
       df: DataFrame, keyCol: String, k: Int,
       groupCols: Seq[String]): DataFrame = {

@@ -60,15 +60,17 @@ object QcAuto {
   def flagMadOutliers(
       df: DataFrame, v: String, bucket: Column,
       z: Double = 3.5, suffix: String = DefaultSuffix): DataFrame = {
+    // LEFT joins: a null bucket matches no group and must leave the
+    // row present-but-unflagged (a detector never deletes rows)
     val med = df.groupBy(bucket.as("__b"))
       .agg(expr(s"percentile(${qname(v)}, 0.5)").as("__med"))
     val withMed = df.withColumn("__b", bucket)
-      .join(broadcast(med), Seq("__b"))
+      .join(broadcast(med), Seq("__b"), "left")
     val mad = withMed
       .withColumn("__res", abs(qcol(v) - col("__med")))
       .groupBy(col("__b"))
       .agg(expr("percentile(__res, 0.5)").as("__mad"))
-    val scored = withMed.join(broadcast(mad), Seq("__b"))
+    val scored = withMed.join(broadcast(mad), Seq("__b"), "left")
       .withColumn("__mz",
         when(col("__mad") > 0,
           lit(0.6745) * abs(qcol(v) - col("__med")) / col("__mad")))

@@ -102,8 +102,9 @@ object QcPlotFeed {
     *
     * Set semantics, no tie-breaking: EVERY row matching one of the
     * four extremes survives (ties are rare on real measurements and
-    * harmless to the drawing). Null values never match an extreme and
-    * are dropped — mask first (P5/P6) if nulls should gap the line.
+    * harmless to the drawing). Null-valued rows are dropped up front —
+    * they can't be drawn and must not claim a bucket's first/last
+    * time slot; mask first (P5/P6) if nulls should gap the line.
     * Buckets are absolute epoch-aligned (`floor(epoch_ms / width)`),
     * so the output is independent of the frame being viewed.
     *
@@ -122,7 +123,8 @@ object QcPlotFeed {
     val tms = floor(unix_micros(qcol(t)) / lit(1000.0)).cast("long")
     val w = Window.partitionBy(
       (keys.map(qcol) :+ col("__bucket")): _*)
-    df.withColumn("__tms", tms)
+    df.filter(qcol(v).isNotNull)
+      .withColumn("__tms", tms)
       .withColumn("__bucket",
         floor(col("__tms") / lit(widthSecs * 1000.0)).cast("long"))
       .withColumn("__vmin", min(qcol(v)).over(w))

@@ -63,6 +63,14 @@ class QcAutoSpec extends SparkSpec {
     val const = QcFlags.addFlags(series(Seq.fill(10)(7.0) :+ 7.0), Seq("v"))
     assert(QcAuto.flagMadOutliers(const, "v", lit(0))
       .filter(col("v_qcflag") === ManualFlag).count() == 0)
+
+    // null bucket: rows survive unflagged, never dropped
+    val withNullBucket = QcFlags.addFlags(series(vals), Seq("v"))
+      .withColumn("site", when(col("id") === 5L, lit(null)).otherwise(lit(0)))
+    val out2 = QcAuto.flagMadOutliers(withNullBucket, "v", col("site"))
+    assert(out2.count() == vals.length, "a detector never deletes rows")
+    assert(out2.filter(col("id") === 5L)
+      .select("v_qcflag").as[Int].head() == Unchecked)
   }
 
   test("flagRange flags outside [lo, hi] only") {

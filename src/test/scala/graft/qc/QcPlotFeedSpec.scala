@@ -49,13 +49,17 @@ class QcPlotFeedSpec extends SparkSpec {
       (4L, ts(30), 99.0), (5L, ts(40), 30.0), (6L, ts(50), 25.0),
       // bucket 1: two rows, both extremes
       (7L, ts(60), 1.0), (8L, ts(70), 2.0),
-      // null value: never an extreme
-      (9L, ts(45), Double.NaN)
+      // nulls: one interior, one AT a bucket's opening slot — neither
+      // may survive (a null can't be drawn, so it can't claim
+      // first/last either; row 10 cedes bucket 2's opening to row 11)
+      (9L, ts(45), Double.NaN),
+      (10L, ts(120), Double.NaN),
+      (11L, ts(130), 5.0)
     ).toDF("id", "t", "v")
       .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
     val kept = QcPlotFeed.m4Downsample(series, "t", "v", widthSecs = 3600L)
       .select("id").as[Long].collect().sorted.toSeq
-    assert(kept == Seq(1L, 3L, 4L, 6L, 7L, 8L))
+    assert(kept == Seq(1L, 3L, 4L, 6L, 7L, 8L, 11L))
   }
 
   test("M4 downsample is partition-layout invariant") {
