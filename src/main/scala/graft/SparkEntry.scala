@@ -834,6 +834,27 @@ object SparkEntry {
           alpha = 0.2, lookback = 50, orderCols = Seq("event_id"))
         .select(col("event_id"), round(col("ewma"), 4).as("ewma"))
         .orderBy("event_id")),
+    "ts_xcorr" -> ((s, dir) => {
+      // lagged cross-correlation: does the error rate lead the
+      // purchase rate? Hourly counts per type, then Pearson corr of
+      // (errors at h, purchases at h+lag) for lags 0..6 — corr over
+      // co-observed hours (inner join; absent hours are missing, not 0)
+      val hourly = events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val err = hourly.filter(col("event_type") === "error")
+        .select(col("h"), col("n").as("n_err"))
+      val pur = hourly.filter(col("event_type") === "purchase")
+        .select(col("h").as("h2"), col("n").as("n_pur"))
+      val lags = s.range(0, 7).select(col("id").as("lag"))
+      err.crossJoin(broadcast(lags))
+        .join(pur, col("h") + col("lag") === col("h2"))
+        .groupBy(col("lag"))
+        .agg(round(corr(col("n_err"), col("n_pur")), 6).as("xcorr"),
+          count(lit(1)).as("n_hours"))
+        .orderBy("lag")
+    }),
     "ts_gap_stats" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.gapStats(
           events(s, dir), keys = Seq("user_id"), t = "ts",
@@ -2116,6 +2137,19 @@ object SparkEntry {
         |  ON i.user_id = j.user_id AND j.rn BETWEEN i.rn - 49 AND i.rn
         |GROUP BY i.event_id
         |ORDER BY i.event_id""".stripMargin,
+    "ts_xcorr" ->
+      """WITH hourly AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT h, n AS n_err FROM hourly WHERE event_type = 'error'),
+        |p AS (SELECT h AS h2, n AS n_pur FROM hourly
+        |      WHERE event_type = 'purchase'),
+        |l AS (SELECT UNNEST(range(0, 7)) AS lag)
+        |SELECT lag, round(corr(n_err, n_pur), 6) AS xcorr,
+        |  count(*) AS n_hours
+        |FROM l CROSS JOIN e JOIN p ON e.h + l.lag = p.h2
+        |GROUP BY lag ORDER BY lag""".stripMargin,
     "ts_gap_stats" ->
       """WITH g AS (
         |  SELECT user_id,
