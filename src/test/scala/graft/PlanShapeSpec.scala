@@ -179,6 +179,19 @@ class PlanShapeSpec extends SparkSpec {
       s"only the AQE-promotable anti-join may sort-merge:\n$p")
   }
 
+  test("prefix jaccard join: candidates from key equi-joins, never a cross join") {
+    val p = plan("dedup_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must never go quadratic:\n$p")
+  }
+
+  test("q17: the per-part aggregate broadcasts back onto the fact") {
+    val p = plan("q17_small_qty")
+    assert(p.contains("BroadcastHashJoin"),
+      s"decorrelated subquery must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross join:\n$p")
+  }
+
   test("kmv sketch: partial-aggregates map-side before the group exchange") {
     // ObjectHashAggregate partial → exchange on group key → final:
     // the shuffle carries ≤k hashes per (group, partition), never rows
