@@ -1281,6 +1281,10 @@ object SparkEntry {
         .select(col("lang"), col("source"), col("g_lang"), col("g_source"),
           col("n_docs"), col("sum_tokens"))
         .orderBy("g_lang", "g_source", "lang", "source")),
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("entropy_bits"), 6).as("entropy_bits"))
+        .orderBy("doc_id")),
     "text_corpus_stats" -> ((s, dir) =>
       documents(s, dir)
         .select(col("lang"), TextAnalysis.nTokens(col("text")).as("nt"),
@@ -2727,6 +2731,17 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(text, '.')) AS ch
+        |  FROM documents),
+        |n AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_id,
+        |    n / CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+        |  FROM n)
+        |SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy_bits
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       """WITH t AS (
         |  SELECT lang, n_chars,

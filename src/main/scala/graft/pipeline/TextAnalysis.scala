@@ -71,6 +71,27 @@ object TextAnalysis {
     graft.functions.charNgrams(padded, n)
   }
 
+  /** Per-document Shannon character entropy in bits — the classic
+    * cheap gibberish/boilerplate signal (near 0 for repeated filler,
+    * ~4.1 for normal English prose, higher for random bytes). One
+    * explode + two doc-keyed aggregations sharing the same hash
+    * exchange; documents with no characters are absent from the
+    * output (nothing to measure). */
+  def charEntropy(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("."), lit(0))).as("__c"))
+      .groupBy(col(idCol), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+    cnt.withColumn("__p", col("__n") / sum(col("__n")).over(w))
+      .groupBy(col(idCol))
+      .agg((-sum(col("__p") * log(2.0, col("__p")))).as("entropy_bits"))
+  }
+
   /** Train Cavnar–Trenkle n-gram profiles: per language, the `topK`
     * most frequent character n-grams (ties → lexicographically first
     * gram), as a driver-side model — langs × topK strings, the same

@@ -74,6 +74,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("good") > 0.7 && out("bad") < 0.5)
   }
 
+  test("charEntropy: degenerate text scores 0, uniform alphabet log2(n)") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),         // one symbol → 0 bits
+      (2L, "abcdabcd"),         // 4 symbols uniform → 2 bits
+      (3L, "")                  // nothing to measure → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "entropy_bits").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(math.abs(out(0)._2 - 0.0) < 1e-9)
+    assert(math.abs(out(1)._2 - 2.0) < 1e-9)
+  }
+
   test("langIdNgramProfile: separates languages with distinct character profiles") {
     // the driver corpus text is synthetic same-vocabulary filler, so a
     // real multilingual fixture exercises the classifier instead
