@@ -1519,14 +1519,57 @@ object SparkEntry {
           Multimodal.byteLength(encode(col("text"), "UTF-8")).cast("long")
             .as("n_bytes"))
         .orderBy("doc_id")),
-    "mm_decode" -> ((s, dir) =>
-      Multimodal.withMediaMeta(
-          documents(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
-          "payload")
-        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-          col("media.format").as("format"), col("media.width").as("width"),
-          col("media.height").as("height"))
-        .orderBy("doc_id")),
+    "mm_decode" -> ((s, dir) => {
+      // REAL decode round-trip: synthesize a PNG (even doc_id) or WAV
+      // (odd doc_id) with dimensions derived from doc_id, decode it
+      // back with the pure-JDK decoder (ImageIO / AudioSystem) on
+      // executors, and emit the DECODED values. The oracle recomputes
+      // the expected dims from doc_id arithmetic — a hash-exact check
+      // that the decoder really read the container.
+      import s.implicits._
+      val payloads = documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val b =
+            if (id % 2 == 0)
+              Multimodal.makePng((id % 64 + 1).toInt, (id % 48 + 1).toInt,
+                (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+            else
+              Multimodal.makeWav((8000 + (id % 8) * 1000).toInt,
+                (id % 100 + 1).toInt)
+          (id, b)
+        }
+      Multimodal.decodeBatched(payloads)(Multimodal.jdkBatchDecoder)
+        .map { case (id, m) =>
+          (id, m.format, m.width.toLong, m.height.toLong,
+            m.nFrames.toLong, m.sampleRateHz.toLong)
+        }
+        .toDF("doc_id", "format", "width", "height", "n_frames",
+          "sample_rate_hz")
+        .orderBy("doc_id")
+    }),
+    "mm_pixels" -> ((s, dir) => {
+      // REAL pixel feature extraction: solid-fill PNG per doc decoded
+      // with ImageIO; per-channel pixel means equal the fill exactly,
+      // so the oracle checks real raster decode, not just headers.
+      import s.implicits._
+      documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.makePng((id % 32 + 1).toInt, (id % 24 + 1).toInt,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+        }
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            val ps = Multimodal.pixelStatsBatch(batch.map(_._2))
+            batch.map(_._1).zip(ps)
+          }
+        }
+        .map { case (id, p) =>
+          (id, p.width.toLong, p.height.toLong, math.round(p.meanR),
+            math.round(p.meanG), math.round(p.meanB))
+        }
+        .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    }),
     "mm_resize" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"),
@@ -1539,12 +1582,17 @@ object SparkEntry {
         .orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
       // rows-only (xxhash64 family has no DuckDB twin); the unit suite
-      // locks determinism + unit norm, and sim_ann covers consumption
+      // locks determinism + unit norm, and sim_ann covers consumption.
+      // posexplode'd to scalar rows (doc_id, pos, value): the driver's
+      // pandas compare can't sort an array column.
       documents(s, dir)
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id"),
-          Multimodal.stubFeatures(col("payload"), 16).as("features"))
-        .orderBy("doc_id")),
+          posexplode(Multimodal.hashFeatures(col("payload"), 16))
+            .as(Seq("pos", "value")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          round(col("value"), 6).as("value"))
+        .orderBy("doc_id", "pos")),
     "mm_frames" -> ((s, dir) =>
       // synthetic frame counts (the corpus has no real video); the
       // explode fan-out shape ahead of per-frame feature extraction
@@ -1559,7 +1607,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash-family-dependent /
     * approximate operators (dedup_minhash, dedup_simhash, sim_ann,
-    * sim_ivf, text_fingerprint, mm_decode) → driver records a rows-only
+    * sim_ivf, text_fingerprint, mm_features) → driver records a rows-only
     * check; those are locked down by the scalatest suite instead
     * (recall vs brute force, cross-impl equality). */
   def oracleSql: Map[String, String] = Map(
@@ -3196,6 +3244,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 ELSE 0 END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE doc_id % 100 + 1 END AS n_frames,
+        |  CASE WHEN doc_id % 2 = 0 THEN 0
+        |       ELSE 8000 + (doc_id % 8) * 1000 END AS sample_rate_hz
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_pixels" ->
+      """SELECT doc_id, doc_id % 32 + 1 AS width, doc_id % 24 + 1 AS height,
+        |  doc_id % 256 AS mean_r, (doc_id * 7) % 256 AS mean_g,
+        |  (doc_id * 13) % 256 AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """WITH d AS (

@@ -1,23 +1,33 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `BinaryType` columns with typed metadata alongside the
-  * relational data. The Spark-side machinery here — schema, format
-  * sniffing, batched per-partition decode plumbing, partitioning-aware
-  * helpers — is real and tested; the actual media DECODE is a
-  * clearly-marked STUB (no image/audio libraries exist in this
-  * environment): [[stubDecode]] produces deterministic fake metadata
-  * from the payload bytes, and [[decodeBatched]] accepts any
-  * user-supplied batch decoder with the same shape a JNI/FFmpeg/Pillow
-  * bridge would have.
+  * relational data. The decode path is REAL and pure-JDK:
+  * [[jdkDecode]] reads PNG/JPEG/GIF dimensions via `javax.imageio` and
+  * WAV format/sample-rate via `javax.sound.sampled`, and
+  * [[pixelStatsBatch]] extracts real per-channel pixel statistics —
+  * no external media library needed. [[decodeBatched]] is the batched
+  * per-partition seam a heavier decoder (FFmpeg/Pillow bridge, a
+  * CLIP/wav2vec encoder) would plug into; [[hashFeatures]] is the
+  * model-free deterministic pseudo-embedding used where no model is
+  * shipped.
   */
 object Multimodal {
 
-  /** Typed metadata produced by (stub) decoding. */
+  /** Typed metadata produced by decoding. Images: width/height set,
+    * nFrames = 1, sampleRateHz = 0. Audio: width/height = 0, nFrames =
+    * PCM frame count, sampleRateHz set. Undecodable: zeros. */
   case class MediaMeta(
       format: String, width: Int, height: Int,
       nFrames: Int, sampleRateHz: Int)
@@ -28,6 +38,15 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("nFrames", IntegerType),
     StructField("sampleRateHz", IntegerType)))
+
+  /** Real per-channel pixel statistics from a decoded image. */
+  case class PixelStats(
+      format: String, width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  // ImageIO defaults to a disk-backed cache per read; executors decode
+  // thousands of payloads — keep it in memory.
+  ImageIO.setUseCache(false)
 
   /** Byte length of the payload — pushdown-friendly, no decode. */
   def byteLength(bin: Column): Column = length(bin)
@@ -46,27 +65,85 @@ object Multimodal {
       .otherwise("unknown")
   }
 
-  /** STUB decode ??? — deterministic fake: real systems replace this
-    * with an actual decoder behind [[decodeBatched]]. Metadata is
-    * derived from a hash of the payload so it is stable across runs and
-    * engines-of-record, exercising the full schema/partitioning path
-    * without any media library. */
-  def stubDecode(bin: Column): Column = {
-    val h = xxhash64(bin) // pmod handles negatives; no abs (ANSI-safe)
-    struct(
-      sniffFormat(bin).as("format"),
-      (pmod(h, lit(1920L)) + 1).cast(IntegerType).as("width"),
-      (pmod(shiftright(h, 11), lit(1080L)) + 1).cast(IntegerType).as("height"),
-      (pmod(shiftright(h, 22), lit(300L)) + 1).cast(IntegerType).as("nFrames"),
-      lit(16000).cast(IntegerType).as("sampleRateHz"))
+  /** JVM-side magic-byte sniff (the executor twin of [[sniffFormat]]). */
+  def sniffBytes(b: Array[Byte]): String =
+    if (b == null || b.length < 4) "unknown"
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+             b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else "unknown"
+
+  /** REAL pure-JDK decode: PNG/JPEG/GIF dimensions via
+    * `javax.imageio.ImageIO`, WAV sample-rate/frame-count via
+    * `javax.sound.sampled.AudioSystem`. Corrupt or unrecognized
+    * payloads degrade to zeroed metadata rather than failing the task —
+    * at 100 TB some payloads WILL be broken and one bad row must not
+    * kill a 1000-executor stage. */
+  def jdkDecode(b: Array[Byte]): MediaMeta = {
+    val fmt = sniffBytes(b)
+    try {
+      fmt match {
+        case "png" | "jpeg" | "gif" =>
+          val img = ImageIO.read(new ByteArrayInputStream(b))
+          if (img == null) MediaMeta(fmt, 0, 0, 0, 0)
+          else MediaMeta(fmt, img.getWidth, img.getHeight, 1, 0)
+        case "wav" =>
+          val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(b))
+          MediaMeta("wav", 0, 0, aff.getFrameLength,
+            math.round(aff.getFormat.getSampleRate))
+        case other => MediaMeta(other, 0, 0, 0, 0)
+      }
+    } catch { case NonFatal(_) => MediaMeta(fmt, 0, 0, 0, 0) }
   }
 
-  /** Attach payload metadata columns (n_bytes, media struct) to a df
-    * with a binary column — one narrow projection. */
+  /** Batch form of [[jdkDecode]] for [[decodeBatched]]. */
+  def jdkBatchDecoder(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
+    payloads.map(jdkDecode)
+
+  /** REAL feature extraction: decode the image and compute per-channel
+    * mean pixel values — the pure-JDK stand-in for a learned encoder,
+    * with the same batch shape. Non-images yield null stats. */
+  def pixelStatsBatch(payloads: Seq[Array[Byte]]): Seq[PixelStats] =
+    payloads.map { b =>
+      val fmt = sniffBytes(b)
+      val img =
+        if (fmt == "png" || fmt == "jpeg" || fmt == "gif")
+          try ImageIO.read(new ByteArrayInputStream(b)) catch { case NonFatal(_) => null }
+        else null
+      if (img == null) PixelStats(fmt, 0, 0, 0.0, 0.0, 0.0)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        PixelStats(fmt, w, h, sr / n, sg / n, sb / n)
+      }
+    }
+
+  /** Column-level decode convenience: wraps [[jdkDecode]] as a UDF.
+    * Media decode is inherently JVM-object work (ImageIO readers) —
+    * a UDF is the right tool here, unlike the arithmetic hot paths
+    * that use native expressions. Prefer [[decodeBatched]] when the
+    * decoder has per-batch setup cost to amortize. */
+  private val decodeUdf = udf(jdkDecode _)
+
+  /** Attach payload metadata columns (n_bytes, media struct with REAL
+    * decoded dimensions) to a df with a binary column. */
   def withMediaMeta(df: DataFrame, binCol: String,
       metaCol: String = "media"): DataFrame =
     df.withColumn("n_bytes", byteLength(col(binCol)))
-      .withColumn(metaCol, stubDecode(col(binCol)))
+      .withColumn(metaCol, decodeUdf(col(binCol)))
 
   /** Batched per-partition decode plumbing — the Scala analogue of a
     * Pandas-UDF-over-mapInPandas pipeline: rows stream through each
@@ -76,8 +153,8 @@ object Multimodal {
     * runs on executors; nothing is collected.
     *
     * @param decodeBatch batch decoder: payload batch → metadata batch
-    *                    (must be 1:1). The production version wraps a
-    *                    real media library; tests use [[fakeBatchDecoder]].
+    *                    (must be 1:1). [[jdkBatchDecoder]] is the
+    *                    shipped real implementation.
     */
   def decodeBatched[K](
       ds: Dataset[(K, Array[Byte])],
@@ -93,14 +170,33 @@ object Multimodal {
       }
     }
 
-  /** Deterministic fake batch decoder (the test stand-in for a real
-    * decoder). */
-  def fakeBatchDecoder(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
-    payloads.map { b =>
-      val h = math.abs(java.util.Arrays.hashCode(b).toLong)
-      MediaMeta("fake", (h % 1920 + 1).toInt, (h / 1920 % 1080 + 1).toInt,
-        (h % 300 + 1).toInt, 16000)
+  /** Synthesize a real PNG: `w`×`h`, solid RGB fill. Deterministic
+    * (PNG encoding of a fixed raster is stable), so decode round-trips
+    * are oracle-checkable. */
+  def makePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
     }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a real RIFF/WAVE payload: 16-bit mono PCM silence at
+    * `sampleRateHz` with `nFrames` frames. */
+  def makeWav(sampleRateHz: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** Aspect-preserving fit-within resize plan — the Spark-side half of
     * a resize stage (target dims + scale as data; the pixel transform
@@ -117,14 +213,14 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
-  /** STUB feature extraction ??? — deterministic pseudo-embedding
-    * (`dim` components hashed from the payload, L2-normalized): the
-    * column-level stand-in for a CLIP/wav2vec-style encoder. Real
-    * systems run the model batched behind [[decodeBatched]]; the
-    * output shape (unit `array<double>` alongside the row) is exactly
-    * what [[Similarity]]'s ANN operators consume, so the feature →
-    * index → search path is testable end-to-end without any model. */
-  def stubFeatures(bin: Column, dim: Int): Column = {
+  /** Deterministic hash pseudo-embedding (`dim` components hashed from
+    * the payload, L2-normalized): the model-free stand-in for a
+    * CLIP/wav2vec-style encoder where no model is shipped. The output
+    * shape (unit `array<double>` alongside the row) is exactly what
+    * [[Similarity]]'s ANN operators consume, so the feature → index →
+    * search path runs end-to-end without a model; swap in a real
+    * encoder behind [[decodeBatched]] to productionize. */
+  def hashFeatures(bin: Column, dim: Int): Column = {
     val comps = (0 until dim).map(i =>
       (pmod(xxhash64(bin, lit(i)), lit(2000001L)) - 1000000L)
         .cast("double") / 1000000.0)

@@ -20,18 +20,44 @@ class MultimodalSpec extends SparkSpec {
       .foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
   }
 
-  test("withMediaMeta: deterministic stub dims within bounds, byte length exact") {
-    val df = Seq((1L, "abcdef".getBytes)).toDF("id", "payload")
+  test("jdkDecode: real PNG round-trip — ImageIO reads back the true dimensions") {
+    val png = Multimodal.makePng(37, 21, 10, 20, 30)
+    assert(Multimodal.sniffBytes(png) == "png")
+    val m = Multimodal.jdkDecode(png)
+    assert(m == Multimodal.MediaMeta("png", 37, 21, 1, 0))
+  }
+
+  test("jdkDecode: real WAV round-trip — AudioSystem reads back rate + frames") {
+    val wav = Multimodal.makeWav(11000, 77)
+    assert(Multimodal.sniffBytes(wav) == "wav")
+    val m = Multimodal.jdkDecode(wav)
+    assert(m == Multimodal.MediaMeta("wav", 0, 0, 77, 11000))
+  }
+
+  test("jdkDecode: corrupt/unknown payloads degrade to zeroed metadata, never throw") {
+    val garbage = "definitely not media".getBytes
+    assert(Multimodal.jdkDecode(garbage) == Multimodal.MediaMeta("unknown", 0, 0, 0, 0))
+    // valid PNG magic, truncated body: sniffs png, decode fails gracefully
+    val truncated = Multimodal.makePng(8, 8, 0, 0, 0).take(16)
+    val m = Multimodal.jdkDecode(truncated)
+    assert(m.format == "png" && m.width == 0 && m.height == 0)
+    assert(Multimodal.jdkDecode(null) == Multimodal.MediaMeta("unknown", 0, 0, 0, 0))
+  }
+
+  test("pixelStatsBatch: solid-fill PNG decodes to exact per-channel means") {
+    val Seq(p) = Multimodal.pixelStatsBatch(Seq(Multimodal.makePng(5, 4, 200, 100, 7)))
+    assert(p.format == "png" && p.width == 5 && p.height == 4)
+    assert(p.meanR == 200.0 && p.meanG == 100.0 && p.meanB == 7.0)
+  }
+
+  test("withMediaMeta: real decoded dims + byte length on a DataFrame column") {
+    val png = Multimodal.makePng(12, 9, 1, 2, 3)
+    val df = Seq((1L, png)).toDF("id", "payload")
     val r = Multimodal.withMediaMeta(df, "payload").select(
-      col("n_bytes"), col("media.width"), col("media.height"), col("media.nFrames"))
-      .as[(Int, Int, Int, Int)].head()
-    assert(r._1 == 6)
-    assert(r._2 >= 1 && r._2 <= 1920 && r._3 >= 1 && r._3 <= 1080 &&
-      r._4 >= 1 && r._4 <= 300)
-    // determinism
-    val r2 = Multimodal.withMediaMeta(df, "payload").select(
-      col("media.width")).as[Int].head()
-    assert(r2 == r._2)
+      col("n_bytes"), col("media.format"), col("media.width"), col("media.height"))
+      .as[(Int, String, Int, Int)].head()
+    assert(r._1 == png.length)
+    assert(r._2 == "png" && r._3 == 12 && r._4 == 9)
   }
 
   test("decodeBatched: batches stream through partitions 1:1, batch size respected") {
@@ -72,10 +98,10 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2)._2.isEmpty, "zero width → null plan")
   }
 
-  test("stubFeatures: deterministic unit vectors consumable by ANN search") {
+  test("hashFeatures: deterministic unit vectors consumable by ANN search") {
     val df = Seq((1L, "hello world"), (2L, "other text"))
       .toDF("id", "text")
-      .select(col("id"), Multimodal.stubFeatures(encode(col("text"), "UTF-8"), 8).as("v"))
+      .select(col("id"), Multimodal.hashFeatures(encode(col("text"), "UTF-8"), 8).as("v"))
     val a = df.orderBy("id").as[(Long, Seq[Double])].collect()
     val b = df.orderBy("id").as[(Long, Seq[Double])].collect()
     assert(a.toSeq == b.toSeq, "deterministic")
