@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr, WordNgramsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -70,6 +70,14 @@ object GraftExtensions {
       exprs => {
         arity("char_ngrams", exprs, 2, 2)
         CharNgramsExpr(exprs.head, litNum("char_ngrams", exprs, 1, 3L).toInt)
+      }),
+    ("word_ngrams", classOf[WordNgramsExpr].getName,
+      // optional literal args: n, distinct (0/1)
+      exprs => {
+        arity("word_ngrams", exprs, 2, 3)
+        WordNgramsExpr(exprs.head,
+          litNum("word_ngrams", exprs, 1, 3L).toInt,
+          litNum("word_ngrams", exprs, 2, 0L) != 0L)
       }),
     ("winnow", classOf[WinnowExpr].getName,
       // optional literal args: k, w

@@ -39,6 +39,13 @@ package object functions {
   def charNgrams(text: Column, n: Int): Column =
     GraftColumnBridge.column(CharNgramsExpr(GraftColumnBridge.expression(text), n))
 
+  /** All sliding word n-grams of a string column, whitespace-tokenized
+    * and space-joined (native expression — see [[WordNgramsExpr]]).
+    * `distinct = true` → first-occurrence-ordered shingle set. */
+  def wordNgrams(text: Column, n: Int, distinct: Boolean = false): Column =
+    GraftColumnBridge.column(
+      WordNgramsExpr(GraftColumnBridge.expression(text), n, distinct))
+
   /** Winnowing document fingerprints (MOSS; native expression — see
     * [[WinnowExpr]]): sorted distinct selected k-gram hashes, window
     * size `w`. Pairs with [[sortedIntersectCount]] for set overlap. */

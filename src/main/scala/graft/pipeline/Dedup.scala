@@ -65,29 +65,14 @@ object Dedup {
 
   // ---------------------------------------------------- shingles / minhash
 
-  /** Word n-gram shingles (distinct), space-joined. A JVM loop rather
-    * than a transform()/slice() expression tree: higher-order functions
-    * are interpreted per element and dominated the near-dup pipeline's
-    * runtime at bench scale. */
-  def wordShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { text: String =>
-      if (text == null) Array.empty[String]
-      else {
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < n) Array.empty[String]
-        else {
-          val out = new scala.collection.mutable.LinkedHashSet[String]
-          var i = 0
-          while (i <= toks.length - n) {
-            out += toks.slice(i, i + n).mkString(" ")
-            i += 1
-          }
-          out.toArray
-        }
-      }
-    }
-
-  def wordShingles(text: Column, n: Int): Column = wordShinglesUdf(n)(text)
+  /** Word n-gram shingles (distinct, first-occurrence order),
+    * space-joined — the native Catalyst expression
+    * [[graft.functions.WordNgramsExpr]] (codegen'd; began life as a
+    * transform()/slice() tree that ran interpreted per element, then as
+    * a JVM-loop UDF that paid an encoder boundary per row in the
+    * near-dup pipeline's hottest projection). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.wordNgrams(text, n, distinct = true)
 
   /** MinHash signature of a shingle array — the engine's native
     * Catalyst expression [[graft.functions.MinHashSigExpr]] (codegen'd

@@ -208,19 +208,11 @@ object TextAnalysis {
 
   /** All word `n`-grams of a text, NON-distinct (unlike
     * [[Dedup.wordShingles]], which dedups for set similarity) — needed
-    * when occurrence COUNTS matter. JVM loop for the same reason as the
-    * shingle UDF: interpreted higher-order functions are too slow in
-    * explode-heavy paths. */
-  def wordNgramsAllUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { text: String =>
-      if (text == null) Array.empty[String]
-      else {
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < n) Array.empty[String]
-        else Array.tabulate(toks.length - n + 1)(i =>
-          toks.slice(i, i + n).mkString(" "))
-      }
-    }
+    * when occurrence COUNTS matter. Native Catalyst expression
+    * ([[graft.functions.WordNgramsExpr]]): stays in whole-stage codegen
+    * through the explode-heavy repetition path. */
+  def wordNgramsAll(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    graft.functions.wordNgrams(text, n, distinct = false)
 
   /** Gopher-style (Rae et al. 2021, §A1.1) line-repetition quality
     * signals, one row per input document:
@@ -271,7 +263,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val top = docs
       .select(col(idCol), length(col(textCol)).as("__nc"),
-        explode(wordNgramsAllUdf(n)(col(textCol))).as("__g"))
+        explode(wordNgramsAll(col(textCol), n)).as("__g"))
       .groupBy(col(idCol), col("__nc"), col("__g"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__rk", row_number().over(
