@@ -56,19 +56,43 @@ object QcWindows {
       idCol: String = RowIdCol): DataFrame = {
     require(orderCols.nonEmpty, "withRowId: need at least one order column")
     val oc = orderCols.map(qcol)
-    val sorted = df.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
-    // zipWithIndex = one O(partitions) count job over the range shuffle
-    // (whose map output is then REUSED by the main job — the sort is
-    // computed once), then dense per-partition offsets with no second
-    // shuffle. This is the scale-safe replacement for a single-partition
-    // `row_number().over(Window.orderBy(...))`.
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(idCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    // EXPLICIT partition count: an AQE shuffle-read would otherwise be
+    // free to coalesce the offsets branch and the data branch of the
+    // self-referencing exchange DIFFERENTLY, mismatching partition ids
+    // between the two passes (observed: inner join silently dropping
+    // the non-coalesced pids). A user-specified count pins both reads
+    // to the same layout; range boundaries are deterministically
+    // re-derived even if the exchange is not physically reused.
+    val nParts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(nParts, oc: _*).sortWithinPartitions(oc: _*)
+    // Pure-Catalyst zipWithIndex (no RDD hop — keeps whole-stage
+    // codegen, AQE, and lineage intact): monotonically_increasing_id
+    // encodes (partition << 33 | local position) over the range-sorted
+    // data; per-partition counts (one row per PARTITION — tiny) get a
+    // running-sum offset, broadcast-joined back so
+    // rowid = offset(partition) + local position. Both references to
+    // the sorted subtree hit the SAME range exchange (Spark's exchange
+    // reuse), so partitioning and local order agree between the count
+    // and the data pass. No single-partition pass ever touches the
+    // data; the only global Window runs over the partition-count
+    // catalog. Same plan at 600k rows or 100 TB.
+    val localMask = (1L << 33) - 1
+    val withMid = sorted
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+    val offsets = withMid.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    withMid.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idCol,
+        (col("__offset") + col("__mid").bitwiseAND(lit(localMask))).cast(LongType))
+      .drop("__mid", "__pid", "__offset")
   }
 
   /** W2: tumbling window id `floor((t − t0) / winHrs·3600)` with the

@@ -68,10 +68,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) <= 2, s"one exchange expected:\n$p")
   }
 
-  test("row ids never use a single-partition global window") {
+  test("row ids never use a single-partition global window, and stay in Catalyst") {
     val p = physical("w1_rowid")
     assert(!p.contains("Window [row_number()"),
-      s"W1 must be range-partition + zipWithIndex, not Window.orderBy:\n$p")
+      s"W1 must be range-partition + per-partition offsets, not Window.orderBy:\n$p")
+    // the offset join must not sever lineage through an RDD hop
+    assert(!p.contains("ExistingRDD"),
+      s"W1 must stay in Catalyst (no RDD zipWithIndex boundary):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast back onto the data:\n$p")
   }
 
   test("window catalog's dense rank runs on the catalog, data gets a broadcast join") {
