@@ -378,6 +378,18 @@ object SparkEntry {
       QcPlotFeed.byIds(seeded(events(s, dir)),
           Seq(3L, 14L, 159L, 2653L, 5897L), idCol = "event_id")
         .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")),
+    "p14_auto_suffix" -> ((s, dir) => {
+      // qc_vars/qc_suffix carriage (qc_flags.R:87-92): a custom suffix
+      // is threaded ONCE at addFlags; every downstream call (actions,
+      // applyFlags) resolves it from the stamped column Metadata. Same
+      // seeded scenario as p5, so the oracle is the p5 mask.
+      val f = QcFlags.addFlags(
+        withValue2(events(s, dir)), Seq("value2"), suffix = "_chk")
+      val flagged = QcActions.flagSelected(f, "value2", col("value2") > 150)
+      val approved = QcActions.approveSelected(flagged, "value2", col("value2") < 100)
+      QcFlags.applyFlags(approved)
+        .select(col("event_id"), col("value2")).orderBy("event_id")
+    }),
 
     // --- A operators (aggregations) ----------------------------------
     "a1_progress" -> ((s, dir) =>
@@ -1649,6 +1661,10 @@ object SparkEntry {
       s"""$SeededCte SELECT event_id, value2_qcflag AS value_qcflag
          |FROM seeded ORDER BY event_id""".stripMargin,
     "p5_apply_flags" ->
+      s"""$SeededCte SELECT event_id,
+         |  CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END AS value2
+         |FROM seeded ORDER BY event_id""".stripMargin,
+    "p14_auto_suffix" ->
       s"""$SeededCte SELECT event_id,
          |  CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END AS value2
          |FROM seeded ORDER BY event_id""".stripMargin,

@@ -35,11 +35,15 @@ object QcActions {
       scope: Column,
       newFlag: Int,
       guard: Column,
-      suffix: String = DefaultSuffix): DataFrame = {
-    val f = flagCol(v, suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val f = flagCol(v, resolveSuffix(df, suffix))
     require(df.schema.fieldNames.contains(f), s"setFlag: no flag column $f")
-    df.withColumn(f,
-      when(scope && guard, lit(newFlag)).otherwise(qcol(f)).cast(IntegerType))
+    // keepMeta: the when-projection drops the qc_vars/qc_suffix column
+    // Metadata (only bare attribute references carry it); re-attach
+    keepMeta(df,
+      df.withColumn(f,
+        when(scope && guard, lit(newFlag)).otherwise(qcol(f)).cast(IntegerType)),
+      f)
   }
 
   /** The standard guard: never touch the original-NA marker
@@ -77,38 +81,50 @@ object QcActions {
   /** M1 Flag Selected (R/qc_window_app.R:384): brushed set → ManualFlag,
     * guarded. */
   def flagSelected(df: DataFrame, v: String, scope: Column,
-      suffix: String = DefaultSuffix): DataFrame =
-    setFlag(df, v, scope, ManualFlag, notOrigNA(v, suffix), suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    setFlag(df, v, scope, ManualFlag, notOrigNA(v, sfx), sfx)
+  }
 
   /** M2 Approve Selected (R/qc_window_app.R:385). */
   def approveSelected(df: DataFrame, v: String, scope: Column,
-      suffix: String = DefaultSuffix): DataFrame =
-    setFlag(df, v, scope, Approved, notOrigNA(v, suffix), suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    setFlag(df, v, scope, Approved, notOrigNA(v, sfx), sfx)
+  }
 
   /** M3 Unflag Selected (R/qc_window_app.R:386). */
   def unflagSelected(df: DataFrame, v: String, scope: Column,
-      suffix: String = DefaultSuffix): DataFrame =
-    setFlag(df, v, scope, Unchecked, notOrigNA(v, suffix), suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    setFlag(df, v, scope, Unchecked, notOrigNA(v, sfx), sfx)
+  }
 
   /** M4 Flag ENTIRE Window (R/qc_window_app.R:389-393): `windowScope`
     * is the current window's predicate (e.g. `col("win_dense") === k`). */
   def flagWindow(df: DataFrame, v: String, windowScope: Column,
-      suffix: String = DefaultSuffix): DataFrame =
-    setFlag(df, v, windowScope, ManualFlag, notOrigNA(v, suffix), suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    setFlag(df, v, windowScope, ManualFlag, notOrigNA(v, sfx), sfx)
+  }
 
   /** M5 Approve ALL Unflagged in window (R/qc_window_app.R:394-398):
     * guard is `flag == 0 && !is.na(y)` — approves only unchecked,
     * non-missing points. Idempotent. */
   def approveUnflagged(df: DataFrame, v: String, windowScope: Column,
-      suffix: String = DefaultSuffix): DataFrame =
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
     setFlag(df, v, windowScope, Approved,
-      qcol(flagCol(v, suffix)) === Unchecked && !QcFlags.isMissing(df, v),
-      suffix)
+      qcol(flagCol(v, sfx)) === Unchecked && !QcFlags.isMissing(df, v),
+      sfx)
+  }
 
   /** M6 Reset Window (R/qc_window_app.R:399-403). */
   def resetWindow(df: DataFrame, v: String, windowScope: Column,
-      suffix: String = DefaultSuffix): DataFrame =
-    setFlag(df, v, windowScope, Unchecked, notOrigNA(v, suffix), suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    setFlag(df, v, windowScope, Unchecked, notOrigNA(v, sfx), sfx)
+  }
 
   /** M7 "Flag Selected & Approve Unflagged & Next" — the workhorse
     * (R/qc_window_app.R:406-413, overall_workflow.Rmd:248-250):
@@ -122,19 +138,23 @@ object QcActions {
       v: String,
       selection: Column,
       windowScope: Column,
-      suffix: String = DefaultSuffix): DataFrame = {
-    val f = flagCol(v, suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val f = flagCol(v, resolveSuffix(df, suffix))
     require(df.schema.fieldNames.contains(f), s"flagAndApproveRest: no flag column $f")
-    df.withColumn(f,
-      when(selection, lit(ManualFlag))
-        .when(windowScope && qcol(f) === Unchecked && !QcFlags.isMissing(df, v),
-          lit(Approved))
-        .otherwise(qcol(f)).cast(IntegerType))
+    keepMeta(df,
+      df.withColumn(f,
+        when(selection, lit(ManualFlag))
+          .when(windowScope && qcol(f) === Unchecked && !QcFlags.isMissing(df, v),
+            lit(Approved))
+          .otherwise(qcol(f)).cast(IntegerType)),
+      f)
   }
 
   /** M8 Reset ALL (R/qc_window_app.R:417-419): whole-table reset to
     * Unchecked, OrigNA immune. Idempotent. */
   def resetAll(df: DataFrame, v: String,
-      suffix: String = DefaultSuffix): DataFrame =
-    setFlag(df, v, lit(true), Unchecked, notOrigNA(v, suffix), suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    setFlag(df, v, lit(true), Unchecked, notOrigNA(v, sfx), sfx)
+  }
 }

@@ -40,7 +40,7 @@ object QcAuto {
   def flagSpikes(
       df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
       halfWindow: Int = 12, z: Double = 4.0,
-      suffix: String = DefaultSuffix): DataFrame = {
+      suffix: String = AutoSuffix): DataFrame = {
     val marked = df.withColumn("__z", zScore(df, v, orderCols, bucket, halfWindow))
     QcActions.flagSelected(marked, v, abs(col("__z")) > z, suffix).drop("__z")
   }
@@ -59,7 +59,7 @@ object QcAuto {
     * telemetry-sized groups; swap approx_percentile at full scale. */
   def flagMadOutliers(
       df: DataFrame, v: String, bucket: Column,
-      z: Double = 3.5, suffix: String = DefaultSuffix): DataFrame = {
+      z: Double = 3.5, suffix: String = AutoSuffix): DataFrame = {
     // LEFT joins: a null bucket matches no group and must leave the
     // row present-but-unflagged (a detector never deletes rows)
     val med = df.groupBy(bucket.as("__b"))
@@ -87,7 +87,7 @@ object QcAuto {
     * ordering), run lengths via a count over the run id. */
   def flagFlatlines(
       df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
-      minRun: Int = 4, suffix: String = DefaultSuffix): DataFrame = {
+      minRun: Int = 4, suffix: String = AutoSuffix): DataFrame = {
     val ord = Window.partitionBy(bucket).orderBy(orderCols.map(qcol): _*)
     // a missing value starts its own (unflaggable) run — it neither
     // extends nor bridges a run of identical non-missing values, so
@@ -109,7 +109,7 @@ object QcAuto {
     * shuffle-free. */
   def flagRange(
       df: DataFrame, v: String, lo: Double, hi: Double,
-      suffix: String = DefaultSuffix): DataFrame =
+      suffix: String = AutoSuffix): DataFrame =
     QcActions.flagSelected(df, v, qcol(v) < lo || qcol(v) > hi, suffix)
 
   /** Level-shift signal: leading `halfWindow`-row mean (current row
@@ -133,7 +133,7 @@ object QcAuto {
   def flagSteps(
       df: DataFrame, v: String, orderCols: Seq[String], bucket: Column,
       halfWindow: Int = 12, minShift: Double = 30.0,
-      suffix: String = DefaultSuffix): DataFrame = {
+      suffix: String = AutoSuffix): DataFrame = {
     val marked = df.withColumn("__step",
       stepSignal(v, orderCols, bucket, halfWindow))
     QcActions.flagSelected(marked, v, abs(col("__step")) > minShift, suffix)

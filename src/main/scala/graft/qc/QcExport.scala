@@ -123,7 +123,7 @@ object QcExport {
       stem: String,
       formats: Seq[String] = Seq("csv", "parquet"),
       timeCol: Option[String] = None,
-      suffix: String = DefaultSuffix,
+      suffix: String = AutoSuffix,
       gzip: Boolean = false): String = {
     require(formats.nonEmpty && formats.forall(Set("csv", "parquet")),
       "writeExports: formats must be csv and/or parquet")

@@ -76,11 +76,12 @@ object QcFlagLog {
       log: DataFrame,
       idCol: String = QcWindows.RowIdCol,
       winIdCol: String = QcWindows.WinIdCol,
-      suffix: String = DefaultSuffix): DataFrame = {
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(base, suffix)
     val vars = log.select("variable").distinct().collect().map(_.getString(0))
 
     vars.foldLeft(base) { (df, v) =>
-      val f = flagCol(v, suffix)
+      val f = flagCol(v, sfx)
       require(df.schema.fieldNames.contains(f), s"fold: no flag column $f")
       val lv = log.filter(col("variable") === v)
 

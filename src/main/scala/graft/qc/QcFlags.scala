@@ -41,9 +41,22 @@ object QcFlags {
   def addFlags(
       df: DataFrame,
       vars: Seq[String] = Nil,
-      suffix: String = DefaultSuffix,
+      suffix: String = AutoSuffix,
       overwrite: Boolean = false,
       requireNumeric: Boolean = true): DataFrame = {
+    // AutoSuffix here implements the reference's attr-merge on repeated
+    // calls (qc_flags.R:87-92): a second addFlags on an already-flagged
+    // table reuses the carried suffix, so the generations agree.
+    val sfx = resolveSuffix(df, suffix)
+    addFlagsResolved(df, vars, sfx, overwrite, requireNumeric)
+  }
+
+  private def addFlagsResolved(
+      df: DataFrame,
+      vars: Seq[String],
+      suffix: String,
+      overwrite: Boolean,
+      requireNumeric: Boolean): DataFrame = {
     require(suffix.nonEmpty, "addFlags: suffix must be a non-empty string")
     val names = df.schema.fieldNames.toSeq
     val selected =
@@ -71,15 +84,23 @@ object QcFlags {
 
     // In-place overwrite preserving column position, like the reference's
     // data.table::set (qc_flags.R:77-84); only genuinely-new flag columns
-    // are appended at the end.
-    val flagExprs: Map[String, Column] = selected.map { v =>
+    // are appended at the end. Each flag column is stamped with the
+    // qc_vars/qc_suffix Metadata (qc_flags.R:87-90) so downstream
+    // operators can resolve the suffix without being told.
+    val flagExprs: Map[String, (String, Column)] = selected.map { v =>
       flagCol(v, suffix) ->
-        when(isMissing(df, v), lit(OrigNA)).otherwise(lit(Unchecked))
-          .cast(IntegerType)
+        (v, when(isMissing(df, v), lit(OrigNA)).otherwise(lit(Unchecked))
+          .cast(IntegerType))
     }.toMap
-    val inPlace = names.map(n => flagExprs.get(n).map(_.as(n)).getOrElse(qcol(n)))
-    val appended = newFlagNames.filterNot(names.contains)
-      .map(n => flagExprs(n).as(n))
+    val inPlace = names.map { n =>
+      flagExprs.get(n)
+        .map { case (v, c) => c.as(n, flagMeta(v, suffix)) }
+        .getOrElse(qcol(n))
+    }
+    val appended = newFlagNames.filterNot(names.contains).map { n =>
+      val (v, c) = flagExprs(n)
+      c.as(n, flagMeta(v, suffix))
+    }
     df.select(inPlace ++ appended: _*)
   }
 
@@ -89,11 +110,12 @@ object QcFlags {
   def removeFlags(
       df: DataFrame,
       vars: Seq[String] = Nil,
-      suffix: String = DefaultSuffix,
+      suffix: String = AutoSuffix,
       strict: Boolean = false): DataFrame = {
-    val present = flagCols(df, suffix)
+    val sfx = resolveSuffix(df, suffix)
+    val present = flagCols(df, sfx)
     if (present.isEmpty) return df
-    val target = if (vars.isEmpty) present else vars.map(flagCol(_, suffix))
+    val target = if (vars.isEmpty) present else vars.map(flagCol(_, sfx))
     val missing = target.filterNot(df.schema.fieldNames.contains)
     require(missing.isEmpty || !strict,
       s"removeFlags: not found: ${missing.mkString(", ")}")
@@ -108,11 +130,13 @@ object QcFlags {
       df: DataFrame,
       from: String,
       to: String,
-      suffix: String = DefaultSuffix): DataFrame = {
-    val src = flagCol(from, suffix)
-    val dst = flagCol(to, suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    val src = flagCol(from, sfx)
+    val dst = flagCol(to, sfx)
     require(df.schema.fieldNames.contains(src), s"transfer: flag column not found: $src")
-    df.withColumn(dst, qcol(src))
+    // restamp rather than inherit: the copied column's base is `to`
+    df.withColumn(dst, qcol(src)).withMetadata(dst, flagMeta(to, sfx))
   }
 
   /** P5 `qc_apply_flags` (R/qc_flags.R:193-219): for each flag column
@@ -121,11 +145,12 @@ object QcFlags {
     * permissive mask). Optionally drop the flag columns afterwards. */
   def applyFlags(
       df: DataFrame,
-      suffix: String = DefaultSuffix,
+      suffix: String = AutoSuffix,
       dropFlags: Boolean = true): DataFrame = {
-    val fcols = flagCols(df, suffix)
-    require(fcols.nonEmpty, s"applyFlags: no columns end with '$suffix'")
-    maskWhere(df, lit(0), suffix, dropFlags)
+    val sfx = resolveSuffix(df, suffix)
+    val fcols = flagCols(df, sfx)
+    require(fcols.nonEmpty, s"applyFlags: no columns end with '$sfx'")
+    maskWhere(df, lit(0), sfx, dropFlags)
   }
 
   /** P6 clean-series mask (R/qc_plots.R:52): null out values where
@@ -134,9 +159,9 @@ object QcFlags {
     * threshold by design (SURVEY §7.6.5). */
   def cleanForPlot(
       df: DataFrame,
-      suffix: String = DefaultSuffix,
+      suffix: String = AutoSuffix,
       dropFlags: Boolean = false): DataFrame =
-    maskWhere(df, lit(Approved), suffix, dropFlags)
+    maskWhere(df, lit(Approved), resolveSuffix(df, suffix), dropFlags)
 
   /** Shared mask builder: null each flagged variable where its flag is
     * strictly below `threshold`. One projection over all variables. */

@@ -16,8 +16,8 @@ object QcPlotFeed {
   /** P7: hide-flagged base filter (`hide_bad`,
     * R/qc_window_app.R:255): keep rows whose flag is not bad. */
   def hideBad(df: DataFrame, v: String,
-      suffix: String = DefaultSuffix): DataFrame =
-    df.filter(qcol(flagCol(v, suffix)) >= 0)
+      suffix: String = AutoSuffix): DataFrame =
+    df.filter(qcol(flagCol(v, resolveSuffix(df, suffix))) >= 0)
 
   /** P8: non-missing filter (R/qc_window_app.R:256, 284): drop rows
     * with missing y or missing time before plotting. */
@@ -27,15 +27,15 @@ object QcPlotFeed {
   /** P9: per-flag-class partition (R/qc_window_app.R:293-295): the rows
     * of one flag class (approved === 1, bad === -2, ...). */
   def flagClass(df: DataFrame, v: String, flagValue: Int,
-      suffix: String = DefaultSuffix): DataFrame =
-    df.filter(qcol(flagCol(v, suffix)) === flagValue)
+      suffix: String = AutoSuffix): DataFrame =
+    df.filter(qcol(flagCol(v, resolveSuffix(df, suffix))) === flagValue)
 
   /** P10: secondary-overlay filter (R/qc_window_app.R:304-312): rows
     * where the secondary variable is non-missing AND (if it has a flag
     * column) its own flag >= 0 — independent of hide_bad. */
   def secondaryOverlay(df: DataFrame, v2: String,
-      suffix: String = DefaultSuffix): DataFrame = {
-    val f2 = flagCol(v2, suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val f2 = flagCol(v2, resolveSuffix(df, suffix))
     val flagOk =
       if (df.schema.fieldNames.contains(f2)) qcol(f2) >= 0 else lit(true)
     df.filter(!QcFlags.isMissing(df, v2) && flagOk)
@@ -46,12 +46,14 @@ object QcPlotFeed {
     * the primary y, flag columns, and engine-internal helpers.
     * Driver-side name arithmetic — no data pass. */
   def secondaryChoices(df: DataFrame, t: String, y: String,
-      suffix: String = DefaultSuffix): Seq[String] =
+      suffix: String = AutoSuffix): Seq[String] = {
+    val sfx = resolveSuffix(df, suffix)
     df.schema.fieldNames.toSeq.filterNot { n =>
-      n == t || n == y || n.endsWith(suffix) ||
+      n == t || n == y || n.endsWith(sfx) ||
         n == QcWindows.RowIdCol || n == QcWindows.WinIdCol ||
         n == QcWindows.WinDenseCol || n.startsWith("__")
     }
+  }
 
   /** P12: row subset by brushed id set (R/qc_window_app.R:211-213). */
   def byIds(df: DataFrame, ids: Seq[Long],
@@ -71,21 +73,22 @@ object QcPlotFeed {
       df: DataFrame,
       idCols: Seq[String],
       vars: Seq[String] = Nil,
-      suffix: String = DefaultSuffix): DataFrame = {
-    val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    val vs = if (vars.isEmpty) flaggedVars(df, sfx) else vars
     require(vs.nonEmpty, "meltVars: no flagged variables")
     vs.map { v =>
       df.select(idCols.map(qcol) ++ Seq(
         lit(v).as("variable"),
         qcol(v).cast("double").as("value"),
-        qcol(flagCol(v, suffix)).as("flag")): _*)
+        qcol(flagCol(v, sfx)).as("flag")): _*)
     }.reduce(_.unionByName(_))
   }
 
   /** U1: raw ⊎ clean unpivot (R/qc_plots.R:45-56): the check-plot feed —
     * the raw series and the strict-masked clean series (P6, `flag < 1`
     * → null) stacked with a `panel` discriminator. */
-  def rawCleanUnion(df: DataFrame, suffix: String = DefaultSuffix): DataFrame = {
+  def rawCleanUnion(df: DataFrame, suffix: String = AutoSuffix): DataFrame = {
     val raw = df.withColumn("panel", lit("raw"))
     val clean = QcFlags.cleanForPlot(df, suffix).withColumn("panel", lit("clean"))
     raw.unionByName(clean)

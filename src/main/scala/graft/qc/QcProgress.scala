@@ -35,9 +35,10 @@ object QcProgress {
   def summary(
       df: DataFrame,
       vars: Seq[String] = Nil,
-      suffix: String = DefaultSuffix,
+      suffix: String = AutoSuffix,
       hideComplete: Boolean = false): DataFrame = {
-    val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
+    val sfx = resolveSuffix(df, suffix)
+    val vs = if (vars.isEmpty) flaggedVars(df, sfx) else vars
     require(vs.nonEmpty, "summary: no flagged variables found")
 
     // coalesce: sum over ZERO rows is null in SQL, but R's sum(logical)
@@ -46,7 +47,7 @@ object QcProgress {
     def cif(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
 
     val aggs = count(lit(1)).as("__n_all") +: vs.flatMap { v =>
-      val f = qcol(flagCol(v, suffix))
+      val f = qcol(flagCol(v, sfx))
       val miss = QcFlags.isMissing(df, v)
       Seq(
         cif(miss).as(s"__na@$v"),
@@ -92,11 +93,12 @@ object QcProgress {
   def consistency(
       df: DataFrame,
       vars: Seq[String] = Nil,
-      suffix: String = DefaultSuffix): DataFrame = {
-    val vs = if (vars.isEmpty) flaggedVars(df, suffix) else vars
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    val vs = if (vars.isEmpty) flaggedVars(df, sfx) else vars
     require(vs.nonEmpty, "consistency: no flagged variables found")
     val aggs = vs.flatMap { v =>
-      val f = qcol(flagCol(v, suffix))
+      val f = qcol(flagCol(v, sfx))
       Seq(
         coalesce(sum(when(QcFlags.isMissing(df, v), 1L).otherwise(0L)), lit(0L))
           .as(s"__na@$v"),
@@ -115,6 +117,55 @@ object QcProgress {
         filter(col(s"__bad@$v"), _.isNotNull).as("bad_flags"))
     }
     one.select(inline(array(rows: _*)))
+  }
+
+  /** Pluggable sink for the A2/A3 warnings that `qc_progress` emits as
+    * R `warning()`s (R/qc_summary.R:51-66). Spark has no warning
+    * condition system, so the channel is explicit: a reporter. */
+  trait Reporter { def warn(message: String): Unit }
+
+  object Reporter {
+    /** Default: route to log4j at WARN, like a console R session. */
+    object Log extends Reporter {
+      private lazy val logger =
+        org.apache.log4j.Logger.getLogger("graft.qc.QcProgress")
+      def warn(message: String): Unit = logger.warn(message)
+    }
+    /** Collecting reporter for programmatic consumption / tests. */
+    final class Buffering extends Reporter {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      def warn(message: String): Unit = synchronized { buf += message }
+      def messages: Seq[String] = synchronized { buf.toList }
+    }
+  }
+
+  /** [[summary]] with the reference's warn-and-continue semantics
+    * (R/qc_summary.R:51-66): before summarising, run [[consistency]]
+    * and surface NA-mismatch (A2) and out-of-domain flag values (A3)
+    * through `reporter`, then return the summary regardless. The
+    * consistency result is one row per variable — collecting it is
+    * model-sized, not data-sized. */
+  def summaryWithChecks(
+      df: DataFrame,
+      vars: Seq[String] = Nil,
+      suffix: String = AutoSuffix,
+      hideComplete: Boolean = false,
+      reporter: Reporter = Reporter.Log): DataFrame = {
+    val sfx = resolveSuffix(df, suffix)
+    consistency(df, vars, sfx).collect().foreach { r =>
+      val v = r.getAs[String]("variable")
+      if (!r.getAs[Boolean]("na_consistent"))
+        reporter.warn(
+          s"$v: NA count (${r.getAs[Long]("na_count")}) != flag==-1 count " +
+            s"(${r.getAs[Long]("flag_na_count")}) — values were modified " +
+            "after qc_add_flags (R/qc_summary.R:51-59)")
+      val bad = r.getAs[scala.collection.Seq[Int]]("bad_flags")
+      if (bad.nonEmpty)
+        reporter.warn(
+          s"$v: flag values outside {-2,-1,0,1}: ${bad.mkString(", ")} " +
+            "(R/qc_summary.R:60-66)")
+    }
+    summary(df, vars, sfx, hideComplete)
   }
 
   /** Inter-flagger agreement between two flag columns over the closed

@@ -27,7 +27,7 @@ final case class QcSession(
     t0: java.sql.Timestamp,
     catalog: DataFrame,
     cursor: Long = 0L,
-    suffix: String = FlagSchema.DefaultSuffix,
+    suffix: String = FlagSchema.AutoSuffix,
     appliedActions: Int = 0) {
 
   import FlagSchema._
@@ -107,7 +107,7 @@ final case class LoggedQcSession(
     y: String,
     events: Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)],
     nextSeq: Long = 1L,
-    suffix: String = FlagSchema.DefaultSuffix) {
+    suffix: String = FlagSchema.AutoSuffix) {
 
   import QcFlagLog._
 
@@ -182,21 +182,22 @@ object QcSession {
       winHrs: Double = 168.0,
       include: Seq[Int] = Nil,
       tiebreakers: Seq[String] = Nil,
-      suffix: String = FlagSchema.DefaultSuffix,
+      suffix: String = FlagSchema.AutoSuffix,
       cache: Boolean = true): QcSession = {
+    val sfx = FlagSchema.resolveSuffix(data, suffix)
     require(data.schema.fieldNames.contains(t), s"open: no time column $t")
     require(
       data.schema(t).dataType == org.apache.spark.sql.types.TimestampType,
       s"open: $t must be TimestampType (the reference errors on non-POSIXct, R/qc_window_app.R:52-57)")
-    require(data.schema.fieldNames.contains(FlagSchema.flagCol(y, suffix)),
+    require(data.schema.fieldNames.contains(FlagSchema.flagCol(y, sfx)),
       s"open: run QcFlags.addFlags first — no flag column for $y (R/qc_window_app.R:59-62)")
     val t0 = QcWindows.minTime(data, t)
     val withIds = QcWindows.withRowId(data, t +: tiebreakers)
     val wdf = QcWindows.withWinId(withIds, t, winHrs, Some(t0))
-    val cat = QcWindows.windowCatalog(wdf, t, y, include, suffix)
+    val cat = QcWindows.windowCatalog(wdf, t, y, include, sfx)
     val full = QcWindows.withDenseId(wdf, cat)
     val cached =
       if (cache) full.persist(StorageLevel.MEMORY_AND_DISK) else full
-    QcSession(cached, y, t, winHrs, t0, cat, 0L, suffix)
+    QcSession(cached, y, t, winHrs, t0, cat, 0L, sfx)
   }
 }

@@ -136,9 +136,9 @@ object QcWindows {
       t: String,
       y: String,
       include: Seq[Int] = Nil,
-      suffix: String = DefaultSuffix,
+      suffix: String = AutoSuffix,
       winIdCol: String = WinIdCol): DataFrame = {
-    val f = flagCol(y, suffix)
+    val f = flagCol(y, resolveSuffix(df, suffix))
     val hasFlag = df.schema.fieldNames.contains(f)
     val yOk = max(when(!QcFlags.isMissing(df, y), 1).otherwise(0)) === 1
     val flagOk =

@@ -27,10 +27,11 @@ object QcStream {
       stream: DataFrame,
       vars: Seq[String],
       autoFlag: Map[String, org.apache.spark.sql.Column] = Map.empty,
-      suffix: String = DefaultSuffix): DataFrame = {
-    val flagged = QcFlags.addFlags(stream, vars, suffix)
+      suffix: String = AutoSuffix): DataFrame = {
+    val sfx = resolveSuffix(stream, suffix)
+    val flagged = QcFlags.addFlags(stream, vars, sfx)
     autoFlag.foldLeft(flagged) { case (df, (v, bad)) =>
-      val f = flagCol(v, suffix)
+      val f = flagCol(v, sfx)
       df.withColumn(f,
         when(col(f) === Unchecked && bad, lit(ManualFlag)).otherwise(col(f)))
     }
@@ -193,8 +194,8 @@ object QcStream {
       v: String,
       windowWidth: String = "1 hour",
       watermark: String = "2 hours",
-      suffix: String = DefaultSuffix): DataFrame = {
-    val f = col(flagCol(v, suffix))
+      suffix: String = AutoSuffix): DataFrame = {
+    val f = col(flagCol(v, resolveSuffix(flagged, suffix)))
     flagged
       .withWatermark(t, watermark)
       .groupBy(window(col(t), windowWidth).as("win"))
