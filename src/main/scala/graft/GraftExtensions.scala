@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr, WordNgramsExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, HashFeaturesExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr, WordNgramsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -78,6 +78,12 @@ object GraftExtensions {
         WordNgramsExpr(exprs.head,
           litNum("word_ngrams", exprs, 1, 3L).toInt,
           litNum("word_ngrams", exprs, 2, 0L) != 0L)
+      }),
+    ("hash_features", classOf[HashFeaturesExpr].getName,
+      exprs => {
+        arity("hash_features", exprs, 2, 2)
+        HashFeaturesExpr(exprs.head,
+          litNum("hash_features", exprs, 1, 16L).toInt)
       }),
     ("winnow", classOf[WinnowExpr].getName,
       // optional literal args: k, w

