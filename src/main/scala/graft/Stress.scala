@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1.0-shaped stress check: synthesize a `factor`× (default 10×)
+  * replica of the scale-bearing tables from an existing sf dir, run
+  * the scale-critical query subset against it, and record per-query
+  * timings plus the scaling ratio vs the sf0.1 bench (a ratio ≈ 1
+  * means the query scales linearly with data volume; > 2 flags a
+  * super-linear plan — the thing that would break at 100 TB).
+  *
+  * Replicas are NOT byte-copies: document text gets a per-replica
+  * suffix (so near-dup detection faces real 10-member duplicate
+  * groups), ids are remapped to stay unique, and event series overlap
+  * the same time range (denser windows, the realistic growth mode).
+  *
+  * Run: SPARK_GRAFT_STRESS_X=10 sbt "runMain graft.Stress"
+  * Output: /root/repo/STRESS_local.json
+  */
+object Stress {
+
+  /** Scale-critical subset: every family with a shuffle/join/window
+    * whose behavior could bend super-linearly. Streaming queries are
+    * excluded (micro-batch fixed cost dominates at toy scale). */
+  private val StressQueries = Seq(
+    "q1_agg", "q3_join", "q5_region_join", "q6_filter_agg", "q17_small_qty",
+    "dedup_exact", "dedup_minhash", "dedup_prefix", "dedup_ngram",
+    "dedup_clusters", "dedup_embed",
+    "sim_topk_agg", "sim_ivf", "embed_centroids",
+    "text_tfidf", "text_langid_ngram", "text_quality",
+    "cur_decontam_bloom", "cur_pack",
+    "auto_mad", "auto_flatline", "ts_rolling", "ts_asof",
+    "w1_rowid", "m5_approve_unflagged", "a1_progress", "plot_m4", "u1_union")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_stress")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, srcDir, outDir, factor)
+
+    // warmup (JIT/codegen), untimed
+    spark.read.parquet(s"$outDir/lineitem.parquet").count()
+
+    val all = SparkEntry.queries
+    val results = StressQueries.map { name =>
+      val t0 = System.nanoTime()
+      val t =
+        try { all(name)(spark, outDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[stress] $name FAILED: ${e.getMessage}")
+            -math.max((System.nanoTime() - t0) / 1e9, 0.001)
+        }
+      println(f"[stress] $name%-22s $t%8.2f s")
+      name -> t
+    }
+
+    // scaling ratio vs the recorded sf0.1 bench: stress / (bench × factor)
+    val bench = readBench("/root/repo/BENCH_local.json")
+    val qs = results.map { case (k, v) =>
+      val ratio = bench.get(k).filter(_ > 0).map(b => v / (b * factor))
+      "\"" + k + "\":{\"sec\":" + v +
+        ratio.map(r => ",\"x_vs_linear\":" + f"$r%.3f").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/STRESS_local.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  /** factor× replication with id remap (`id*factor + r`), suffixed
+    * document text, unchanged timestamps/embeddings. Dimension tables
+    * copy through untouched; lineitem fans out (same orderkeys — the
+    * join side grows, the realistic fact-table growth mode). */
+  private def synthesize(
+      spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val reps = spark.range(factor).select(col("id").cast("int").as("__r"))
+    def rep(t: String)(remap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val df = spark.read.parquet(s"$src/$t.parquet").crossJoin(broadcast(reps))
+      remap(df).drop("__r")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    rep("events")(df => df
+      .withColumn("event_id", col("event_id") * factor + col("__r"))
+      .withColumn("user_id", col("user_id") * factor + col("__r")))
+    rep("documents")(df => df
+      .withColumn("doc_id", col("doc_id") * factor + col("__r"))
+      .withColumn("text", concat(col("text"), lit(" rep"), col("__r"))))
+    rep("embeddings")(df => df
+      .withColumn("vec_id", col("vec_id") * factor + col("__r")))
+    rep("lineitem")(df => df
+      .withColumn("l_linenumber", col("l_linenumber") * factor + col("__r")))
+    Seq("orders", "customer", "supplier", "part", "nation", "region")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+  }
+
+  /** Crude single-purpose parse of BENCH_local.json's flat
+    * `"name":seconds` map (no JSON lib on the classpath). */
+  private def readBench(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+}
