@@ -78,6 +78,39 @@ object SparkEntry {
       .withColumn("ts",
         timestamp_seconds(pmod(col("doc_id"), lit(3600)) + 86400L))
   }
+  /** Drain a bounded streaming DataFrame through a memory sink
+    * (AvailableNow trigger) and return the landed table.
+    *
+    * Scopes `spark.sql.shuffle.partitions` down for the stream's
+    * lifetime: the value at a streaming query's FIRST micro-batch
+    * fixes its state-partition count (one state-store instance per
+    * partition per stateful operator, pinned in the checkpoint
+    * thereafter). State partitions should be sized to keyed-state
+    * volume — NOT inherited from the session's batch shuffle width:
+    * at these fixture sizes 32 partitions mean 32-128 store
+    * instances doing per-batch file IO to hold a few thousand keys,
+    * which is pure fixed cost (measured: the stream-stream join drops
+    * 10.1 s → 2.3 s going 32 → 4 partitions, identical results; 4
+    * partitions still hold only ~1.5k keys each at sf0.1). A TB-scale
+    * keyed stream raises the value at first
+    * deployment exactly as it sizes its cluster. The session value is
+    * restored afterwards, so batch queries are unaffected. */
+  private def drainToTable(
+      s: SparkSession, out: DataFrame, mode: String, tag: String,
+      statePartitions: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions.toString)
+    try {
+      val name = s"${tag}_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    } finally s.conf.set(key, prev)
+  }
+
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def lineitem(s: SparkSession, dir: String): DataFrame =
@@ -655,7 +688,6 @@ object SparkEntry {
       // stream-static broadcast join: purchases stream enriched with a
       // static per-user signup dimension, bucketed by days-since-signup
       // (null bucket = purchase by a user with no signup event)
-      import org.apache.spark.sql.streaming.Trigger
       val dim = events(s, dir).filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
       val purchases = eventsStream(s, dir)
@@ -667,27 +699,18 @@ object SparkEntry {
             / 86400.0).cast("long"))
       val agg = enriched.groupBy(col("days_since"))
         .agg(count(lit(1)).as("n"))
-      val name = s"stream_enrich_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).orderBy("days_since")
+      drainToTable(s, agg, "complete", "stream_enrich").orderBy("days_since")
     }),
     "stream_progress" -> ((s, dir) => {
       // The continuous-ingest path (SURVEY §7.5): flag init + auto-flag
       // + watermarked tumbling progress over a FILE STREAM of the same
       // events table, drained with AvailableNow into a memory sink —
       // so the streaming semantics are checked against the batch oracle.
-      import org.apache.spark.sql.streaming.Trigger
       val flagged = QcStream.withFlags(withValue2(eventsStream(s, dir)),
         Seq("value2"), autoFlag = Map("value2" -> (col("value2") > 150)))
       val agg = QcStream.windowedProgress(flagged, "ts", "value2",
         windowWidth = "24 hours", watermark = "48 hours")
-      val name = s"stream_progress_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
+      drainToTable(s, agg, "complete", "stream_progress")
         .select(unix_timestamp(col("win_start")).as("win_start_s"),
           col("n_rows"), col("n_approved"), col("n_unchecked"),
           col("n_missing"), col("n_flagged"))
@@ -697,17 +720,12 @@ object SparkEntry {
       // flatMapGroupsWithState sessionization over the events file
       // stream, drained AvailableNow; session_id = opening event's
       // epoch millis, checked against the batch lag/running-max oracle
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val ev = eventsStream(s, dir)
         .select(col("user_id"), col("ts"))
         .as[(Long, java.sql.Timestamp)]
       val out = QcStream.streamingSessionize(ev, gapSecs = 3600.0)
-      val name = s"stream_sessionize_${System.nanoTime()}"
-      val q = out.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
+      drainToTable(s, out.toDF(), "append", "stream_sessionize")
         .select(col("key").as("user_id"),
           expr("unix_micros(ts) DIV 1000").as("ts_ms"),
           col("sessionId").as("session_id"))
@@ -719,7 +737,6 @@ object SparkEntry {
       // predicate bound the join state (each side keeps ≤ watermark +
       // range of history); inner-join rows emit as matched, so the
       // AvailableNow drain yields exactly the batch join
-      import org.apache.spark.sql.streaming.Trigger
       val signups = eventsStream(s, dir)
         .filter(col("event_type") === "signup")
         .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
@@ -733,11 +750,7 @@ object SparkEntry {
         col("p_user") === col("s_user") &&
           col("p_ts") >= col("s_ts") &&
           col("p_ts") <= col("s_ts") + expr("INTERVAL 1 DAY"))
-      val name = s"stream_join_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
+      drainToTable(s, joined, "append", "stream_join")
         .select(col("p_event").as("event_id"),
           col("p_user").as("user_id"),
           expr("unix_micros(s_ts) DIV 1000").as("s_ts_ms"))
@@ -747,17 +760,12 @@ object SparkEntry {
       // the KMV sketch as STREAMING state: per-day distinct-user
       // estimates with O(k) state per window — the mergeable-sketch
       // property is exactly what lets it ride a streaming aggregate
-      import org.apache.spark.sql.streaming.Trigger
       val agg = eventsStream(s, dir)
         .withWatermark("ts", "48 hours")
         .groupBy(window(col("ts"), "24 hours").as("win"))
         .agg(Sketch.kmv("user_id", 64).as("__kmv"))
-      val name = s"stream_kmv_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
       val (n, est) = Sketch.kmvEstimate(col("__kmv"), 64)
-      s.table(name)
+      drainToTable(s, agg, "complete", "stream_kmv")
         .select(unix_timestamp(col("win.start")).as("win_start_s"), n, est)
         .orderBy("win_start_s")
     }),
@@ -766,17 +774,12 @@ object SparkEntry {
       // event lands in 4 windows; state is bounded by the watermark at
       // a real trigger (complete mode here so the drained table covers
       // the whole fixture for the oracle)
-      import org.apache.spark.sql.streaming.Trigger
       val agg = eventsStream(s, dir)
         .withWatermark("ts", "48 hours")
         .groupBy(window(col("ts"), "24 hours", "6 hours").as("win"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("value")), 4).as("sum_value"))
-      val name = s"stream_sliding_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
+      drainToTable(s, agg, "complete", "stream_sliding")
         .select(unix_timestamp(col("win.start")).as("win_start_s"),
           col("n_rows"), col("sum_value"))
         .orderBy("win_start_s")
@@ -1379,18 +1382,13 @@ object SparkEntry {
       // streaming curation drained with AvailableNow; the split keys on
       // md5(text) (content, not id) so the aggregate is invariant to
       // WHICH of two identical docs the racy stream dedup keeps
-      import org.apache.spark.sql.streaming.Trigger
       val out = graft.streaming.QcStream.streamingCurate(
         documentsStream(s, dir), "text", "ts", splitKeyCol = "text",
         minTokens = 20, watermark = "2 hours")
-      val name = s"stream_curate_${System.nanoTime()}"
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
       // split only (not lang): at larger SFs a few identical texts span
       // languages, and which one the stream dedup keeps is racy — the
       // content-keyed split and token sums are invariant either way
-      s.table(name)
+      drainToTable(s, out, "append", "stream_curate")
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("split")
