@@ -639,6 +639,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy("event_type")
     }),
+    "s13_orc_source" -> ((s, dir) => {
+      // ORC roundtrip — the fourth source/sink format (parquet, csv,
+      // json, orc): columnar like parquet, so projection pushdown
+      // applies on re-read; the aggregate must match the parquet
+      // oracle exactly (lossless roundtrip)
+      val tmp = scratch("s13")
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(s"$tmp/ev_orc")
+      s.read.orc(s"$tmp/ev_orc")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
     "s8_manifest" -> ((s, dir) => {
       val tmp = scratch("s8")
       val manifest = QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
@@ -895,6 +908,49 @@ object SparkEntry {
           gapSecs = 3600.0, orderCols = Seq("event_id"))
         .select(col("event_id"), col("session_id"))
         .orderBy("event_id")),
+    "ts_scd2" -> ((s, dir) => {
+      // Type-2 slowly-changing-dimension build: per-user "tier"
+      // (value quantized to 50-wide bands) versioned over event time —
+      // consecutive equal tiers collapse into one version carrying its
+      // validity interval [valid_from, valid_to); open interval =
+      // current version
+      val tiered = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 50).cast("long").as("tier"))
+      graft.timeseries.TimeSeriesOps.scd2History(tiered,
+          keys = Seq("user_id"), t = "ts", attrs = Seq("tier"),
+          orderCols = Seq("event_id"))
+        .select(col("user_id"), col("tier"),
+          expr("unix_micros(valid_from) DIV 1000").as("valid_from_ms"),
+          expr("unix_micros(valid_to) DIV 1000").as("valid_to_ms"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_ms", "tier")
+    }),
+    "ts_cusum" -> ((s, dir) =>
+      // two-sided CUSUM drift detection per event_type series; the
+      // windowed closed form (running sum minus its running minimum)
+      // replaces the sequential max(0, ...) recursion — rows where
+      // either side's statistic exceeds the threshold. 4 dp rounding
+      // on OUTPUT AND FILTER: both engines compare identically
+      // rounded values, so borderline membership cannot diverge on
+      // float summation-order noise
+      graft.timeseries.TimeSeriesOps.cusumChangepoints(
+          events(s, dir), keys = Seq("event_type"), t = "ts", v = "value",
+          slack = 0.25, threshold = 3.0, orderCols = Seq("event_id"))
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 1000").as("ts_ms"),
+          col("value"), col("s_pos"), col("s_neg"))
+        .orderBy("event_type", "ts_ms")),
+    "ts_ohlc" -> ((s, dir) =>
+      // OHLC bars: first/max/min/last value per (event_type, 6 h
+      // bucket); open/close are row_number() = 1 under the total
+      // (ts, event_id) order, so tied timestamps stay deterministic
+      graft.timeseries.Resample.ohlc(
+          events(s, dir), "ts", "value", widthSecs = 21600L,
+          keys = Seq("event_type"), orderCols = Seq("event_id"))
+        .select(col("event_type"), col("bucket_start_s"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy("event_type", "bucket_start_s")),
     "ts_resample" -> ((s, dir) =>
       graft.timeseries.Resample.resampleMean(
           seeded(events(s, dir)).transform(d => QcFlags.applyFlags(d)),
@@ -1352,6 +1408,12 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("doc_id", "rank")),
+    "text_heavy_hitters" -> ((s, dir) =>
+      // corpus-level document-frequency top-k (vocabulary pruning /
+      // boilerplate spotting); top-k runs as TakeOrderedAndProject —
+      // no global sort materializes
+      TextAnalysis.docFreqTopK(documents(s, dir), "doc_id", "text", k = 50)
+        .orderBy(col("df").desc, col("token"))),
     "text_sentences" -> ((s, dir) => {
       // corpus is punctuation-free; plant a sentence break + terminal
       val planted = concat(substring(col("text"), 1, 40), lit(". "),
@@ -1790,6 +1852,10 @@ object SparkEntry {
         |SELECT event_id, value, CAST(version AS BIGINT) AS version
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "s12_json_source" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s13_orc_source" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -2253,6 +2319,65 @@ object SparkEntry {
         |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |FROM c ORDER BY event_id""".stripMargin,
+    "ts_scd2" ->
+      """WITH tiered AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(value / 50) AS BIGINT) AS tier
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+        |  FROM tiered),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, tier FROM c
+        |  WHERE prev_tier IS NULL OR prev_tier <> tier),
+        |v AS (
+        |  SELECT user_id, tier, epoch_ms(ts) AS valid_from_ms,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to_ms
+        |  FROM chg)
+        |SELECT user_id, tier, valid_from_ms, valid_to_ms,
+        |  valid_to_ms IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from_ms, tier""".stripMargin,
+    "ts_cusum" ->
+      """WITH z AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    CASE WHEN stddev_samp(value) OVER (PARTITION BY event_type) > 0
+        |         THEN (value - avg(value) OVER (PARTITION BY event_type))
+        |              / stddev_samp(value) OVER (PARTITION BY event_type)
+        |         ELSE 0.0 END AS zv
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    sum(zv - 0.25) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cp,
+        |    sum(-zv - 0.25) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cn
+        |  FROM z),
+        |s AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    round(cp - least(0.0, min(cp) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), 4) AS s_pos,
+        |    round(cn - least(0.0, min(cn) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), 4) AS s_neg
+        |  FROM c)
+        |SELECT event_type, epoch_ms(ts) AS ts_ms, value, s_pos, s_neg
+        |FROM s WHERE s_pos > 3.0 OR s_neg > 3.0
+        |ORDER BY event_type, ts_ms""".stripMargin,
+    "ts_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start_s,
+        |    row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 21600)
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 21600)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT event_type, bucket_start_s,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(value) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts_resample" ->
       s"""$SeededCte, clean AS (
          |  SELECT ts, CASE WHEN value2_qcflag < 0 THEN NULL ELSE value2 END AS v
@@ -2892,6 +3017,15 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents WHERE len(trim(text)) > 0)
+        |  WHERE token <> '')
+        |SELECT token, count(*) AS df FROM toks
+        |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
     "text_sentences" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -344,6 +344,32 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
   }
 
+  /** Corpus-level heavy hitters by DOCUMENT frequency: the `k` tokens
+    * present in the most documents — the vocabulary-pruning /
+    * boilerplate-spotting signal (a token in 90% of documents is
+    * markup or a stopword, not content).
+    *
+    * Scale shape: explode → distinct (doc, token) hash aggregate with
+    * map-side combine (the per-document token SET, so a token
+    * repeated in one doc counts once) → token-keyed count — a
+    * vocabulary-sized table — → top-k as `TakeOrderedAndProject`
+    * (each partition keeps k rows; no global sort ever
+    * materializes). Total order (df desc, token) makes the cut
+    * deterministic across engines. */
+  def docFreqTopK(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "docFreqTopK: k must be >= 1")
+    docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+  }
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token hashes in a ~2^57 prime field (modular fold — no long
     * overflow under ANSI mode) — equal fingerprints ⇔ near-certainly

@@ -56,6 +56,43 @@ object Resample {
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
+  /** OHLC (open/high/low/close) tumbling resample — the bar-chart
+    * aggregation every market-data and telemetry pipeline asks of a
+    * time-series engine: per `widthSecs` bucket and key, the first
+    * value, max, min, last value, and count.
+    *
+    * First/last are row_number = 1 under ascending/descending
+    * `(t, orderCols)` order — `orderCols` should make the order total
+    * (at tied timestamps open/close are otherwise arbitrary). Both
+    * window passes and the final aggregate share ONE hash exchange on
+    * (keys, bucket): the groupBy keys equal the window partition keys,
+    * so Catalyst plans a single shuffle, two in-partition sorts, and a
+    * partial-aggregate-free final hash agg. */
+  def ohlc(
+      df: DataFrame,
+      t: String,
+      v: String,
+      widthSecs: Long,
+      keys: Seq[String] = Nil,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(widthSecs > 0, "ohlc: widthSecs must be > 0")
+    val bucket = (floor(col(t).cast("double") / widthSecs).cast("long") * widthSecs)
+    val withB = df.withColumn("__bucket", bucket)
+    val part = Window.partitionBy((keys :+ "__bucket").map(col): _*)
+    val asc = part.orderBy((t +: orderCols).map(col): _*)
+    val desc = part.orderBy((t +: orderCols).map(c => col(c).desc): _*)
+    withB
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(keys.map(col) :+ col("__bucket").as("bucket_start_s"): _*)
+      .agg(
+        max(when(col("__ra") === 1, col(v))).as("open"),
+        max(col(v)).as("high"),
+        min(col(v)).as("low"),
+        max(when(col("__rd") === 1, col(v))).as("close"),
+        count(col(v)).as("n"))
+  }
+
   /** Forward fill: nulls in `v` replaced by the last preceding non-null
     * value within the same key partition, in `(t, orderCols)` order. */
   def ffill(

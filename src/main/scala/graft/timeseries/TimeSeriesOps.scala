@@ -295,6 +295,90 @@ object TimeSeriesOps {
         (max(col("__gap_us")) / lit(1e6)).as("max_gap_s"))
   }
 
+  /** Type-2 slowly-changing-dimension history from a change-event
+    * log: per key, collapse consecutive rows with identical `attrs`
+    * into one version, then derive each version's validity interval
+    * `[valid_from, valid_to)` from the next version's start
+    * (`valid_to` null = current version, flagged `is_current`).
+    *
+    * The warehouse-standard SCD2 build as two frames over ONE keyed
+    * exchange: `lag` over the attribute struct for change detection
+    * (null-safe `<=>`, so a null attribute value is a real version,
+    * not a perpetual change), then `lead` over the change rows for
+    * interval close — the filter preserves partitioning and sort, so
+    * Catalyst reuses the exchange rather than re-shuffling.
+    * `orderCols` should make the per-key order total (ties between a
+    * version's open and close otherwise depend on row order). */
+  def scd2History(
+      df: DataFrame,
+      keys: Seq[String],
+      t: String,
+      attrs: Seq[String],
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "scd2History: need at least one key column")
+    require(attrs.nonEmpty, "scd2History: need at least one attribute")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((t +: orderCols).map(col): _*)
+    val attrStruct = struct(attrs.map(col): _*)
+    val changed = !(lag(attrStruct, 1).over(w) <=> attrStruct)
+    df.withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(t))
+      .withColumn("valid_to", lead(col(t), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ attrs).map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+  }
+
+  /** Two-sided CUSUM change detection: per key, rows where the
+    * standardized cumulative drift exceeds `threshold` on either side.
+    * The classic recursions `S⁺ᵢ = max(0, S⁺ᵢ₋₁ + zᵢ − slack)` /
+    * `S⁻ᵢ = max(0, S⁻ᵢ₋₁ − zᵢ − slack)` look inherently sequential,
+    * but each has the closed form `Sᵢ = Cᵢ − min(0, min_{j≤i} Cⱼ)`
+    * over the plain cumulative sum `C` of the slack-adjusted values —
+    * so the whole detector is expressible as running window sums and
+    * running extrema, no iterative state, no UDAF.
+    *
+    * Scale shape: ONE hash exchange on the key serves all four frames
+    * (full-partition mean/stddev for the z-score, then the running
+    * sum, then its running min — chained Window stages over the same
+    * partitioning and sort). Output is the flagged rows only. */
+  def cusumChangepoints(
+      df: DataFrame,
+      keys: Seq[String],
+      t: String,
+      v: String,
+      slack: Double = 0.5,
+      threshold: Double = 4.0,
+      orderCols: Seq[String] = Nil,
+      roundDp: Int = 4): DataFrame = {
+    require(threshold > 0, "cusumChangepoints: threshold must be > 0")
+    val part = Window.partitionBy(keys.map(col): _*)
+    val ord = part.orderBy((t +: orderCols).map(col): _*)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = avg(col(v)).over(part)
+    val sd = stddev_samp(col(v)).over(part)
+    val z = when(sd > 0, (col(v) - mu) / sd).otherwise(lit(0.0))
+    val staged = df
+      .withColumn("__cp", sum(z - lit(slack)).over(run))
+      .withColumn("__cn", sum(-z - lit(slack)).over(run))
+      // second Window stage: running extremum OF the running sums —
+      // window functions don't nest, but chained stages share the
+      // exchange and sort
+      .withColumn("s_pos", col("__cp") - least(lit(0.0), min(col("__cp")).over(run)))
+      .withColumn("s_neg", col("__cn") - least(lit(0.0), min(col("__cn")).over(run)))
+    // threshold compares the ROUNDED statistic (roundDp, default 4 dp):
+    // cross-engine float summation noise (~1e-10) cannot flip
+    // borderline membership unless the true value sits within that
+    // noise of a rounding half-point — coarser grid, lower odds
+    staged
+      .filter(round(col("s_pos"), roundDp) > threshold ||
+        round(col("s_neg"), roundDp) > threshold)
+      .select(keys.map(col) :+ col(t) :+ col(v) :+
+        round(col("s_pos"), roundDp).as("s_pos") :+
+        round(col("s_neg"), roundDp).as("s_neg"): _*)
+  }
+
   /** Per-session summary (count, span) — the aggregation usually
     * chained after [[sessionize]]; one additional groupBy shuffle. */
   def sessionStats(

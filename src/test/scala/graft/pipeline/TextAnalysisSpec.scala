@@ -198,4 +198,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == ((2L, 0, None, None)))
     assert(out(2)._3.contains(0.0) && out(2)._4.contains(0.0))
   }
+
+  test("docFreqTopK: document frequency counts each doc once, k bounds output") {
+    val df = Seq(
+      (1L, "x y x x"),   // x repeated — still df 1
+      (2L, "x y"),
+      (3L, "x z"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.docFreqTopK(df, "doc_id", "text", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("x", 3L), ("y", 2L)), s"got $out")
+    val all = TextAnalysis.docFreqTopK(df, "doc_id", "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(all == Seq(("x", 3L), ("y", 2L), ("z", 1L)))
+  }
+
+  test("docFreqTopK plans the top-k as TakeOrderedAndProject, not a global sort") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = TextAnalysis.docFreqTopK(df, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

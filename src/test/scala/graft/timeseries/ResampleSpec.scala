@@ -64,4 +64,31 @@ class ResampleSpec extends SparkSpec {
       .filter(col("k") === "b").select("v_interp").as[Option[Double]].head()
     assert(out.isEmpty, "isolated key has no neighbours → null")
   }
+
+  test("ohlc: first/max/min/last per bucket, ties broken by orderCols") {
+    val bars = Seq(
+      // hour 0: open=10 (t=00:00), close=30 (tied ts at 00:50 → higher id wins)
+      (1L, "s", ts("2024-01-01 00:00:00"), 10.0),
+      (2L, "s", ts("2024-01-01 00:20:00"), 99.0),
+      (3L, "s", ts("2024-01-01 00:50:00"), 5.0),
+      (4L, "s", ts("2024-01-01 00:50:00"), 30.0), // same ts as id 3
+      // hour 1: single row — open = close
+      (5L, "s", ts("2024-01-01 01:10:00"), 42.0)
+    ).toDF("id", "sym", "t", "v")
+    val out = Resample.ohlc(bars, "t", "v", 3600L, keys = Seq("sym"),
+        orderCols = Seq("id"))
+      .orderBy("bucket_start_s")
+      .select("open", "high", "low", "close", "n")
+      .as[(Double, Double, Double, Double, Long)].collect().toSeq
+    assert(out == Seq((10.0, 99.0, 5.0, 30.0, 4L), (42.0, 42.0, 42.0, 42.0, 1L)))
+  }
+
+  test("ohlc shares one exchange across both window passes and the agg") {
+    val bars = Seq((1L, "s", ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("id", "sym", "t", "v")
+    val plan = Resample.ohlc(bars, "t", "v", 3600L, Seq("sym"), Seq("id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected a single hash exchange, plan:\n$plan")
+  }
 }

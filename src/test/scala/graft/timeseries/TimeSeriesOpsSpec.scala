@@ -214,4 +214,85 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(r.getAs[Timestamp]("t_end").getTime -
       r.getAs[Timestamp]("t_start").getTime == 30 * 60000L)
   }
+
+  test("scd2History: consecutive equal attrs collapse, nulls are real versions") {
+    val ev = Seq(
+      (1L, "u", ts("2024-01-01 00:00:00"), Some("a")),
+      (2L, "u", ts("2024-01-01 01:00:00"), Some("a")), // collapses into v1
+      (3L, "u", ts("2024-01-01 02:00:00"), Some("b")),
+      (4L, "u", ts("2024-01-01 03:00:00"), None),      // null attr = version
+      (5L, "u", ts("2024-01-01 04:00:00"), None),      // collapses into v3
+      (6L, "u", ts("2024-01-01 05:00:00"), Some("b"))  // b re-opens
+    ).toDF("id", "user", "t", "attr")
+    val out = TimeSeriesOps.scd2History(ev, Seq("user"), "t", Seq("attr"),
+        orderCols = Seq("id"))
+      .orderBy("valid_from")
+      .select("attr", "valid_from", "valid_to", "is_current")
+      .as[(Option[String], Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (Some("a"), ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00")), false),
+      (Some("b"), ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 03:00:00")), false),
+      (None,      ts("2024-01-01 03:00:00"), Some(ts("2024-01-01 05:00:00")), false),
+      (Some("b"), ts("2024-01-01 05:00:00"), None, true)))
+  }
+
+  test("scd2History intervals tile the key's time axis without overlap") {
+    val ev = (0 until 200).map { i =>
+      (i.toLong, s"u${i % 3}", ts(f"2024-01-01 ${i / 30}%02d:${i % 30 * 2}%02d:00"),
+        (i * 7 % 5) / 2) // attr cycles with repeats
+    }.toDF("id", "user", "t", "attr")
+    val out = TimeSeriesOps.scd2History(ev, Seq("user"), "t", Seq("attr"),
+        orderCols = Seq("id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user").orderBy("valid_from")
+    // every version's close equals the next version's open; exactly one
+    // open (current) version per key
+    val bad = out.withColumn("__next", lead(col("valid_from"), 1).over(w))
+      .filter(!(col("valid_to") <=> col("__next"))).count()
+    assert(bad == 0, "valid_to must equal the next version's valid_from")
+    val cur = out.filter(col("is_current")).groupBy("user").count()
+      .select("count").as[Long].collect().toSeq
+    assert(cur == Seq(1L, 1L, 1L))
+  }
+
+  test("cusumChangepoints matches the sequential CUSUM recursion") {
+    // level shift halfway: the detector must fire after the shift
+    val vals = (0 until 60).map(i => if (i < 30) 10.0 else 14.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "k", ts(f"2024-01-01 00:${i}%02d:00"), v)
+    }.toDF("id", "key", "t", "v")
+    val slack = 0.25
+    val out = TimeSeriesOps.cusumChangepoints(ev, Seq("key"), "t", "v",
+        slack = slack, threshold = 2.0, orderCols = Seq("id"))
+      .select("t", "s_pos", "s_neg").as[(Timestamp, Double, Double)]
+      .collect().sortBy(_._1.getTime).toSeq
+    // reference recursion on the same standardization
+    val n = vals.size
+    val mu = vals.sum / n
+    val sd = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    var (sp, sn) = (0.0, 0.0)
+    val expect = vals.zipWithIndex.flatMap { case (v, i) =>
+      val z = (v - mu) / sd
+      sp = math.max(0.0, sp + z - slack)
+      sn = math.max(0.0, sn - z - slack)
+      // Spark round() is HALF_UP (and s >= 0), not rint's HALF_EVEN
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (rp, rn) = (r4(sp), r4(sn))
+      if (rp > 2.0 || rn > 2.0)
+        Some((ts(f"2024-01-01 00:${i}%02d:00"), rp, rn))
+      else None
+    }
+    assert(out.nonEmpty, "level shift must trip the detector")
+    assert(out.map(r => (r._1, r._2, r._3)) == expect)
+    // full-series standardization: the below-mean first half drifts the
+    // NEGATIVE side (which then decays only gradually after the shift);
+    // the positive side can accumulate only once the shift happens
+    val shift = ts("2024-01-01 00:30:00").getTime
+    assert(out.filter(_._2 > 2.0).forall(_._1.getTime >= shift),
+      "positive side must fire only after the level shift")
+    assert(out.exists(r => r._3 > 2.0 && r._1.getTime < shift),
+      "negative side must catch the below-mean first regime")
+  }
 }
