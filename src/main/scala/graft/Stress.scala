@@ -31,6 +31,7 @@ object Stress {
     "text_tfidf", "text_langid_ngram", "text_quality",
     "cur_decontam_bloom", "cur_pack",
     "auto_mad", "auto_flatline", "ts_rolling", "ts_asof",
+    "ts_scd2", "ts_cusum", "ts_ohlc", "text_heavy_hitters",
     "w1_rowid", "m5_approve_unflagged", "a1_progress", "plot_m4", "u1_union")
 
   def main(args: Array[String]): Unit = {
@@ -56,25 +57,33 @@ object Stress {
     val all = SparkEntry.queries
     val results = StressQueries.map { name =>
       val t0 = System.nanoTime()
-      val t =
-        try { all(name)(spark, outDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
+      // record output ROWS too: several operators (exact-threshold
+      // near-dup joins above all) are output-sensitive — dup groups
+      // grow with the replica factor, so their output grows ~factor²
+      // by construction and time-vs-linear ratios must be read against
+      // rows-vs-linear (measured 10×: dedup_prefix output ×29.9 for
+      // input ×10, per-output-pair cost flat)
+      val (t, rows) =
+        try {
+          val n = all(name)(spark, outDir).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[stress] $name FAILED: ${e.getMessage}")
-            -math.max((System.nanoTime() - t0) / 1e9, 0.001)
+            (-math.max((System.nanoTime() - t0) / 1e9, 0.001), -1L)
         }
-      println(f"[stress] $name%-22s $t%8.2f s")
-      name -> t
+      println(f"[stress] $name%-22s $t%8.2f s  ($rows%d rows)")
+      name -> ((t, rows))
     }
 
     // scaling ratio vs the recorded sf0.1 bench: stress / (bench × factor)
     val bench = readBench("/root/repo/BENCH_local.json")
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, (v, rows)) =>
       val ratio = bench.get(k).filter(_ > 0).map(b => v / (b * factor))
-      "\"" + k + "\":{\"sec\":" + v +
+      "\"" + k + "\":{\"sec\":" + v + ",\"rows\":" + rows +
         ratio.map(r => ",\"x_vs_linear\":" + f"$r%.3f").getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs}"""
     println(line)
     java.nio.file.Files.write(

@@ -206,4 +206,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOcc(phys, "ObjectHashAggregate") >= 2,
       s"bottom-k must partial-aggregate before the shuffle:\n$phys")
   }
+
+  test("scd2: change-detect lag and interval-close lead share ONE keyed exchange") {
+    // scan → exchange(user_id) → Window(lag) → filter → Window(lead):
+    // the only other exchange allowed is the output orderBy's range
+    val p = plan("ts_scd2")
+    assert(shuffles(p) <= 2, s"scd2 must not re-shuffle between frames:\n$p")
+    assert(countOcc(p, "Window") >= 2, s"lag + lead stages expected:\n$p")
+  }
+
+  test("cusum: all five window stages ride one keyed exchange, no self-join") {
+    val p = plan("ts_cusum")
+    assert(shuffles(p) <= 2,
+      s"chained running frames must share the exchange:\n$p")
+    assert(!p.contains("Join"), s"the closed form needs no self-join:\n$p")
+  }
+
+  test("heavy hitters: top-k is TakeOrderedAndProject, never a global sort") {
+    val phys = physical("text_heavy_hitters")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-k must not materialize a global sort:\n$phys")
+  }
 }
