@@ -1202,6 +1202,25 @@ object SparkEntry {
       Dedup.prefixJaccardPairs(corpus, "doc_id", "text", threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_prefix_collapsed" -> ((s, dir) => {
+      // the dedup_prefix corpus PLUS a planted exact-duplicate flood
+      // (3 extra byte-identical copies of every %35 doc): the collapse
+      // folds each flood to its one representative BEFORE the join, so
+      // the flood contributes group size, not m²/2 pairs
+      val d = documents(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(14)) === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\s*\\S+\\s*", "").as("text")))
+      val flood = (1 to 3).map(i =>
+        d.filter(pmod(col("doc_id"), lit(35)) === 0)
+          .select((col("doc_id") + i * 1000000L + 5000000L).as("doc_id"),
+            col("text"))).reduce(_ unionByName _)
+      Dedup.prefixJaccardPairsCollapsed(base.unionByName(flood),
+          "doc_id", "text", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_ngram" -> ((s, dir) => {
       val docs = documents(s, dir)
       // token SETS pre-hashed to sorted longs (native tokenSet expr):
@@ -1467,6 +1486,12 @@ object SparkEntry {
       Curation.withSplit(documents(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+    "cur_domain_cap" -> ((s, dir) =>
+      // RefinedWeb-style per-source cap: ≤ 15 docs per source by
+      // deterministic md5 priority — one keyed window, engine-stable
+      Curation.capPerSource(documents(s, dir), "source", "doc_id", cap = 15)
+        .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
     "cur_pack" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -2662,6 +2687,38 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(ic AS DOUBLE) / (sa + sb - ic) AS jaccard
         |FROM p WHERE CAST(ic AS DOUBLE) / (sa + sb - ic) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_prefix_collapsed" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id,
+        |    regexp_replace(text, '^\s*\S+\s*', '') AS text
+        |  FROM documents WHERE doc_id % 14 = 0),
+        |flood AS (
+        |  SELECT doc_id + r * 1000000 + 5000000 AS doc_id, text
+        |  FROM documents, UNNEST([1, 2, 3]) AS u(r)
+        |  WHERE doc_id % 35 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM flood),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS toks
+        |  FROM corpus),
+        |g AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n, toks
+        |  FROM t GROUP BY toks),
+        |s AS (SELECT doc_id, n, toks, len(toks) AS sz FROM g),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks)) AS ic,
+        |    a.sz AS sa, b.sz AS sb, a.n AS na, b.n AS nb
+        |  FROM s a JOIN s b
+        |    ON a.doc_id < b.doc_id
+        |    AND least(a.sz, b.sz) >= 0.9 * greatest(a.sz, b.sz))
+        |SELECT id_a, id_b, CAST(ic AS DOUBLE) / (sa + sb - ic) AS jaccard,
+        |  na AS size_a, nb AS size_b
+        |FROM p WHERE CAST(ic AS DOUBLE) / (sa + sb - ic) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -3176,6 +3233,14 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "cur_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
     "cur_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -166,6 +166,32 @@ object Curation {
     df.withColumn(outCol, assign)
   }
 
+  /** Per-source (domain) document cap — the RefinedWeb/Gopher-style
+    * guard that stops any single site from dominating a crawl corpus:
+    * keep at most `cap` documents per source, chosen by deterministic
+    * md5 priority on the document key (content/id-hash order, not
+    * arrival order, so the kept set is stable across runs, partition
+    * layouts, and engines; the id tiebreak makes it total even under
+    * md5-prefix collisions).
+    *
+    * Scale shape: one keyed window — hash shuffle on the source,
+    * in-partition sort, `row_number ≤ cap`. Source skew equals the
+    * biggest single domain; beyond that, pre-aggregate with a
+    * per-(source, salt) pass or sketch per-source counts first. */
+  def capPerSource(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, "capPerSource: cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pri = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(pri, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** The deterministic counterpart of `df.sample(fraction)`: keep rows
     * whose md5-derived position falls below `fraction`. Same row set on
     * every run and every engine. `fraction = 1` keeps every row

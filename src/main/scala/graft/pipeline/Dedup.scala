@@ -181,6 +181,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[prefixJaccardPairs]] behind an exact-duplicate collapse:
+    * documents with IDENTICAL distinct-token sets fold into one
+    * canonical representative (min id) carrying the group size, the
+    * prefix join runs on representatives only, and every output pair
+    * carries both group sizes (pair multiplicity = size_a × size_b;
+    * within-group pairs are implied by membership, not emitted).
+    *
+    * This is the 100 TB guard the plain join lacks: an
+    * identical-document flood — m copies of one boilerplate page —
+    * otherwise mints m²/2 Jaccard-1 pairs before any filtering can
+    * intervene; after the collapse it is ONE representative row.
+    * Exactness is preserved: token-set-equal documents are
+    * interchangeable for a token-set Jaccard join.
+    *
+    * Scale shape: the collapse is one hash aggregate on an 8-byte
+    * canonical-set hash (map-side combine); representative texts come
+    * from an id-keyed join (group-sized vs corpus-sized); sizes
+    * rejoin id-keyed onto the (already small) pair output.
+    *
+    * @return (id_a, id_b, jaccard, size_a, size_b), id_a < id_b
+    */
+  def prefixJaccardPairsCollapsed(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val keyed = docs.select(col(idCol), col(textCol),
+      xxhash64(concat_ws(" ",
+        array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))))).as("__k"))
+    val groups = keyed.groupBy(col("__k"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
+    val reps = groups.select(col(idCol))
+      .join(keyed.select(col(idCol), col(textCol)), Seq(idCol))
+    val sizes = groups.select(col(idCol), col("__n"))
+    prefixJaccardPairs(reps, idCol, textCol, threshold)
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("size_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("size_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("size_a"), col("size_b"))
+  }
+
   // ------------------------------------------------------------- LSH bands
 
   /** Explode a signature into `bands` (bandIdx, bandHash) keys: docs

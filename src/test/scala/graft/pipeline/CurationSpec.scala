@@ -267,4 +267,21 @@ class CurationSpec extends SparkSpec {
     assert(counts(2L) == ((0, 0, 2)))
     assert(counts(4L) == ((1, 1, 0)), "ip inside url redacted with it")
   }
+
+  test("capPerSource: at most cap per source, deterministic and layout-free") {
+    val docs = (0 until 90).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Curation.capPerSource(docs, "source", "doc_id", cap = 10)
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    // determinism across partition layouts: same kept set
+    val again = Curation.capPerSource(docs.repartition(7), "source", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // a source under the cap keeps everything
+    val small = Curation.capPerSource(
+      docs.filter(col("doc_id") < 5), "source", "doc_id", 10)
+    assert(small.count() == 5)
+  }
 }

@@ -184,4 +184,32 @@ class DedupSpec extends SparkSpec {
       assert(brute.nonEmpty || t > 0.9, s"fixture vacuous at $t")
     }
   }
+
+  test("prefixJaccardPairsCollapsed: an exact-dup flood folds to one rep") {
+    // 6 byte-identical copies of doc 1, one near-dup (doc 50), one
+    // unrelated doc: the flood must contribute a group size of 7,
+    // never 7·6/2 = 21 within-group pairs
+    val floodText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (
+      Seq((1L, floodText)) ++
+      (2 to 7).map(i => (i.toLong, floodText)) ++
+      Seq((50L, floodText + " iota"),        // jaccard 8/9 ≈ 0.889
+          (99L, "totally different content everywhere"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairsCollapsed(docs, "doc_id", "text", 0.85)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 50L, 8.0 / 9.0, 7L, 1L)),
+      s"one cross-group pair with sizes (7, 1), got $out")
+  }
+
+  test("prefixJaccardPairsCollapsed: token-set-equal docs collapse regardless of order") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "eight seven six five four three two one"), // same set, reordered
+      (3L, "one two three four five six seven nine")   // 7/9 overlap
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairsCollapsed(docs, "doc_id", "text", 0.7)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 7.0 / 9.0, 2L, 1L)), s"got $out")
+  }
 }
