@@ -87,4 +87,75 @@ object PipelineLawsProps extends Properties("PipelineLaws") {
         bOk && fOk && nOk
       }
     }
+
+  private val seriesGen: Gen[List[Double]] = for {
+    n <- Gen.choose(5, 80)
+    base <- Gen.choose(-50, 50)
+    vals <- Gen.listOfN(n, Gen.choose(-100, 100))
+  } yield vals.map(v => base + v / 10.0)
+
+  property("cusum closed form == the sequential recursion on random series") =
+    forAll(seriesGen) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, "k", i.toLong, v) }
+        .toDF("id", "key", "t", "v")
+      val out = TimeSeriesOps
+        .cusumChangepoints(df, Seq("key"), "t", "v",
+          slack = 0.3, threshold = 1.0, orderCols = Seq("id"))
+        .select("t", "s_pos", "s_neg").as[(Long, Double, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val n = vals.size
+      val mu = vals.sum / n
+      val sd =
+        if (n < 2) 0.0
+        else math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var (sp, sn) = (0.0, 0.0)
+      val expect = vals.zipWithIndex.flatMap { case (v, i) =>
+        val z = if (sd > 0) (v - mu) / sd else 0.0
+        sp = math.max(0.0, sp + z - 0.3)
+        sn = math.max(0.0, sn - z - 0.3)
+        if (r4(sp) > 1.0 || r4(sn) > 1.0) Some(i.toLong -> ((r4(sp), r4(sn))))
+        else None
+      }.toMap
+      // float tolerance: summation order may differ at the last ulps,
+      // surfacing as a 1-ulp difference AFTER rounding to 4 dp
+      out.keySet == expect.keySet && out.forall { case (k, (p, ng)) =>
+        math.abs(p - expect(k)._1) <= 1e-4 &&
+          math.abs(ng - expect(k)._2) <= 1e-4
+      }
+    }
+
+  private val scd2Gen: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 3)))
+  } yield rows // (key, attr) pairs; time = index
+
+  property("scd2 versions tile each key's axis; folding is idempotent") =
+    forAll(scd2Gen) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, a), i) => (i.toLong, s"k$k", i.toLong, a) }
+        .toDF("id", "key", "t", "attr")
+      val hist = TimeSeriesOps.scd2History(df, Seq("key"), "t", Seq("attr"),
+        orderCols = Seq("id"))
+      val versions = hist
+        .select("key", "attr", "valid_from", "valid_to")
+        .as[(String, Int, Long, Option[Long])].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).toList).toMap
+      // per key: intervals chain (to == next from), exactly one open,
+      // consecutive versions always change the attribute
+      val tiled = versions.forall { case (_, vs) =>
+        vs.zip(vs.drop(1)).forall { case (a, b) =>
+          a._4.contains(b._3) && a._2 != b._2
+        } && vs.count(_._4.isEmpty) == 1
+      }
+      // idempotence: collapsing the version table again is the identity
+      val twice = TimeSeriesOps.scd2History(
+        hist.select(col("key"), col("valid_from").as("t"), col("attr")),
+        Seq("key"), "t", Seq("attr")).count()
+      tiled && twice == hist.count()
+    }
 }
