@@ -942,9 +942,9 @@ object SparkEntry {
           col("value"), col("s_pos"), col("s_neg"))
         .orderBy("event_type", "ts_ms")),
     "ts_ohlc" -> ((s, dir) =>
-      // OHLC bars: first/max/min/last value per (event_type, 6 h
-      // bucket); open/close are row_number() = 1 under the total
-      // (ts, event_id) order, so tied timestamps stay deterministic
+      // OHLC bars: first/max/min/last NON-NULL value per (event_type,
+      // 6 h bucket) under the total (ts, event_id) order, so tied
+      // timestamps stay deterministic
       graft.timeseries.Resample.ohlc(
           events(s, dir), "ts", "value", widthSecs = 21600L,
           keys = Seq("event_type"), orderCols = Seq("event_id"))
@@ -1206,16 +1206,19 @@ object SparkEntry {
       // the dedup_prefix corpus PLUS a planted exact-duplicate flood
       // (3 extra byte-identical copies of every %35 doc): the collapse
       // folds each flood to its one representative BEFORE the join, so
-      // the flood contributes group size, not m²/2 pairs
+      // the flood contributes group size, not m²/2 pairs. Replica id
+      // offsets are spaced 1e9 apart (doc ids are < 1e4 at the shipped
+      // SFs, < 1e9 under any replica corpus) so synthesized ids can
+      // never collide across offset classes
       val d = documents(s, dir)
       val base = d.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select(col("doc_id"), col("text"))
         .unionByName(d.filter(pmod(col("doc_id"), lit(14)) === 0)
-          .select((col("doc_id") + 5000000L).as("doc_id"),
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
             regexp_replace(col("text"), "^\\s*\\S+\\s*", "").as("text")))
       val flood = (1 to 3).map(i =>
         d.filter(pmod(col("doc_id"), lit(35)) === 0)
-          .select((col("doc_id") + i * 1000000L + 5000000L).as("doc_id"),
+          .select((col("doc_id") + (i + 1) * 1000000000L).as("doc_id"),
             col("text"))).reduce(_ unionByName _)
       Dedup.prefixJaccardPairsCollapsed(base.unionByName(flood),
           "doc_id", "text", threshold = 0.9)
@@ -2392,16 +2395,18 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT event_type, value,
         |    CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start_s,
-        |    row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 21600)
-        |      ORDER BY ts, event_id) AS ra,
-        |    row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 21600)
-        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |    first_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type, floor(epoch(ts) / 21600)
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type, floor(epoch(ts) / 21600)
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
         |  FROM events)
         |SELECT event_type, bucket_start_s,
-        |  max(CASE WHEN ra = 1 THEN value END) AS open,
-        |  max(value) AS high, min(value) AS low,
-        |  max(CASE WHEN rd = 1 THEN value END) AS close,
-        |  count(value) AS n
+        |  max(o) AS open, max(value) AS high, min(value) AS low,
+        |  max(c) AS close, count(value) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts_resample" ->
       s"""$SeededCte, clean AS (
@@ -2691,11 +2696,11 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 5000000 AS doc_id,
+        |  SELECT doc_id + 1000000000 AS doc_id,
         |    regexp_replace(text, '^\s*\S+\s*', '') AS text
         |  FROM documents WHERE doc_id % 14 = 0),
         |flood AS (
-        |  SELECT doc_id + r * 1000000 + 5000000 AS doc_id, text
+        |  SELECT doc_id + (r + 1) * 1000000000::BIGINT AS doc_id, text
         |  FROM documents, UNNEST([1, 2, 3]) AS u(r)
         |  WHERE doc_id % 35 = 0),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM flood),

@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The determinism-critical hashing recipe every md5-ordered
+    * operator in this file shares: lowercase-hex md5 of the key
+    * rendered as a STRING — the exact bytes any engine's
+    * `md5(varchar)` hashes, so kept sets and priorities agree across
+    * engines and runs. Five operators' cross-engine guarantees ride
+    * on this; change it here or nowhere. */
+  private def md5Hex(key: Column): Column =
+    md5(key.cast("string").cast("binary"))
+
+  /** First 8 hex chars of [[md5Hex]] as a uniform position over
+    * [0, 2^32): fixed-width lowercase hex orders lexicographically
+    * exactly as it orders numerically, so fraction thresholds are
+    * plain string comparisons. */
+  private def md5Position(key: Column): Column =
+    substring(md5Hex(key), 1, 8)
+
   // ------------------------------------------------------ decontamination
 
   /** Corpus documents sharing at least `minMatches` DISTINCT word
@@ -155,7 +171,7 @@ object Curation {
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9,
       s"withSplit: fractions must sum to 1, got $total")
-    val h = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    val h = md5Position(col(keyCol))
     // cumulative upper bounds as 8-hex-char thresholds over [0, 2^32)
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
       .map(c => f"${math.min((c * 4294967296.0).toLong, 4294967295L)}%08x")
@@ -185,7 +201,7 @@ object Curation {
       cap: Int): DataFrame = {
     require(cap >= 1, "capPerSource: cap must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val pri = md5(col(idCol).cast("string").cast("binary"))
+    val pri = md5Hex(col(idCol))
     val w = Window.partitionBy(col(sourceCol)).orderBy(pri, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cap)
@@ -205,7 +221,7 @@ object Curation {
     else {
       val bound = f"${(fraction * 4294967296.0).toLong}%08x"
       df.filter(
-        substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+        md5Position(col(keyCol))
           < lit(bound))
     }
   }
@@ -229,7 +245,7 @@ object Curation {
       default: Double = 0.0): DataFrame = {
     require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
       "stratifiedSample: fractions must be in [0, 1]")
-    val pos = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    val pos = md5Position(col(keyCol))
     def keep(f: Double): Column =
       if (f >= 1.0) lit(true)
       else if (f <= 0.0) lit(false)
@@ -288,7 +304,7 @@ object Curation {
   def rateSample(
       df: DataFrame, keyCol: String, stratumCol: String,
       rates: DataFrame, rateCol: String): DataFrame = {
-    val pos = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    val pos = md5Position(col(keyCol))
     val r = round(col(rateCol), 6)
     val bound = format_string("%08x", floor(r * 4294967296d).cast("long"))
     df.join(broadcast(rates.select(col(stratumCol), col(rateCol))),

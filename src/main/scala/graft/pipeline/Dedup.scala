@@ -192,10 +192,15 @@ object Dedup {
     * identical-document flood — m copies of one boilerplate page —
     * otherwise mints m²/2 Jaccard-1 pairs before any filtering can
     * intervene; after the collapse it is ONE representative row.
-    * Exactness is preserved: token-set-equal documents are
-    * interchangeable for a token-set Jaccard join.
+    * Token-set-equal documents are interchangeable for a token-set
+    * Jaccard join, and the collapse key is the 128-bit md5 of the
+    * canonical (sorted, distinct) token string — content-addressing
+    * practice: the birthday bound sits at ~2^64 documents, so
+    * distinct sets colliding is not a realistic event at any corpus
+    * size this library targets (a 64-bit key would NOT clear that
+    * bar at 10^10 documents).
     *
-    * Scale shape: the collapse is one hash aggregate on an 8-byte
+    * Scale shape: the collapse is one hash aggregate on a 16-byte
     * canonical-set hash (map-side combine); representative texts come
     * from an id-keyed join (group-sized vs corpus-sized); sizes
     * rejoin id-keyed onto the (already small) pair output.
@@ -206,8 +211,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val keyed = docs.select(col(idCol), col(textCol),
-      xxhash64(concat_ws(" ",
-        array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))))).as("__k"))
+      md5(concat_ws(" ",
+        array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))))
+        .cast("binary")).as("__k"))
     val groups = keyed.groupBy(col("__k"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
     val reps = groups.select(col(idCol))

@@ -61,13 +61,18 @@ object Resample {
     * time-series engine: per `widthSecs` bucket and key, the first
     * value, max, min, last value, and count.
     *
-    * First/last are row_number = 1 under ascending/descending
-    * `(t, orderCols)` order — `orderCols` should make the order total
-    * (at tied timestamps open/close are otherwise arbitrary). Both
-    * window passes and the final aggregate share ONE hash exchange on
-    * (keys, bucket): the groupBy keys equal the window partition keys,
-    * so Catalyst plans a single shuffle, two in-partition sorts, and a
-    * partial-aggregate-free final hash agg. */
+    * Open/close are the first/last NON-NULL observation (market-data
+    * convention: a bar whose earliest row is a null reading still
+    * opens at its first real value) under `(t, orderCols)` order —
+    * `orderCols` should make the order total (at tied timestamps
+    * open/close are otherwise arbitrary). Buckets with only null
+    * values report n = 0 with null open/high/low/close.
+    *
+    * The null-skipping first/last fold and the final aggregate share
+    * ONE hash exchange on (keys, bucket) and ONE in-partition sort:
+    * the groupBy keys equal the window partition keys, and both
+    * directions read off the same ascending order (`last` ignoreNulls
+    * gives the close). */
   def ohlc(
       df: DataFrame,
       t: String,
@@ -78,18 +83,18 @@ object Resample {
     require(widthSecs > 0, "ohlc: widthSecs must be > 0")
     val bucket = (floor(col(t).cast("double") / widthSecs).cast("long") * widthSecs)
     val withB = df.withColumn("__bucket", bucket)
-    val part = Window.partitionBy((keys :+ "__bucket").map(col): _*)
-    val asc = part.orderBy((t +: orderCols).map(col): _*)
-    val desc = part.orderBy((t +: orderCols).map(c => col(c).desc): _*)
+    val full = Window.partitionBy((keys :+ "__bucket").map(col): _*)
+      .orderBy((t +: orderCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     withB
-      .withColumn("__ra", row_number().over(asc))
-      .withColumn("__rd", row_number().over(desc))
+      .withColumn("__open", first(col(v), ignoreNulls = true).over(full))
+      .withColumn("__close", last(col(v), ignoreNulls = true).over(full))
       .groupBy(keys.map(col) :+ col("__bucket").as("bucket_start_s"): _*)
       .agg(
-        max(when(col("__ra") === 1, col(v))).as("open"),
+        max(col("__open")).as("open"),
         max(col(v)).as("high"),
         min(col(v)).as("low"),
-        max(when(col("__rd") === 1, col(v))).as("close"),
+        max(col("__close")).as("close"),
         count(col(v)).as("n"))
   }
 

@@ -65,6 +65,24 @@ class ResampleSpec extends SparkSpec {
     assert(out.isEmpty, "isolated key has no neighbours → null")
   }
 
+  test("ohlc: open/close skip null readings, all-null buckets stay null") {
+    val bars = Seq(
+      (1L, "s", ts("2024-01-01 00:00:00"), Option.empty[Double]), // null first
+      (2L, "s", ts("2024-01-01 00:20:00"), Some(5.0)),
+      (3L, "s", ts("2024-01-01 00:40:00"), Option.empty[Double]), // null last
+      (4L, "s", ts("2024-01-01 01:10:00"), Option.empty[Double])  // all-null bar
+    ).toDF("id", "sym", "t", "v")
+    val out = Resample.ohlc(bars, "t", "v", 3600L, keys = Seq("sym"),
+        orderCols = Seq("id"))
+      .orderBy("bucket_start_s")
+      .select("open", "high", "low", "close", "n")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double], Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (Some(5.0), Some(5.0), Some(5.0), Some(5.0), 1L),
+      (None, None, None, None, 0L)))
+  }
+
   test("ohlc: first/max/min/last per bucket, ties broken by orderCols") {
     val bars = Seq(
       // hour 0: open=10 (t=00:00), close=30 (tied ts at 00:50 → higher id wins)
