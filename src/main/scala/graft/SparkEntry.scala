@@ -782,6 +782,29 @@ object SparkEntry {
         .select(unix_timestamp(col("win.start")).as("win_start_s"), n, est)
         .orderBy("win_start_s")
     }),
+    "stream_ohlc" -> ((s, dir) => {
+      // the streaming face of Resample.ohlc: per event-time window,
+      // open/close via min_by/max_by on the total (ts, event_id)
+      // order — ordinary streaming-safe aggregates, no window
+      // functions, so the bars ride a watermarked tumbling groupBy
+      // with bounded state (complete mode here so the drained table
+      // covers the fixture for the batch oracle)
+      val ord = struct(col("ts"), col("event_id"))
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "48 hours")
+        .groupBy(col("event_type"), window(col("ts"), "6 hours").as("win"))
+        .agg(
+          min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          count(col("value")).as("n"))
+      drainToTable(s, agg, "complete", "stream_ohlc")
+        .select(col("event_type"),
+          unix_timestamp(col("win.start")).as("bucket_start_s"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy("event_type", "bucket_start_s")
+    }),
     "stream_sliding" -> ((s, dir) => {
       // OVERLAPPING event-time windows (24h width, 6h slide): every
       // event lands in 4 windows; state is bounded by the watermark at
@@ -2400,6 +2423,26 @@ object SparkEntry {
         |      ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
         |    last_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type, floor(epoch(ts) / 21600)
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM events)
+        |SELECT event_type, bucket_start_s,
+        |  max(o) AS open, max(value) AS high, min(value) AS low,
+        |  max(c) AS close, count(value) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming drain must equal the batch bars exactly: epoch-
+    // aligned 6 h windows; first/last under the total (ts, event_id)
+    // order mirror min_by/max_by (events has no null values)
+    "stream_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start_s,
+        |    first_value(value) OVER (
+        |      PARTITION BY event_type, floor(epoch(ts) / 21600)
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(value) OVER (
         |      PARTITION BY event_type, floor(epoch(ts) / 21600)
         |      ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
