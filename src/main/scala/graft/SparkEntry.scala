@@ -744,6 +744,20 @@ object SparkEntry {
           col("sessionId").as("session_id"))
         .orderBy("user_id", "ts_ms", "session_id")
     }),
+    "stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup via dropDuplicatesWithinWatermark:
+      // per-key state is ONE timestamp evicted at the watermark, so
+      // state is bounded by keys-per-watermark-window, not stream
+      // length. Only the dedup keys are projected out (which physical
+      // duplicate survives is arrival-order dependent; the key set is
+      // not), so the drained result is exactly the batch DISTINCT
+      val dedup = QcStream.streamingExactDedup(
+        eventsStream(s, dir).select(col("user_id"), col("event_type"), col("ts")),
+        Seq("user_id", "event_type"), "ts", "2 days")
+      drainToTable(s, dedup, "append", "stream_dedup")
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
     "stream_join" -> ((s, dir) => {
       // STREAM-STREAM inner join: purchases matched to same-user
       // signups within the preceding day. Watermarks + the time-range
@@ -1415,6 +1429,20 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    "text_perplexity" -> ((s, dir) =>
+      // corpus-self-trained char-bigram LM cross-entropy (CCNet-style
+      // perplexity quality signal); model is vocabulary-sized and
+      // broadcast — two corpus scans, zero corpus-sized shuffles
+      TextAnalysis.bigramCrossEntropy(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("xent_bits"), 6).as("xent_bits"))
+        .orderBy("doc_id")),
+    "text_chunks" -> ((s, dir) =>
+      // RAG token-window chunking (32-token windows, stride 24):
+      // narrow scan-bound map, output grows ~size/stride ×
+      TextAnalysis.chunkTokens(documents(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
 
     "text_len_pctl" -> ((s, dir) =>
       // exact per-lang token-length percentiles (linear interpolation,
@@ -1618,6 +1646,16 @@ object SparkEntry {
         .select(col("label"), col("i").cast("long").as("i"),
           round(col("c"), 6).as("c"), col("n"))
         .orderBy("label", "i")),
+    "embed_kmeans" -> ((s, dir) =>
+      // deterministic distributed Lloyd k-means (k=8, 2 update
+      // rounds): the oracle unrolls both iterations in SQL with the
+      // identical left-to-right squared-L2 fold and 6-dp centroid
+      // rounding between rounds, so the doubles match bit-for-bit
+      Vec.kmeansCentroids(embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("cluster"), col("dim").cast("long").as("dim"),
+          col("c"), col("n"))
+        .orderBy("cluster", "dim")),
     "embed_dispersion" -> ((s, dir) =>
       Vec.centroidCosines(embeddings(s, dir), "vec_id", "embedding", "label")
         .groupBy("label")
@@ -2245,6 +2283,9 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_id
         |FROM c ORDER BY user_id, ts_ms, session_id""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q14_promo" ->
       """WITH j AS (
         |  SELECT p_type, l_extendedprice * (1.0 - l_discount) AS rev
@@ -2899,6 +2940,50 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, i, round(avg(v), 6) AS c, count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    // both Lloyd iterations unrolled; the distance fold is the same
+    // left-to-right double sum as the Spark side (list_reduce seeds
+    // with the first element; 0.0 + t0 ≡ t0, so the folds agree
+    // bit-for-bit) and centroids are rounded to 6 dp between rounds
+    "embed_kmeans" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+        |  FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT 8)),
+        |d1 AS (
+        |  SELECT x.vec_id, c0.cl,
+        |    list_reduce(list_transform(list_zip(x.v, c0.v),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+        |  FROM x CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |u AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS i FROM x),
+        |m1 AS (
+        |  SELECT a1.cl, u.i, round(avg(u.e), 6) AS c
+        |  FROM a1 JOIN u USING (vec_id) GROUP BY a1.cl, u.i),
+        |c1 AS (SELECT cl, list(c ORDER BY i) AS v FROM m1 GROUP BY cl),
+        |d2 AS (
+        |  SELECT x.vec_id, c1.cl,
+        |    list_reduce(list_transform(list_zip(x.v, c1.v),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+        |  FROM x CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d2) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT a2.cl, u.i, round(avg(u.e), 6) AS c
+        |  FROM a2 JOIN u USING (vec_id) GROUP BY a2.cl, u.i),
+        |n2 AS (SELECT cl, count(*) AS n FROM a2 GROUP BY cl)
+        |SELECT m2.cl AS cluster, CAST(m2.i - 1 AS BIGINT) AS dim, m2.c AS c,
+        |  n2.n AS n
+        |FROM m2 JOIN n2 USING (cl)
+        |ORDER BY cluster, dim""".stripMargin,
     "embed_dispersion" ->
       """WITH x AS (
         |  SELECT vec_id, label, unnest(embedding) AS v,
@@ -3034,6 +3119,50 @@ object SparkEntry {
         |  FROM n)
         |SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy_bits
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // normalization identical to the char-ngram queries (case-folded,
+    // letter-only, space-padded); add-one smoothing over observed
+    // bigrams, V = distinct successor characters
+    "text_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ' ' || trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g'))) || ' '
+        |      AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS gm
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM d WHERE len(t) >= 2)),
+        |k AS (SELECT doc_id, gm, count(*) AS k FROM g GROUP BY 1, 2),
+        |bi AS (SELECT gm, sum(k) AS nb FROM k GROUP BY 1),
+        |pre AS (SELECT substr(gm, 1, 1) AS c1, sum(nb) AS np FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT substr(gm, 2, 1)) AS vv FROM bi),
+        |model AS (
+        |  SELECT gm,
+        |    -log2(CAST(nb + 1 AS DOUBLE) / CAST(np + vv AS DOUBLE)) AS bits
+        |  FROM bi JOIN pre ON substr(gm, 1, 1) = c1 CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round(sum(k * bits) / sum(k), 6) AS xent_bits
+        |FROM k JOIN model USING (gm)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS nt FROM d),
+        |c AS (
+        |  SELECT doc_id, tk, CAST(i AS INTEGER) AS chunk_id
+        |  FROM (SELECT doc_id, tk,
+        |          unnest(range(CAST(floor((greatest(nt - 32, 0) + 23) / 24.0)
+        |            AS BIGINT) + 1)) AS i
+        |        FROM n WHERE nt > 0))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32))
+        |    AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32),
+        |    ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_corpus_stats" ->
       """WITH t AS (
         |  SELECT lang, n_chars,

@@ -380,4 +380,80 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(FpPrime)), lit(FpPrime)))
+
+  /** Per-document cross-entropy under a character-bigram language
+    * model trained on the corpus itself — the CCNet-style (Wenzek
+    * 2020) perplexity quality signal without an external LM: fluent
+    * in-distribution text scores low, gibberish/boilerplate scores
+    * high. Model: add-one-smoothed `p(c₂|c₁) = (n(c₁c₂)+1) /
+    * (n(c₁·)+V)` over [[charNgrams]]-normalized bigrams (case-folded,
+    * letter-only, space-padded), `V` = distinct successor characters.
+    * Output per doc: bigram count and mean `-log₂ p` in bits.
+    *
+    * Scale shape: the model is two corpus-level aggregates whose
+    * results are CHARACTER-VOCABULARY sized (≲ a few thousand rows in
+    * any script mix), broadcast back onto the exploded bigram stream;
+    * scoring is then one doc-keyed hash aggregate with map-side
+    * combine. Two corpus scans, zero corpus-sized shuffles — the same
+    * shape at 100 TB, where the model stays kilobytes. */
+  def bigramCrossEntropy(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // single pass over the (regex-normalized) bigram stream: per-doc
+    // bigram COUNTS are the one corpus-sized aggregate; the model is a
+    // vocabulary-sized re-aggregate of that, and scoring is a weighted
+    // doc-keyed sum — the normalization regex runs once, not twice
+    val docGrams = docs
+      .select(col(idCol), explode(charNgrams(col(textCol), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__k"))
+    val bi = docGrams.groupBy(col("__g")).agg(sum(col("__k")).as("__nb"))
+    val pre = bi
+      .groupBy(substring(col("__g"), 1, 1).as("__c1"))
+      .agg(sum(col("__nb")).as("__np"))
+    val vocab = bi.agg(
+      countDistinct(substring(col("__g"), 2, 1)).as("__v"))
+    val model = bi
+      .withColumn("__c1", substring(col("__g"), 1, 1))
+      .join(broadcast(pre), "__c1")
+      .crossJoin(broadcast(vocab))
+      .select(col("__g"),
+        (-log(2.0, (col("__nb") + 1L).cast("double") /
+          (col("__np") + col("__v")).cast("double"))).as("__bits"))
+    docGrams.join(broadcast(model), "__g")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        (sum(col("__k") * col("__bits")) / sum(col("__k"))).as("xent_bits"))
+  }
+
+  /** RAG-style token-window chunking: overlapping windows of `size`
+    * whitespace tokens advancing by `stride` — the standard
+    * retrieval-corpus preparation step. Chunk `i` covers tokens
+    * `[i·stride, i·stride+size)`; the last chunk may be short; empty
+    * documents yield no chunks. Deterministic chunk ids.
+    *
+    * Scale shape: per-row narrow transform (split → per-doc window
+    * count → explode → slice), entirely codegen-friendly built-ins;
+    * zero shuffle — a scan-bound map at any scale. Output grows by
+    * ~size/stride ×, the intended expansion. */
+  def chunkTokens(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkTokens: size/stride >= 1")
+    val t = tokens(col(textCol))
+    val nt = size(t)
+    val nChunks = when(nt === 0, lit(0)).otherwise(
+      (floor((greatest(nt - chunkSize, lit(0)) + (stride - 1)).cast("double")
+        / stride) + 1).cast("int"))
+    val win = slice(col("__tk"), col("chunk_id") * stride + 1, lit(chunkSize))
+    docs
+      .select(col(idCol), t.as("__tk"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(win).cast("long").as("n_tok"),
+        array_join(win, " ").as("chunk"))
+  }
 }

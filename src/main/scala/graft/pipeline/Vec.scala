@@ -96,6 +96,65 @@ object Vec {
       .groupBy(col(labelCol), col("i"))
       .agg(avg("v").as("c"), count(lit(1)).as("n"))
 
+  /** Distributed Lloyd k-means over an embedding column, returning the
+    * final per-cluster centroid table `(cluster, dim, c, n)` — one row
+    * per (cluster, dimension) with the member count. Fully
+    * deterministic (cross-engine reproducible, no RNG):
+    *  - init: the `k` vectors with the LOWEST ids, cluster index =
+    *    rank by id;
+    *  - assignment: exact squared-L2 (left-to-right fold, so the
+    *    doubles are bit-identical across engines), ties to the lowest
+    *    cluster id;
+    *  - update: per-dimension mean ROUNDED to 6 dp before the next
+    *    assignment (kills cross-engine ulp drift in the averages);
+    *    clusters that lose all members are dropped.
+    *
+    * Scale shape: the classic k-means-on-Spark loop — per iteration
+    * one distributed assignment pass (centroids inlined as literals,
+    * so the pass is a scan-bound map) + one (cluster, dim)-keyed mean
+    * with map-side combine; only the k×dim centroid table ever reaches
+    * the driver. The FINAL iteration's aggregate is returned as the
+    * (un-collected) result DataFrame. At 100 TB each iteration is one
+    * scan + one tiny shuffle; k×dim stays kilobytes. */
+  def kmeansCentroids(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansCentroids: k/iters >= 1")
+    val x = df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
+    def assign(cents: Array[(Int, Array[Double])]) = {
+      val dists = array(cents.map { case (cid, c) =>
+        struct(
+          aggregate(zip_with(col("__v"), lit(c), (a, b) => (a - b) * (a - b)),
+            lit(0.0), _ + _).as("dist"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      x.withColumn("__cl", array_min(dists).getField("cid"))
+    }
+    def means(assigned: org.apache.spark.sql.DataFrame) = assigned
+      .select(col("__cl"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col("__cl"), col("__i"))
+      .agg(round(avg(col("__x")), 6).as("__c"))
+    var cents: Array[(Int, Array[Double])] = x
+      .orderBy(col("__id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    for (_ <- 0 until iters - 1) {
+      cents = means(assign(cents))
+        .groupBy(col("__cl"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("__i"), col("__c")))),
+          _.getField("__c")).as("__v"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    }
+    val last = assign(cents)
+    val counts = last.groupBy(col("__cl")).agg(count(lit(1)).as("n"))
+    means(last)
+      .join(broadcast(counts), "__cl")
+      .select(col("__cl").as("cluster"), col("__i").as("dim"),
+        col("__c").as("c"), col("n"))
+  }
+
   /** Cosine of every vector to its OWN label's centroid — the
     * intra-class cohesion signal (low/negative cosines flag mislabeled
     * or outlier members; per-label averages rank label quality).

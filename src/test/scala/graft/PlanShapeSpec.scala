@@ -227,4 +227,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(phys.contains("TakeOrderedAndProject"),
       s"top-k must not materialize a global sort:\n$phys")
   }
+
+  test("perplexity: the LM broadcasts onto the gram stream, never sort-merges") {
+    // the corpus-sized side is the per-doc gram counts; the model is
+    // vocabulary-sized and must come in as a broadcast — a sort-merge
+    // here would co-shuffle the whole corpus by bigram at 100 TB
+    val p = plan("text_perplexity")
+    assert(p.contains("BroadcastHashJoin"), s"model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram stream must not co-shuffle with the model:\n$p")
+  }
+
+  test("chunking is a pure scan-bound map: no exchange except the oracle sort") {
+    val p = plan("text_chunks")
+    assert(shuffles(p) <= 1, s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+  }
+
+  test("kmeans: centroids ride as literals; only catalog-sized joins, no cartesian") {
+    // assignment must be a scan-bound map (centroids inlined by the
+    // driver loop), the count join broadcast, and nothing cross-joined
+    val p = plan("embed_kmeans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cross join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"count join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"catalog joins must not sort-merge:\n$p")
+  }
 }

@@ -187,4 +187,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos(3L) - math.sqrt(0.5)) < 1e-12)
     assert(math.abs(cos(4L) - math.sqrt(0.5)) < 1e-12)
   }
+
+  test("kmeansCentroids: separated groups converge to group means with counts") {
+    // init = 2 lowest ids → cl0 at (0,0), cl1 at (0,2); after round 1
+    // cl1 drifts toward the far group; round 2 settles both clusters on
+    // their true group means
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(0.0f, 2.0f)),
+      (3L, Seq(10.0f, 10.0f)),
+      (4L, Seq(10.0f, 12.0f))).toDF("vec_id", "embedding")
+    val out = Vec.kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((0, 0)) == ((0.0, 2L)) && out((0, 1)) == ((1.0, 2L)), s"got $out")
+    assert(out((1, 0)) == ((10.0, 2L)) && out((1, 1)) == ((11.0, 2L)), s"got $out")
+  }
+
+  test("kmeansCentroids: ties assign to the lowest cluster id") {
+    // both points equidistant from both (identical) init centroids →
+    // everything lands in cluster 0; cluster 1 is dropped, not null
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Vec.kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Int, Int, Double, Long)].collect()
+    assert(out.forall(_._1 == 0), s"got ${out.toSeq}")
+    assert(out.length == 2, s"got ${out.toSeq}")
+    assert(out.forall(_._4 == 2L), s"got ${out.toSeq}")
+  }
 }

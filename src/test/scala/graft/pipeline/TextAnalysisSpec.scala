@@ -219,4 +219,53 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("bigramCrossEntropy: single-doc 'ab' corpus gives exactly 1 bit/bigram") {
+    // padded " ab " → bigrams " a","ab","b ", each count 1; prefixes
+    // ' ','a','b' each total 1; V = successors {a,b,' '} = 3 →
+    // p = (1+1)/(1+3) = 1/2 for every bigram → xent = 1.0 exactly
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    assert(out._2 == 3L, s"bigram count: $out")
+    assert(math.abs(out._3 - 1.0) < 1e-12, s"xent: $out")
+  }
+
+  test("bigramCrossEntropy: gibberish scores higher than in-distribution text") {
+    val fluent = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps"))
+    val df = (fluent :+ (99L, "zq xv jw qk vz")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(99L) > out(1L) + 1.0,
+      s"rare bigrams must cost more bits: $out")
+  }
+
+  test("chunkTokens: stride windows, short tail, empty doc drops out") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5"), // size 3 stride 2 → [t1..t3], [t3..t5]
+      (2L, "a"),              // shorter than size → one 1-token chunk
+      (3L, "  ")              // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", 3, 2)
+      .as[(Long, Int, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out == Seq(
+      (1L, 0, 3L, "t1 t2 t3"),
+      (1L, 1, 3L, "t3 t4 t5"),
+      (2L, 0, 1L, "a")), s"got $out")
+  }
+
+  test("chunkTokens covers every token: union of chunks == token multiset-ish") {
+    // boundary case: nt exactly size + k·stride must not emit an empty
+    // trailing chunk, and the last token must always be covered
+    for (nt <- 1 to 12) {
+      val text = (1 to nt).map("w" + _).mkString(" ")
+      val chunks = TextAnalysis.chunkTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+        .as[(Long, Int, Long, String)].collect().toSeq
+      assert(chunks.forall(_._3 > 0), s"nt=$nt empty chunk: $chunks")
+      assert(chunks.last._4.endsWith("w" + nt), s"nt=$nt tail uncovered: $chunks")
+      val ids = chunks.map(_._2).sorted
+      assert(ids == (0 until chunks.length), s"nt=$nt ids not dense: $ids")
+    }
+  }
 }
