@@ -1763,7 +1763,32 @@ object SparkEntry {
               pmod(col("doc_id"), lit(11)).cast("int").as("n_frames")),
           "n_frames", stride = 3)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+    "mm_phash" -> ((s, dir) => {
+      // REAL perceptual-hash image dedup end to end: five jittered
+      // variants of one noise raster per group (brightness shift is
+      // DC-only and a one-pixel edit perturbs ≤ 2 hash bits; distinct
+      // groups give iid 63-bit hashes), PNG-encoded, ImageIO-decoded,
+      // DCT-pHashed on executors, then paired via the pigeonhole
+      // hamming equi-join. Exact planted recovery: the oracle
+      // recomputes the within-group pairs from id arithmetic alone.
+      import s.implicits._
+      val hashed = documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.makeNoisePng(
+            id / 5, (id % 5).toInt * 8, (id % 5).toInt))
+        }
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.map(_._1).zip(
+              Multimodal.pHashBatch(batch.map(_._2)).map(_.longValue))
+          }
+        }
+        .toDF("doc_id", "phash")
+      Dedup.hammingNearDupPairs(hashed, "doc_id", "phash", maxHamming = 10)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash-family-dependent /
@@ -2236,6 +2261,13 @@ object SparkEntry {
         |FROM documents,
         |  UNNEST(range(0, CAST(doc_id % 11 AS BIGINT), 3)) AS r(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // exact planted-recovery oracle: the hamming join must return the
+    // within-group pairs and nothing else
+    "mm_phash" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "stream_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT

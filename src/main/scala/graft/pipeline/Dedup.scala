@@ -326,32 +326,47 @@ object Dedup {
     * (a fixed 4-chunk split would silently lose recall above 3). */
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    hammingNearDupPairs(withSimHash(df, textCol), idCol, "simhash",
+      maxHamming, maxBucket)
+
+  /** Generic 64-bit hamming-ball self-join: all pairs whose `hashCol`
+    * values differ in ≤ `maxHamming` bits, via pigeonhole banding on
+    * `maxHamming + 1` chunks — two hashes within the ball must agree
+    * on at least one chunk, so the equi-join on (chunk index, chunk
+    * value) finds EVERY qualifying pair without an all-pairs scan;
+    * `bit_count(xor)` verifies exactly. Shared by the SimHash text
+    * path and the perceptual-image-hash path
+    * ([[Multimodal.pHash64]]); chunk count scales with the requested
+    * distance (a fixed split would silently lose recall above its
+    * design distance). */
+  def hammingNearDupPairs(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
-      "simHashNearDupPairs: maxHamming must be in [0, 32)")
+      "hammingNearDupPairs: maxHamming must be in [0, 32)")
     val nChunks = maxHamming + 1
     val base = 64 / nChunks
     val extra = 64 % nChunks // first `extra` chunks get one more bit
     val offsets = (0 until nChunks).scanLeft(0) { (off, c) =>
       off + base + (if (c < extra) 1 else 0)
     }
-    val hashed = withSimHash(df, textCol)
     val chunks = (0 until nChunks).map { c =>
       val width = base + (if (c < extra) 1 else 0)
       val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(c).as("band"),
-        shiftright(col("simhash"), offsets(c)).bitwiseAND(lit(mask)).as("bh"))
+        shiftright(col(hashCol), offsets(c)).bitwiseAND(lit(mask)).as("bh"))
     }
     val banded = capBuckets(
-      hashed.select(col(idCol), col("simhash"),
+      hashed.select(col(idCol), col(hashCol),
           explode(array(chunks: _*)).as("__bk"))
-        .select(col(idCol), col("simhash"),
+        .select(col(idCol), col(hashCol),
           col("__bk.band").as("band"), col("__bk.bh").as("bh")),
       maxBucket)
     val a = banded.select(col("band"), col("bh"),
-      col(idCol).as("id_a"), col("simhash").as("__ha"))
+      col(idCol).as("id_a"), col(hashCol).as("__ha"))
     val b = banded.select(col("band"), col("bh"),
-      col(idCol).as("id_b"), col("simhash").as("__hb"))
+      col(idCol).as("id_b"), col(hashCol).as("__hb"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))

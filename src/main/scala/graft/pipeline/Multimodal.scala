@@ -187,6 +187,170 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ------------------------------------------------- perceptual hash
+
+  /** 32×32 DCT-II basis table, computed ONCE per JVM with `StrictMath`
+    * (fdlibm-specified, so the table — and therefore every pHash — is
+    * bit-identical across JVMs and architectures). */
+  private lazy val Dct32Cos: Array[Array[Double]] = {
+    val t = Array.ofDim[Double](32, 32)
+    var u = 0
+    while (u < 32) {
+      var x = 0
+      while (x < 32) {
+        t(u)(x) = StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Area-average luma (ITU-R 601 integer weights) of a decoded image
+    * into a 32×32 grid — the deterministic downscale in front of the
+    * DCT: every source pixel lands in exactly one grid cell, summed in
+    * row-major order, so the result does not depend on the source
+    * resolution's relationship to 32. */
+  def grayPool32(img: BufferedImage): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](32 * 32)
+    val counts = new Array[Int](32 * 32)
+    var y = 0
+    while (y < h) {
+      val gy = (y.toLong * 32 / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = (x.toLong * 32 / w).toInt
+        val p = img.getRGB(x, y)
+        val luma = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+          (p & 0xFF) * 114) / 1000.0
+        sums(gy * 32 + gx) += luma
+        counts(gy * 32 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < sums.length) {
+      if (counts(i) > 0) sums(i) /= counts(i)
+      i += 1
+    }
+    sums
+  }
+
+  /** Separable 2-D DCT-II of a 32×32 block (no normalization — the
+    * hash only compares coefficients to their own median, so scale
+    * factors cancel). */
+  def dct32(block: Array[Double]): Array[Double] = {
+    val rows = new Array[Double](32 * 32)
+    var y = 0
+    while (y < 32) { // DCT along x for each row
+      var u = 0
+      while (u < 32) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += block(y * 32 + x) * Dct32Cos(u)(x); x += 1 }
+        rows(y * 32 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](32 * 32)
+    var u = 0
+    while (u < 32) { // DCT along y for each column of the row-pass
+      var v = 0
+      while (v < 32) {
+        var s = 0.0
+        var y2 = 0
+        while (y2 < 32) { s += rows(y2 * 32 + u) * Dct32Cos(v)(y2); y2 += 1 }
+        out(v * 32 + u) = s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual image hash (classic DCT pHash): decode →
+    * 32×32 area-average luma → 2-D DCT → the 63 lowest-frequency AC
+    * coefficients (8×8 block minus DC) thresholded against their own
+    * median. Near-identical images (recompression, brightness shifts
+    * — DC-only, small local edits) land within a small hamming
+    * distance; pair discovery at scale goes through
+    * [[Dedup.hammingNearDupPairs]] (pigeonhole equi-join, never
+    * all-pairs). Returns null for undecodable payloads. */
+  def pHash64(b: Array[Byte]): java.lang.Long = {
+    val fmt = sniffBytes(b)
+    val img =
+      if (fmt == "png" || fmt == "jpeg" || fmt == "gif")
+        try ImageIO.read(new ByteArrayInputStream(b)) catch { case NonFatal(_) => null }
+      else null
+    if (img == null) return null
+    val coefs = dct32(grayPool32(img))
+    val ac = new Array[Double](63)
+    var i = 0
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (u != 0 || v != 0) { ac(i) = coefs(v * 32 + u); i += 1 }
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31) // 63 values → exact middle order statistic
+    var bits = 0L
+    i = 0
+    while (i < 63) {
+      if (ac(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Batch form of [[pHash64]] for the [[decodeBatched]]-style
+    * per-partition seam. */
+  def pHashBatch(payloads: Seq[Array[Byte]]): Seq[java.lang.Long] =
+    payloads.map(pHash64)
+
+  /** splitmix64 finalizer — the deterministic pixel-noise generator
+    * behind [[makeNoisePng]]. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4ecda7e9bd5d5L
+    z ^ (z >>> 31)
+  }
+
+  /** Synthesize a real PNG of deterministic per-pixel gray noise keyed
+    * by `seed`, with two small perceptual-invariance perturbations:
+    * a global `brightness` shift (DC-only — pHash-invariant by
+    * construction; noise spans [40, 215] so shifts ≤ 40 never clamp)
+    * and one `tweak`-dependent bright pixel (a small local edit).
+    * Same seed + different perturbations = planted near-duplicates;
+    * different seeds = iid 63-bit hashes (cross-pair hamming ≈ 31). */
+  def makeNoisePng(seed: Long, brightness: Int, tweak: Int,
+      w: Int = 48, h: Int = 40): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 40 + (mix64(seed * 1000003L + y.toLong * w + x) & 0x7fffffffL) % 176
+        val v0 = (base + brightness).toInt
+        val v = if (x == tweak % w && y == tweak % h) math.min(v0 + 25, 255) else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Synthesize a real RIFF/WAVE payload: 16-bit mono PCM silence at
     * `sampleRateHz` with `nFrames` frames. */
   def makeWav(sampleRateHz: Int, nFrames: Int): Array[Byte] = {

@@ -111,4 +111,40 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(a(0)._2 != a(1)._2, "distinct payloads → distinct features")
   }
+
+  test("pHash64: brightness shifts are invariant, local edits stay near") {
+    val base = Multimodal.pHash64(Multimodal.makeNoisePng(7L, 0, 0))
+    val bright = Multimodal.pHash64(Multimodal.makeNoisePng(7L, 24, 0))
+    assert(base == bright,
+      "a global brightness shift only moves the DC coefficient")
+    val edited = Multimodal.pHash64(Multimodal.makeNoisePng(7L, 8, 3))
+    val ham = java.lang.Long.bitCount(base ^ edited)
+    assert(ham <= 6, s"one-pixel edit + brightness must stay near: hamming $ham")
+  }
+
+  test("pHash64: distinct rasters are far apart, non-images are null") {
+    val hs = (0L until 40L).map(s =>
+      Multimodal.pHash64(Multimodal.makeNoisePng(s, 0, 0)).longValue)
+    for (i <- hs.indices; j <- (i + 1) until hs.length) {
+      val ham = java.lang.Long.bitCount(hs(i) ^ hs(j))
+      assert(ham > 12, s"seeds $i/$j too close: hamming $ham")
+    }
+    assert(Multimodal.pHash64("not an image".getBytes) == null)
+  }
+
+  test("pHash near-dup join recovers exactly the planted groups") {
+    import spark.implicits._
+    // 8 groups × 4 jittered variants; expect exactly the within-group
+    // pairs from the pigeonhole hamming join — no misses, no strays
+    val hashed = (0L until 32L).map { id =>
+      (id, Multimodal.pHash64(Multimodal.makeNoisePng(
+        id / 4, (id % 4).toInt * 8, (id % 4).toInt)).longValue)
+    }.toDF("doc_id", "phash")
+    val got = Dedup.hammingNearDupPairs(hashed, "doc_id", "phash", 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      a <- 0L until 32L; b <- (a + 1) until 32L; if a / 4 == b / 4
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} stray=${got -- want}")
+  }
 }
