@@ -1443,6 +1443,15 @@ object SparkEntry {
       TextAnalysis.chunkTokens(documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
+    "text_quality_clf" -> ((s, dir) =>
+      // linear-model scoring at scale: the weights ride as literals in
+      // the plan — a pure scan-bound map, the same shape a trained
+      // fastText-style quality classifier runs with
+      documents(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityLogit(col("text"), Seq("the", "a")), 6)
+            .as("clf_score"))
+        .orderBy("doc_id")),
 
     "text_len_pctl" -> ((s, dir) =>
       // exact per-lang token-length percentiles (linear interpolation,
@@ -1788,6 +1797,31 @@ object SparkEntry {
       Dedup.hammingNearDupPairs(hashed, "doc_id", "phash", maxHamming = 10)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
+    }),
+    "mm_audio_stats" -> ((s, dir) => {
+      // REAL audio-content analysis: a sawtooth PCM waveform per doc
+      // is WAV-encoded, decoded back through AudioSystem (container
+      // parse + endianness from the decoded format), and the DECODED
+      // samples are window-aggregated. The waveform is id-arithmetic,
+      // so the oracle recomputes the exact windowed sums — proof the
+      // sample path reads real PCM, not headers.
+      import s.implicits._
+      documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (400 + id % 100).toInt
+          val samples = Array.tabulate(n)(i => (((id + i) % 2000) - 1000).toShort)
+          (id, Multimodal.makeWavPcm(8000, samples))
+        }
+        .map { case (id, wav) =>
+          (id, Multimodal.decodePcm16(wav).map(_.toInt))
+        }
+        .toDF("doc_id", "samples")
+        .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "v")))
+        .withColumn("win", floor(col("i") / 160).cast("long"))
+        .groupBy("doc_id", "win")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_s"),
+          max(abs(col("v"))).cast("long").as("peak"))
+        .orderBy("doc_id", "win")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2261,6 +2295,15 @@ object SparkEntry {
         |FROM documents,
         |  UNNEST(range(0, CAST(doc_id % 11 AS BIGINT), 3)) AS r(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_audio_stats" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 100 AS nn FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    (doc_id + i) % 2000 - 1000 AS v
+        |  FROM d, LATERAL (SELECT unnest(range(d.nn)) AS i))
+        |SELECT doc_id, i // 160 AS win, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_s, CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin,
     // exact planted-recovery oracle: the hamming join must return the
     // within-group pairs and nothing else
     "mm_phash" ->
@@ -3114,6 +3157,32 @@ object SparkEntry {
         |  round(least(len_ok, 1.0) * 0.25 + awl_ok * 0.2 + stop_ok * 0.15
         |    + punct_ok * 0.4, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    // same feature definitions as text_quality's CTEs; fixed logistic
+    // weights [-1, .35, 2, -4, .5] over
+    // [1, ln(1+n_tokens), stopword_ratio, punct_ratio, avg_token_len/10]
+    "text_quality_clf" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END AS awl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END AS sr,
+        |    CASE WHEN len(text) > 0 THEN
+        |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / len(text)
+        |    ELSE 0.0 END AS pr
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-1.0 + 0.35 * ln(1.0 + nt) + 2.0 * sr
+        |    - 4.0 * pr + 0.5 * awl / 10.0))), 6) AS clf_score
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_langid_ngram" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

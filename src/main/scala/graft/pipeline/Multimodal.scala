@@ -353,13 +353,46 @@ object Multimodal {
 
   /** Synthesize a real RIFF/WAVE payload: 16-bit mono PCM silence at
     * `sampleRateHz` with `nFrames` frames. */
-  def makeWav(sampleRateHz: Int, nFrames: Int): Array[Byte] = {
+  def makeWav(sampleRateHz: Int, nFrames: Int): Array[Byte] =
+    makeWavPcm(sampleRateHz, new Array[Short](nFrames))
+
+  /** Synthesize a real RIFF/WAVE payload carrying the given 16-bit
+    * mono PCM samples (little-endian). */
+  def makeWavPcm(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
     val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
-    val data = new Array[Byte](nFrames * 2)
-    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
     val bos = new ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** REAL audio decode: parse the RIFF container with `AudioSystem`
+    * and return the 16-bit PCM samples (endianness taken from the
+    * decoded `AudioFormat`, not assumed). The content-analysis twin of
+    * [[jdkDecode]]'s header read — windowed energy/peak stats over
+    * these samples are the audio analogue of [[pixelStatsBatch]]. */
+  def decodePcm16(b: Array[Byte]): Array[Short] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(b))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, "decodePcm16: 16-bit PCM only")
+      val bytes = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      out
+    } finally ais.close()
   }
 
   /** Aspect-preserving fit-within resize plan — the Spark-side half of

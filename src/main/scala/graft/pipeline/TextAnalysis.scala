@@ -426,6 +426,27 @@ object TextAnalysis {
         (sum(col("__k") * col("__bits")) / sum(col("__k"))).as("xent_bits"))
   }
 
+  /** fastText-style linear quality classifier: a logistic score over
+    * the interpretable per-document features (`σ(w·f)` with `f =
+    * [1, ln(1+n_tokens), stopword_ratio, punct_ratio,
+    * avg_token_len/10]`). The weights are a fixed scoring model —
+    * the deterministic stand-in for trained classifier weights, with
+    * the exact evaluation shape a trained linear model would use
+    * (model scoring at 100 TB = a scan-bound map; the "model" rides
+    * in the plan as literals, nothing is shuffled or collected).
+    * Defaults reward stopword-bearing prose and penalize
+    * punctuation-heavy noise. */
+  def qualityLogit(text: Column, stops: Seq[String],
+      w: Seq[Double] = Seq(-1.0, 0.35, 2.0, -4.0, 0.5)): Column = {
+    require(w.length == 5, "qualityLogit: 5 weights (bias + 4 features)")
+    val z = lit(w(0)) +
+      lit(w(1)) * log(lit(1.0) + nTokens(text)) +
+      lit(w(2)) * coalesce(stopwordRatio(text, stops), lit(0.0)) +
+      lit(w(3)) * punctRatio(text) +
+      lit(w(4)) * coalesce(avgTokenLen(text), lit(0.0)) / 10.0
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** RAG-style token-window chunking: overlapping windows of `size`
     * whitespace tokens advancing by `stride` — the standard
     * retrieval-corpus preparation step. Chunk `i` covers tokens

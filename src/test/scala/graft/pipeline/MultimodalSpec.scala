@@ -132,6 +132,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pHash64("not an image".getBytes) == null)
   }
 
+  test("decodePcm16: WAV PCM round-trip returns the exact samples") {
+    val samples = Array.tabulate(777)(i => ((i * 37) % 2000 - 1000).toShort)
+    val wav = Multimodal.makeWavPcm(8000, samples)
+    assert(Multimodal.sniffBytes(wav) == "wav", "real RIFF container")
+    val back = Multimodal.decodePcm16(wav)
+    assert(back.toSeq == samples.toSeq, "decoded PCM must be bit-exact")
+  }
+
   test("pHash near-dup join recovers exactly the planted groups") {
     import spark.implicits._
     // 8 groups × 4 jittered variants; expect exactly the within-group

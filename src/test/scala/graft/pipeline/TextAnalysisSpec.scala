@@ -240,6 +240,17 @@ class TextAnalysisSpec extends SparkSpec {
       s"rare bigrams must cost more bits: $out")
   }
 
+  test("qualityLogit: bounded in (0,1), prose beats punctuation noise") {
+    val df = Seq(
+      (1L, "the cat sat on a mat and the dog ran by the tree"),
+      (2L, "!!! ??? *** ### !!! ??? *** ###")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.qualityLogit(col("text"), Seq("the", "a")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.values.forall(s => s > 0.0 && s < 1.0), s"bounds: $out")
+    assert(out(1L) > out(2L) + 0.2, s"prose must outscore noise: $out")
+  }
+
   test("chunkTokens: stride windows, short tail, empty doc drops out") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5"), // size 3 stride 2 → [t1..t3], [t3..t5]
