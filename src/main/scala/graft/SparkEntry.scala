@@ -1655,6 +1655,22 @@ object SparkEntry {
         .select(col("label"), col("i").cast("long").as("i"),
           round(col("c"), 6).as("c"), col("n"))
         .orderBy("label", "i")),
+    "dedup_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means cells (k=16, one update round) + within-cell
+      // exact cosine. Same planted +0.01-shift duplicates as
+      // dedup_embed; the oracle replays the identical bit-stable
+      // clustering, so the within-cell pair set matches exactly.
+      val dbl = (c: Column) => c.cast("array<double>")
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+      val planted = embeddings(s, dir).filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(dbl(col("embedding")), x => x + lit(0.01)).as("embedding"))
+      Vec.semDedupPairs(e.unionByName(planted), "vec_id", "embedding",
+          k = 16, iters = 2, threshold = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "embed_kmeans" -> ((s, dir) =>
       // deterministic distributed Lloyd k-means (k=8, 2 update
       // rounds): the oracle unrolls both iterations in SQL with the
@@ -3015,6 +3031,52 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, i, round(avg(v), 6) AS c, count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    // replays the engine's exact clustering (same fold, same 6-dp
+    // centroid rounding) on the planted union, then pairs within cells
+    "dedup_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+        |  FROM e WHERE vec_id < 25),
+        |x AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+        |  FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT 16)),
+        |d1 AS (
+        |  SELECT x.vec_id, c0.cl,
+        |    list_reduce(list_transform(list_zip(x.v, c0.v),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+        |  FROM x CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |u AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS i FROM x),
+        |m1 AS (
+        |  SELECT a1.cl, u.i, round(avg(u.e), 6) AS c
+        |  FROM a1 JOIN u USING (vec_id) GROUP BY a1.cl, u.i),
+        |c1 AS (SELECT cl, list(c ORDER BY i) AS v FROM m1 GROUP BY cl),
+        |d2 AS (
+        |  SELECT x.vec_id, c1.cl,
+        |    list_reduce(list_transform(list_zip(x.v, c1.v),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+        |  FROM x CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d2) WHERE rk = 1),
+        |p AS (
+        |  SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
+        |    round(list_dot_product(xa.v, xb.v) /
+        |      (sqrt(list_dot_product(xa.v, xa.v)) *
+        |       sqrt(list_dot_product(xb.v, xb.v))), 6) AS cosine
+        |  FROM a2 aa JOIN a2 ab ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
+        |  JOIN x xa ON xa.vec_id = aa.vec_id
+        |  JOIN x xb ON xb.vec_id = ab.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
     // both Lloyd iterations unrolled; the distance fold is the same
     // left-to-right double sum as the Spark side (list_reduce seeds
     // with the first element; 0.0 + t0 ≡ t0, so the folds agree

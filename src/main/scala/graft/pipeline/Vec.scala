@@ -116,30 +116,38 @@ object Vec {
     * the driver. The FINAL iteration's aggregate is returned as the
     * (un-collected) result DataFrame. At 100 TB each iteration is one
     * scan + one tiny shuffle; k×dim stays kilobytes. */
-  def kmeansCentroids(
-      df: org.apache.spark.sql.DataFrame,
-      idCol: String, vecCol: String, k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
-    require(k >= 1 && iters >= 1, "kmeansCentroids: k/iters >= 1")
-    val x = df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
-    def assign(cents: Array[(Int, Array[Double])]) = {
-      val dists = array(cents.map { case (cid, c) =>
-        struct(
-          aggregate(zip_with(col("__v"), lit(c), (a, b) => (a - b) * (a - b)),
-            lit(0.0), _ + _).as("dist"),
-          lit(cid).as("cid"))
-      }.toIndexedSeq: _*)
-      x.withColumn("__cl", array_min(dists).getField("cid"))
-    }
-    def means(assigned: org.apache.spark.sql.DataFrame) = assigned
-      .select(col("__cl"), posexplode(col("__v")).as(Seq("__i", "__x")))
-      .groupBy(col("__cl"), col("__i"))
-      .agg(round(avg(col("__x")), 6).as("__c"))
+  private def kmeansPrep(df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
+
+  /** Squared-L2 nearest-centroid assignment; centroids ride as plan
+    * literals, so this is a scan-bound map. */
+  private def kmeansAssignPass(x: org.apache.spark.sql.DataFrame,
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.DataFrame = {
+    val dists = array(cents.map { case (cid, c) =>
+      struct(
+        aggregate(zip_with(col("__v"), lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _).as("dist"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    x.withColumn("__cl", array_min(dists).getField("cid"))
+  }
+
+  private def kmeansMeans(assigned: org.apache.spark.sql.DataFrame) = assigned
+    .select(col("__cl"), posexplode(col("__v")).as(Seq("__i", "__x")))
+    .groupBy(col("__cl"), col("__i"))
+    .agg(round(avg(col("__x")), 6).as("__c"))
+
+  /** Lowest-id init + `rounds` collected Lloyd updates (see
+    * [[kmeansCentroids]] for the determinism contract). */
+  private def kmeansLoop(x: org.apache.spark.sql.DataFrame,
+      k: Int, rounds: Int): Array[(Int, Array[Double])] = {
     var cents: Array[(Int, Array[Double])] = x
       .orderBy(col("__id")).limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-    for (_ <- 0 until iters - 1) {
-      cents = means(assign(cents))
+    for (_ <- 0 until rounds) {
+      cents = kmeansMeans(kmeansAssignPass(x, cents))
         .groupBy(col("__cl"))
         .agg(transform(
           sort_array(collect_list(struct(col("__i"), col("__c")))),
@@ -147,12 +155,62 @@ object Vec {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     }
-    val last = assign(cents)
+    cents
+  }
+
+  def kmeansCentroids(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansCentroids: k/iters >= 1")
+    val x = kmeansPrep(df, idCol, vecCol)
+    val last = kmeansAssignPass(x, kmeansLoop(x, k, iters - 1))
     val counts = last.groupBy(col("__cl")).agg(count(lit(1)).as("n"))
-    means(last)
+    kmeansMeans(last)
       .join(broadcast(counts), "__cl")
       .select(col("__cl").as("cluster"), col("__i").as("dim"),
         col("__c").as("c"), col("n"))
+  }
+
+  /** Every row with its k-means `cell` after `iters − 1` Lloyd update
+    * rounds (the assignment that [[kmeansCentroids]]' final update
+    * aggregates over) — the clustering front-end for cell-local work
+    * like [[semDedupPairs]]. Output: (`idCol`, `__v` double vector,
+    * `cell`). */
+  def kmeansAssign(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansAssign: k/iters >= 1")
+    val x = kmeansPrep(df, idCol, vecCol)
+    kmeansAssignPass(x, kmeansLoop(x, k, iters - 1))
+      .select(col("__id").as(idCol), col("__v"), col("__cl").as("cell"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-dup pairs via k-means clustering + WITHIN-CELL exact cosine
+    * — the cluster step makes the quadratic comparison local, the
+    * published approximation being that near-duplicates co-locate in
+    * a cell. Deterministic end to end (the clustering is
+    * [[kmeansAssign]]'s bit-stable Lloyd loop), so an oracle that
+    * replays the same clustering matches exactly, including any
+    * boundary-straddling pair both engines miss together.
+    *
+    * Scale shape: one hash shuffle on `cell`, then a cell-local
+    * self-join — pair work is Σ(cellsize²) instead of n², and cells
+    * shrink as k grows; no all-pairs stage anywhere. */
+  def semDedupPairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iters)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col("__v").as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Cosine of every vector to its OWN label's centroid — the

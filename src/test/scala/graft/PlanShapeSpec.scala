@@ -244,6 +244,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"chunking must not join:\n$p")
   }
 
+  test("semdedup: the pair join is cell-keyed, never all-pairs") {
+    val p = plan("dedup_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell join must be an equi-join on cell:\n$p")
+  }
+
   test("kmeans: centroids ride as literals; only catalog-sized joins, no cartesian") {
     // assignment must be a scan-bound map (centroids inlined by the
     // driver loop), the count join broadcast, and nothing cross-joined

@@ -204,6 +204,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1, 0)) == ((10.0, 2L)) && out((1, 1)) == ((11.0, 2L)), s"got $out")
   }
 
+  test("semDedupPairs: planted near-identical vectors pair inside their cell") {
+    // two tight clusters far apart; 1↔2 and 3↔4 are near-identical
+    // within their cluster, cross-cluster pairs are anti-correlated
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.01f, 0.999f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Vec.semDedupPairs(df, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+  }
+
   test("kmeansCentroids: ties assign to the lowest cluster id") {
     // both points equidistant from both (identical) init centroids →
     // everything lands in cluster 0; cluster 1 is dropped, not null
