@@ -1443,6 +1443,11 @@ object SparkEntry {
       TextAnalysis.chunkTokens(documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
+    "text_bpe_train" -> ((s, dir) =>
+      // distributed BPE tokenizer training, 6 merge rounds; the
+      // oracle replays the identical double-space replace semantics
+      TextAnalysis.bpeTrain(documents(s, dir), "text", merges = 6)
+        .orderBy("merge_rank")),
     "text_quality_clf" -> ((s, dir) =>
       // linear-model scoring at scale: the weights ride as literals in
       // the plan — a pure scan-bound map, the same shape a trained
@@ -3219,6 +3224,42 @@ object SparkEntry {
         |  round(least(len_ok, 1.0) * 0.25 + awl_ok * 0.2 + stop_ok * 0.15
         |    + punct_ok * 0.4, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    // replays the engine's BPE exactly: same case-folded whitespace
+    // words, same double-space symbol strings, same leftmost-first
+    // `replace` merge, same (count desc, lexicographic) tie-break —
+    // six rounds unrolled
+    "text_bpe_train" -> {
+      def round(r: Int): String = {
+        val prev = s"v${r - 1}"
+        s"""p$r AS (
+           |  SELECT l[i] AS lft, l[i + 1] AS rgt, sum(n) AS c
+           |  FROM (SELECT string_split(trim(s, ' '), '  ') AS l, n FROM $prev) t,
+           |       LATERAL (SELECT unnest(range(1, len(t.l))) AS i)
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT lft, rgt, c FROM p$r ORDER BY c DESC, lft, rgt LIMIT 1),
+           |v$r AS (
+           |  SELECT replace(s, ' ' || lft || '  ' || rgt || ' ',
+           |                 ' ' || lft || rgt || ' ') AS s, n
+           |  FROM $prev CROSS JOIN m$r),""".stripMargin
+      }
+      val rounds = (1 to 6).map(round).mkString("\n")
+      val unions = (1 to 6).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, lft, rgt, CAST(c AS BIGINT) AS n FROM m$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH w AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |v0 AS (
+         |  SELECT '  ' || array_to_string(
+         |      list_append(regexp_extract_all(word, '.'), '</w>'), '  ')
+         |      || '  ' AS s,
+         |    count(*) AS n
+         |  FROM w WHERE word <> '' GROUP BY 1),
+         |$rounds
+         |z AS (SELECT 1)
+         |$unions
+         |ORDER BY merge_rank""".stripMargin
+    },
     // same feature definitions as text_quality's CTEs; fixed logistic
     // weights [-1, .35, 2, -4, .5] over
     // [1, ln(1+n_tokens), stopword_ratio, punct_ratio, avg_token_len/10]

@@ -32,7 +32,9 @@ object Stress {
     "cur_decontam_bloom", "cur_pack",
     "auto_mad", "auto_flatline", "ts_rolling", "ts_asof",
     "ts_scd2", "ts_cusum", "ts_ohlc", "text_heavy_hitters",
-    "w1_rowid", "m5_approve_unflagged", "a1_progress", "plot_m4", "u1_union")
+    "w1_rowid", "m5_approve_unflagged", "a1_progress", "plot_m4", "u1_union",
+    "text_perplexity", "text_chunks", "text_quality_clf",
+    "embed_kmeans", "dedup_semdedup", "mm_phash", "mm_audio_stats")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -426,6 +426,75 @@ object TextAnalysis {
         (sum(col("__k") * col("__bits")) / sum(col("__k"))).as("xent_bits"))
   }
 
+  /** Distributed BPE tokenizer training (Sennrich 2016): the corpus
+    * reduces ONCE to a (word, count) vocabulary, then every merge
+    * round runs on that vocabulary-sized table — adjacent-pair counts
+    * weighted by word count, argmax pair (ties: count desc, then
+    * lexicographic — fully deterministic), leftmost-first
+    * non-overlapping merge. Words are whitespace tokens, case-folded,
+    * with a terminal `</w>` symbol.
+    *
+    * Symbol sequences travel as DOUBLE-SPACE-joined strings with
+    * leading/trailing double spaces, so the merge step is a plain
+    * `replace(s, ' L  R ', ' LR ')`: SQL `replace` is leftmost-first
+    * non-overlapping, the single-space pattern edges anchor on the
+    * inner of each double separator (so partial-symbol matches are
+    * impossible), and the double separator survives adjacent merges —
+    * exactly BPE's merge semantics, in one codegen'd builtin, and
+    * replayable verbatim by any SQL engine (the DuckDB oracle runs
+    * the identical replace).
+    *
+    * Scale shape: one corpus-sized shuffle total (the word count,
+    * map-side combined). Each round is explode + pair aggregate +
+    * top-1 on the CACHED vocabulary; only the K winning pairs reach
+    * the driver. Output: (merge_rank, lft, rgt, n). */
+  def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, merges: Int): org.apache.spark.sql.DataFrame = {
+    require(merges >= 1, "bpeTrain: merges >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs
+      .select(explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("n"))
+      .select(
+        // RAW char split (graft.functions.charNgrams, not the
+        // normalizing wrapper above — symbols must never contain
+        // spaces, and digits/punctuation are legitimate BPE symbols)
+        concat(lit("  "),
+          array_join(
+            concat(graft.functions.charNgrams(col("__w"), 1),
+              array(lit("</w>"))), "  "),
+          lit("  ")).as("s"),
+        col("n"))
+      .cache()
+    var vocab = vocab0
+    val out = (1 to merges).map { rank =>
+      val syms = split(trim(col("s")), "  ")
+      val top = vocab
+        .select(explode(zip_with(syms,
+          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+          (a, b) => struct(a.as("lft"), b.as("rgt")))).as("__p"), col("n"))
+        // zip_with pads the shorter side with null → drop the
+        // (last-symbol, null) tail element
+        .filter(col("__p.rgt").isNotNull)
+        .groupBy(col("__p.lft").as("lft"), col("__p.rgt").as("rgt"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("lft"), col("rgt"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .head()
+      val (l, r, c) = top
+      vocab = vocab.withColumn("s",
+        call_function("replace", col("s"),
+          lit(s" $l  $r "), lit(s" $l$r ")))
+      (rank.toLong, l, r, c)
+    }
+    vocab0.unpersist()
+    out.toDF("merge_rank", "lft", "rgt", "n")
+  }
+
   /** fastText-style linear quality classifier: a logistic score over
     * the interpretable per-document features (`σ(w·f)` with `f =
     * [1, ln(1+n_tokens), stopword_ratio, punct_ratio,

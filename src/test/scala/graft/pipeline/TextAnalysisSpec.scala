@@ -240,6 +240,20 @@ class TextAnalysisSpec extends SparkSpec {
       s"rare bigrams must cost more bits: $out")
   }
 
+  test("bpeTrain: hand-computed merges with leftmost-first application and lex ties") {
+    // vocab: aaab×3, ab×1
+    // r1: (a,a)=6 wins; aaab → [aa,a,b,</w>] (leftmost-first, NOT [aa,aa])
+    // r2: (a,b)=4 ties (b,</w>)=4 → lexicographic → (a,b)
+    // r3: (ab,</w>)=4
+    val df = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, "text", merges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "b", 4L),
+      (3L, "ab", "</w>", 4L)), s"got $out")
+  }
+
   test("qualityLogit: bounded in (0,1), prose beats punctuation noise") {
     val df = Seq(
       (1L, "the cat sat on a mat and the dog ran by the tree"),
