@@ -1443,6 +1443,18 @@ object SparkEntry {
       TextAnalysis.chunkTokens(documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
+    "text_perplexity_xfer" -> ((s, dir) => {
+      // transfer scoring (the real CCNet setup): LM trained on the
+      // even-id half scores the odd-id half; unseen bigrams take the
+      // add-one floor and are counted as the oov_bigrams OOD signal
+      val train = documents(s, dir).filter(col("doc_id") % 2 === 0)
+      val score = documents(s, dir).filter(col("doc_id") % 2 === 1)
+      TextAnalysis.bigramCrossEntropyWith(score, "doc_id", "text",
+          TextAnalysis.bigramLm(train, "text"))
+        .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+          round(col("xent_bits"), 6).as("xent_bits"))
+        .orderBy("doc_id")
+    }),
     "text_bpe_train" -> ((s, dir) =>
       // distributed BPE tokenizer training, 6 merge rounds; the
       // oracle replays the identical double-space replace semantics
@@ -1660,6 +1672,21 @@ object SparkEntry {
         .select(col("label"), col("i").cast("long").as("i"),
           round(col("c"), 6).as("c"), col("n"))
         .orderBy("label", "i")),
+    "dedup_incremental" -> ((s, dir) => {
+      // batch-vs-corpus near-dup join (the daily-increment mode):
+      // every 7th doc re-arrives with a one-token edit; the prefix
+      // machinery pairs only cross-side, never corpus×corpus
+      val corpus = documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = documents(s, dir).filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" v2xyz")).as("text"))
+      Dedup.incrementalJaccardPairs(corpus, batch, "doc_id", "text",
+          threshold = 0.8)
+        // raw ratio of exact ints — identical doubles on both engines
+        // (rounding would re-introduce HALF_UP/HALF_EVEN boundary risk)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_semdedup" -> ((s, dir) => {
       // SemDeDup: k-means cells (k=16, one update round) + within-cell
       // exact cosine. Same planted +0.01-shift duplicates as
@@ -3036,6 +3063,32 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, i, round(avg(v), 6) AS c, count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    // brute-force batch×corpus truth (the prefix filter is exact, so
+    // the engine must equal the unfiltered cross check)
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' v2xyz' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ta AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM batch),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks)) AS ic,
+        |    len(a.toks) AS sa, len(b.toks) AS sb
+        |  FROM ta a JOIN tb b
+        |    ON least(len(a.toks), len(b.toks)) >=
+        |       0.8 * greatest(len(a.toks), len(b.toks)))
+        |SELECT id_a, id_b, CAST(ic AS DOUBLE) / (sa + sb - ic) AS jaccard
+        |FROM p WHERE CAST(ic AS DOUBLE) / (sa + sb - ic) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     // replays the engine's exact clustering (same fold, same 6-dp
     // centroid rounding) on the planted union, then pairs within cells
     "dedup_semdedup" ->
@@ -3224,6 +3277,43 @@ object SparkEntry {
         |  round(least(len_ok, 1.0) * 0.25 + awl_ok * 0.2 + stop_ok * 0.15
         |    + punct_ok * 0.4, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "text_perplexity_xfer" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ' ' || trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g'))) || ' '
+        |      AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT substr(t, CAST(i AS INTEGER), 2) AS gm
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM d WHERE doc_id % 2 = 0 AND len(t) >= 2)),
+        |bi AS (SELECT gm, count(*) AS nb FROM tg GROUP BY 1),
+        |pre AS (SELECT substr(gm, 1, 1) AS c1, sum(nb) AS np FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT substr(gm, 2, 1)) AS vv FROM bi),
+        |model AS (
+        |  SELECT gm,
+        |    -log2(CAST(nb + 1 AS DOUBLE) / CAST(np + vv AS DOUBLE)) AS bits
+        |  FROM bi JOIN pre ON substr(gm, 1, 1) = c1 CROSS JOIN v),
+        |sg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS gm
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM d WHERE doc_id % 2 = 1 AND len(t) >= 2)),
+        |k AS (SELECT doc_id, gm, count(*) AS k FROM sg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT k.doc_id, k.k, m.bits, p.np
+        |  FROM k LEFT JOIN model m ON k.gm = m.gm
+        |  LEFT JOIN pre p ON substr(k.gm, 1, 1) = p.c1),
+        |f AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN bits IS NOT NULL THEN bits
+        |         ELSE -log2(1.0 / CAST(coalesce(np, 0) + (SELECT vv FROM v)
+        |           AS DOUBLE)) END AS bits2,
+        |    CASE WHEN bits IS NULL THEN k ELSE 0 END AS oov
+        |  FROM sc)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+        |  round(sum(k * bits2) / sum(k), 6) AS xent_bits
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replays the engine's BPE exactly: same case-folded whitespace
     // words, same double-space symbol strings, same leftmost-first
     // `replace` merge, same (count desc, lexicographic) tie-break —

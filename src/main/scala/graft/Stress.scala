@@ -113,7 +113,14 @@ object Stress {
       .withColumn("doc_id", col("doc_id") * factor + col("__r"))
       .withColumn("text", concat(col("text"), lit(" rep"), col("__r"))))
     rep("embeddings")(df => df
-      .withColumn("vec_id", col("vec_id") * factor + col("__r")))
+      .withColumn("vec_id", col("vec_id") * factor + col("__r"))
+      // per-replica SCALING (cosine-invariant: cos(αa, b) = cos(a, b),
+      // hyperplane signs and LSH buckets unchanged) so replicas are
+      // not bit-identical vectors — without it the k-means lowest-id
+      // init picks 16 copies of two vectors and every cell collapses
+      .withColumn("embedding",
+        transform(col("embedding"),
+          x => x * (lit(1.0) + col("__r") * lit(0.001)))))
     rep("lineitem")(df => df
       .withColumn("l_linenumber", col("l_linenumber") * factor + col("__r")))
     Seq("orders", "customer", "supplier", "part", "nation", "region")

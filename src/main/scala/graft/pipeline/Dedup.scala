@@ -132,12 +132,45 @@ object Dedup {
     */
   def prefixJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    prefixPairsImpl(docs, idCol, textCol, threshold,
+      pairCond = (pa, pb) => col(s"$pa.$idCol") < col(s"$pb.$idCol"))
+
+  /** Incremental (batch-vs-corpus) exact jaccard-threshold join: every
+    * (corpus doc, batch doc) pair with token-set jaccard ≥ `threshold`
+    * — the operational dedup mode at 100 TB, where a daily increment
+    * is checked against the standing corpus WITHOUT re-pairing the
+    * corpus against itself. Same prefix-filter machinery as
+    * [[prefixJaccardPairs]] (token df computed over the union gives
+    * both sides one consistent total order, so the prefix bound stays
+    * a theorem); only cross-side candidates are generated — corpus ×
+    * corpus and batch × batch prefixes never pair. Ids must be unique
+    * across both inputs. Output: (id_a = corpus id, id_b = batch id,
+    * jaccard). */
+  def incrementalJaccardPairs(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    val tagged = corpus.select(col(idCol), col(textCol))
+      .withColumn("__side", lit(0))
+      .unionByName(batch.select(col(idCol), col(textCol))
+        .withColumn("__side", lit(1)))
+    prefixPairsImpl(tagged, idCol, textCol, threshold,
+      pairCond = (pa, pb) =>
+        col(s"$pa.__side") === 0 && col(s"$pb.__side") === 1,
+      carryCols = Seq("__side"))
+  }
+
+  private def prefixPairsImpl(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      pairCond: (String, String) => Column,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "prefixJaccardPairs: threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+    val toks = docs.select(
+      (col(idCol) +: carryCols.map(col)) :+
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"): _*)
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy(col(idCol))
     val ranked = toks.join(dfreq, Seq("__tok"))
@@ -150,7 +183,8 @@ object Dedup {
     val prefix = ranked.filter(
       col("__r") <=
         col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
-      .select(col(idCol), col("__tok"), col("__r"), col("__sz"))
+      .select(col(idCol) +: col("__tok") +: col("__r") +: col("__sz") +:
+        carryCols.map(col): _*)
     // Candidate pruning inside the join condition, BEFORE the distinct
     // shuffle — both are THEOREMS from Xiao et al. 2008, so exactness
     // holds (measured on the 10× replica stress corpus, where every
@@ -163,7 +197,7 @@ object Dedup {
     val sa = col("pa.__sz"); val sb = col("pb.__sz")
     val cand = prefix.as("pa")
       .join(prefix.as("pb"), col("pa.__tok") === col("pb.__tok") &&
-        col(s"pa.$idCol") < col(s"pb.$idCol") &&
+        pairCond("pa", "pb") &&
         least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb) - lit(1e-9) &&
         (lit(1) + least(sa - col("pa.__r"), sb - col("pb.__r"))).cast("double") >=
           lit(threshold / (1.0 + threshold)) * (sa + sb) - lit(1e-9))

@@ -396,6 +396,65 @@ object TextAnalysis {
     * scoring is then one doc-keyed hash aggregate with map-side
     * combine. Two corpus scans, zero corpus-sized shuffles — the same
     * shape at 100 TB, where the model stays kilobytes. */
+  /** Train the char-bigram LM of [[bigramCrossEntropy]] on `docs` as
+    * THREE reusable model tables (all vocabulary-sized): per-bigram
+    * bits, per-prefix-char totals, and the one-row successor-vocab
+    * size. Persist/broadcast these to score OTHER corpora — the real
+    * CCNet setup (LM trained on a trusted corpus scores the crawl). */
+  def bigramLm(docs: org.apache.spark.sql.DataFrame, textCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val bi = docs
+      .select(explode(charNgrams(col(textCol), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nb"))
+    val pre = bi
+      .groupBy(substring(col("__g"), 1, 1).as("__c1"))
+      .agg(sum(col("__nb")).as("__np"))
+    val vocab = bi.agg(
+      countDistinct(substring(col("__g"), 2, 1)).as("__v"))
+    val model = bi
+      .withColumn("__c1", substring(col("__g"), 1, 1))
+      .join(broadcast(pre), "__c1")
+      .crossJoin(broadcast(vocab))
+      .select(col("__g"),
+        (-log(2.0, (col("__nb") + 1L).cast("double") /
+          (col("__np") + col("__v")).cast("double"))).as("__bits"))
+    (model, pre, vocab)
+  }
+
+  /** Score `docs` against a PRE-TRAINED [[bigramLm]] — transfer
+    * scoring, where the scored corpus may contain bigrams the model
+    * never saw. Unseen bigrams take the add-one floor `1/(n(c₁·)+V)`
+    * (their smoothed mass); unseen prefixes take `1/V`. Output adds
+    * `oov_bigrams`, the count of model-unseen bigrams — itself a
+    * strong out-of-distribution signal.
+    *
+    * Scale shape: identical to [[bigramCrossEntropy]]'s scoring half —
+    * one (doc, bigram) count aggregate, three broadcast left joins
+    * against vocabulary-sized tables, one doc-keyed weighted sum. */
+  def bigramCrossEntropyWith(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lm: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame))
+      : org.apache.spark.sql.DataFrame = {
+    val (model, pre, vocab) = lm
+    val docGrams = docs
+      .select(col(idCol), explode(charNgrams(col(textCol), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__k"))
+    docGrams
+      .join(broadcast(model), Seq("__g"), "left")
+      .withColumn("__c1", substring(col("__g"), 1, 1))
+      .join(broadcast(pre), Seq("__c1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__bits2", coalesce(col("__bits"),
+        -log(2.0, lit(1.0) /
+          (coalesce(col("__np"), lit(0L)) + col("__v")).cast("double"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        sum(when(col("__bits").isNull, col("__k")).otherwise(lit(0L)))
+          .as("oov_bigrams"),
+        (sum(col("__k") * col("__bits2")) / sum(col("__k"))).as("xent_bits"))
+  }
+
   def bigramCrossEntropy(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {

@@ -185,6 +185,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalJaccardPairs: cross-side exact vs brute force, no self pairs") {
+    val words = ('a' to 'z').map(_.toString)
+    def doc(seed: Int, n: Int) =
+      (0 until n).map(i => words((seed * 31 + i * 17) % 26)).mkString(" ")
+    // corpus includes an internal near-dup pair (0, 1 share seed 0)
+    // that must NOT appear in the output — only corpus×batch pairs
+    val corpus = ((0 until 30).map(i => (i.toLong, doc(i, 14))) :+
+      (900L, doc(0, 14) + " qq")).toDF("doc_id", "text")
+    val batch = (0 until 30 by 3).map(i =>
+      (1000L + i, doc(i, 14) + " zzz")).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.incrementalJaccardPairs(corpus, batch, "doc_id", "text", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val toks = (c: org.apache.spark.sql.Column) =>
+        graft.functions.tokenSet(TextAnalysis.tokens(c))
+      val a = corpus.select(col("doc_id").as("id_a"), toks(col("text")).as("sa"))
+      val b = batch.select(col("doc_id").as("id_b"), toks(col("text")).as("sb"))
+      val brute = a.join(b)
+        .withColumn("j", Dedup.jaccardSorted(col("sa"), col("sb")))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"threshold $t: cross-side prefix filter must be exact")
+      assert(brute.nonEmpty, s"fixture vacuous at $t")
+      assert(fast.forall { case (a2, b2) => a2 < 1000 && b2 >= 1000 },
+        "only corpus×batch pairs allowed")
+    }
+  }
+
   test("prefixJaccardPairsCollapsed: an exact-dup flood folds to one rep") {
     // 6 byte-identical copies of doc 1, one near-dup (doc 50), one
     // unrelated doc: the flood must contribute a group size of 7,

@@ -231,6 +231,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out._3 - 1.0) < 1e-12, s"xent: $out")
   }
 
+  test("bigramCrossEntropyWith: transfer scoring floors unseen bigrams, counts oov") {
+    // model trained on "ab" only (see the exact case above: every
+    // seen bigram costs 1 bit, np=1, V=3); scoring "ac" hits:
+    //   " a" seen (1 bit), "ac" UNSEEN with seen prefix 'a'
+    //   → -log2(1/(1+3)) = 2 bits, "c " UNSEEN with unseen prefix 'c'
+    //   → -log2(1/(0+3)) = log2(3) bits
+    val lm = TextAnalysis.bigramLm(Seq((1L, "ab")).toDF("doc_id", "text"), "text")
+    val out = TextAnalysis.bigramCrossEntropyWith(
+        Seq((9L, "ac")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .as[(Long, Long, Long, Double)].head()
+    assert(out._2 == 3L && out._3 == 2L, s"counts: $out")
+    val expected = (1.0 + 2.0 + math.log(3.0) / math.log(2.0)) / 3.0
+    assert(math.abs(out._4 - expected) < 1e-12, s"xent: $out vs $expected")
+  }
+
   test("bigramCrossEntropy: gibberish scores higher than in-distribution text") {
     val fluent = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps"))
     val df = (fluent :+ (99L, "zq xv jw qk vz")).toDF("doc_id", "text")
