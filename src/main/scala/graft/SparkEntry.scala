@@ -1713,6 +1713,15 @@ object SparkEntry {
         .select(col("cluster"), col("dim").cast("long").as("dim"),
           col("c"), col("n"))
         .orderBy("cluster", "dim")),
+    "embed_pq" -> ((s, dir) =>
+      // product quantization (m=2 subspaces, k=4, 2 Lloyd rounds each
+      // via the bit-stable loop): codes + reconstruction error, all
+      // computed in one encoding pass with codebooks as literals
+      Vec.pqEncode(embeddings(s, dir), "vec_id", "embedding",
+          m = 2, k = 4, iters = 2)
+        .select(col("vec_id"), col("code_0"), col("code_1"),
+          round(col("qerr"), 6).as("qerr"))
+        .orderBy("vec_id")),
     "embed_dispersion" -> ((s, dir) =>
       Vec.centroidCosines(embeddings(s, dir), "vec_id", "embedding", "label")
         .groupBy("label")
@@ -3135,6 +3144,55 @@ object SparkEntry {
         |  JOIN x xb ON xb.vec_id = ab.vec_id)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+    // per-subspace replay of the same bit-stable Lloyd chain as
+    // embed_kmeans (slice → init → one rounded update → assignment
+    // keeping the min distance), then codes + error joined on vec_id
+    "embed_pq" -> {
+      def sub(j: Int): String = {
+        val lo = j * 32 + 1; val hi = (j + 1) * 32
+        s"""x$j AS (
+           |  SELECT vec_id,
+           |    list_transform(list_slice(embedding, $lo, $hi),
+           |      e -> CAST(e AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c0$j AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+           |  FROM (SELECT vec_id, v FROM x$j ORDER BY vec_id LIMIT 4)),
+           |d1$j AS (
+           |  SELECT x$j.vec_id, c0$j.cl,
+           |    list_reduce(list_transform(list_zip(x$j.v, c0$j.v),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+           |  FROM x$j CROSS JOIN c0$j),
+           |a1$j AS (
+           |  SELECT vec_id, cl FROM (
+           |    SELECT vec_id, cl,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+           |    FROM d1$j) WHERE rk = 1),
+           |u$j AS (
+           |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS i
+           |  FROM x$j),
+           |m1$j AS (
+           |  SELECT a1$j.cl, u$j.i, round(avg(u$j.e), 6) AS c
+           |  FROM a1$j JOIN u$j USING (vec_id) GROUP BY a1$j.cl, u$j.i),
+           |c1$j AS (SELECT cl, list(c ORDER BY i) AS v FROM m1$j GROUP BY cl),
+           |d2$j AS (
+           |  SELECT x$j.vec_id, c1$j.cl,
+           |    list_reduce(list_transform(list_zip(x$j.v, c1$j.v),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+           |  FROM x$j CROSS JOIN c1$j),
+           |a2$j AS (
+           |  SELECT vec_id, cl, dist FROM (
+           |    SELECT vec_id, cl, dist,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+           |    FROM d2$j) WHERE rk = 1)""".stripMargin
+      }
+      s"""WITH ${sub(0)},
+         |${sub(1)}
+         |SELECT a20.vec_id, a20.cl AS code_0, a21.cl AS code_1,
+         |  round(sqrt(a20.dist + a21.dist), 6) AS qerr
+         |FROM a20 JOIN a21 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
     // both Lloyd iterations unrolled; the distance fold is the same
     // left-to-right double sum as the Spark side (list_reduce seeds
     // with the first element; 0.0 + t0 ≡ t0, so the folds agree

@@ -120,18 +120,21 @@ object Vec {
       idCol: String, vecCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
 
-  /** Squared-L2 nearest-centroid assignment; centroids ride as plan
-    * literals, so this is a scan-bound map. */
-  private def kmeansAssignPass(x: org.apache.spark.sql.DataFrame,
-      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.DataFrame = {
-    val dists = array(cents.map { case (cid, c) =>
+  /** Squared-L2 nearest-centroid min-struct (dist, cid) for a vector
+    * column; centroids ride as plan literals, so this is a scan-bound
+    * map. */
+  private def nearestCentroid(v: Column,
+      cents: Array[(Int, Array[Double])]): Column =
+    array_min(array(cents.map { case (cid, c) =>
       struct(
-        aggregate(zip_with(col("__v"), lit(c), (a, b) => (a - b) * (a - b)),
+        aggregate(zip_with(v, lit(c), (a, b) => (a - b) * (a - b)),
           lit(0.0), _ + _).as("dist"),
         lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-    x.withColumn("__cl", array_min(dists).getField("cid"))
-  }
+    }.toIndexedSeq: _*))
+
+  private def kmeansAssignPass(x: org.apache.spark.sql.DataFrame,
+      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.DataFrame =
+    x.withColumn("__cl", nearestCentroid(col("__v"), cents).getField("cid"))
 
   private def kmeansMeans(assigned: org.apache.spark.sql.DataFrame) = assigned
     .select(col("__cl"), posexplode(col("__v")).as(Seq("__i", "__x")))
@@ -183,6 +186,47 @@ object Vec {
     val x = kmeansPrep(df, idCol, vecCol)
     kmeansAssignPass(x, kmeansLoop(x, k, iters - 1))
       .select(col("__id").as(idCol), col("__v"), col("__cl").as("cell"))
+  }
+
+  /** Product quantization (Jégou et al. 2011): the vector splits into
+    * `m` equal subspaces, each k-means'd independently with the same
+    * bit-stable Lloyd loop as [[kmeansCentroids]]; a vector's code is
+    * its nearest-centroid id per subspace. `k^m` reproduction values
+    * from `m·k` centroids — the codebook scale-out trick behind
+    * IVF-PQ indexes. Output: (`idCol`, `code_0..code_{m−1}`,
+    * `qerr` = √Σ subspace squared distances, the reconstruction
+    * error). Deterministic end to end, so a SQL replay matches
+    * exactly.
+    *
+    * Scale shape: training = per-subspace driver loops (corpus-sized
+    * scans, tiny k × dim/m collected means); ENCODING is ONE
+    * scan-bound projection — all m codebooks
+    * ride as literals, every code and the error computed in a single
+    * pass, nothing joined or shuffled. At 100 TB the codes table is
+    * m bytes/vector instead of 4·dim — the point of PQ. */
+  def pqEncode(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 1, "pqEncode: m/k/iters >= 1")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqEncode: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val codebooks = (0 until m).map { j =>
+      val xj = df.select(col(idCol).as("__id"),
+        d(slice(col(vecCol), j * sub + 1, sub)).as("__v"))
+      kmeansLoop(xj, k, iters - 1)
+    }
+    val staged = codebooks.zipWithIndex.foldLeft(
+      df.select(col(idCol), d(col(vecCol)).as("__v"))) { case (acc, (cents, j)) =>
+      acc.withColumn(s"__m$j",
+        nearestCentroid(slice(col("__v"), j * sub + 1, sub), cents))
+    }
+    staged.select(
+      col(idCol) +:
+        (0 until m).map(j => col(s"__m$j").getField("cid").as(s"code_$j")) :+
+        sqrt((0 until m).map(j => col(s"__m$j").getField("dist"))
+          .reduce(_ + _)).as("qerr"): _*)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -218,6 +218,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
   }
 
+  test("pqEncode: per-subspace codes recover the planted block structure") {
+    // subspace 0 (dims 1-2) separates {1,2} from {3,4}; subspace 1
+    // (dims 3-4) separates them the other way — codes must disagree
+    // across subspaces, proving independent per-subspace codebooks
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+      (2L, Seq(0.0f, 1.0f, 10.0f, 11.0f)),
+      (3L, Seq(5.0f, 5.0f, 0.0f, 0.0f)),
+      (4L, Seq(5.0f, 6.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Vec.pqEncode(df, "vec_id", "embedding", m = 2, k = 2, iters = 2)
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 == out(2L)._1 && out(3L)._1 == out(4L)._1 &&
+      out(1L)._1 != out(3L)._1, s"subspace-0 split: $out")
+    assert(out(1L)._2 == out(2L)._2 && out(3L)._2 == out(4L)._2 &&
+      out(1L)._2 != out(3L)._2, s"subspace-1 split: $out")
+    assert(out.values.forall(_._3 >= 0.0), s"qerr non-negative: $out")
+  }
+
   test("kmeansCentroids: ties assign to the lowest cluster id") {
     // both points equidistant from both (identical) init centroids →
     // everything lands in cluster 0; cluster 1 is dropped, not null
