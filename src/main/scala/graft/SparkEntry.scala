@@ -758,6 +758,20 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type")
     }),
+    "stream_incremental" -> ((s, dir) => {
+      // streaming incremental mode: only keys NOT in the static
+      // known-key corpus pass (broadcast anti-join, stateless), each
+      // emitted once via watermarked dedup — corpus keys never enter
+      // the state store
+      val known = events(s, dir).filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_type")).distinct()
+      val out = QcStream.streamingNewKeys(
+        eventsStream(s, dir).select(col("user_id"), col("event_type"), col("ts")),
+        known, Seq("user_id", "event_type"), "ts", "2 days")
+      drainToTable(s, out, "append", "stream_incremental")
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
     "stream_join" -> ((s, dir) => {
       // STREAM-STREAM inner join: purchases matched to same-user
       // signups within the preceding day. Watermarks + the time-range
@@ -2418,6 +2432,16 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "stream_incremental" ->
+      """WITH st AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0)
+        |SELECT DISTINCT e.user_id, e.event_type
+        |FROM events e
+        |LEFT JOIN st ON e.user_id = st.user_id
+        |  AND e.event_type = st.event_type
+        |WHERE st.user_id IS NULL
+        |ORDER BY e.user_id, e.event_type""".stripMargin,
     "q14_promo" ->
       """WITH j AS (
         |  SELECT p_type, l_extendedprice * (1.0 - l_discount) AS rev

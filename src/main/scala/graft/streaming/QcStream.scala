@@ -67,6 +67,24 @@ object QcStream {
       .dropDuplicatesWithinWatermark(fpCol)
       .drop(fpCol)
 
+  /** Streaming incremental filter: keys arriving on the stream that
+    * are NOT in the static known-key table (stream-static LEFT ANTI —
+    * stateless, the static side broadcasts), then exact-deduped
+    * within the watermark so each new key emits once. The streaming
+    * face of [[graft.pipeline.Dedup.incrementalJaccardPairs]]'s
+    * batch-vs-corpus mode: state is one timestamp per NEW key, the
+    * standing corpus never enters the state store. */
+  def streamingNewKeys(
+      stream: DataFrame,
+      known: DataFrame,
+      keys: Seq[String],
+      t: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    streamingExactDedup(
+      stream.join(broadcast(known), keys, "left_anti"), keys, t, watermark)
+  }
+
   /** Stream-static enrichment: broadcast-join a static dimension onto
     * a stream. Stream-static joins are STATELESS — every micro-batch
     * joins against the static snapshot, no watermark or state store
