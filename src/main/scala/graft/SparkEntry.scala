@@ -1736,6 +1736,18 @@ object SparkEntry {
         .select(col("vec_id"), col("code_0"), col("code_1"),
           round(col("qerr"), 6).as("qerr"))
         .orderBy("vec_id")),
+    "sim_pq" -> ((s, dir) => {
+      // PQ-ADC search: per-probe m×k lookup tables staged once, every
+      // (probe, corpus) pair costs m element_at lookups; ranked by
+      // asymmetric distance with a deterministic (dist, id) order
+      val probes = embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Vec.pqTopK(embeddings(s, dir), probes, "vec_id", "embedding",
+          "probe_id", m = 2, k = 4, iters = 2, topK = 5)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("adist"), 6).as("adist"))
+        .orderBy("probe_id", "rank")
+    }),
     "embed_dispersion" -> ((s, dir) =>
       Vec.centroidCosines(embeddings(s, dir), "vec_id", "embedding", "label")
         .groupBy("label")
@@ -1894,6 +1906,50 @@ object SparkEntry {
           max(abs(col("v"))).cast("long").as("peak"))
         .orderBy("doc_id", "win")
     }))
+
+  /** DuckDB replay of one PQ subspace's Lloyd chain (shared by the
+    * `embed_pq` and `sim_pq` oracles): slice → lowest-id init → one
+    * 6-dp-rounded update → final assignment keeping the min distance.
+    * Mirrors [[graft.pipeline.Vec.pqTrain]]+`pqEncodeWith` for m=2,
+    * k=4, iters=2 over 64-dim embeddings. */
+  private def PqOracleSub(j: Int): String = {
+    val lo = j * 32 + 1; val hi = (j + 1) * 32
+    s"""x$j AS (
+       |  SELECT vec_id,
+       |    list_transform(list_slice(embedding, $lo, $hi),
+       |      e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0$j AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+       |  FROM (SELECT vec_id, v FROM x$j ORDER BY vec_id LIMIT 4)),
+       |d1$j AS (
+       |  SELECT x$j.vec_id, c0$j.cl,
+       |    list_reduce(list_transform(list_zip(x$j.v, c0$j.v),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+       |  FROM x$j CROSS JOIN c0$j),
+       |a1$j AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+       |    FROM d1$j) WHERE rk = 1),
+       |u$j AS (
+       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS i
+       |  FROM x$j),
+       |m1$j AS (
+       |  SELECT a1$j.cl, u$j.i, round(avg(u$j.e), 6) AS c
+       |  FROM a1$j JOIN u$j USING (vec_id) GROUP BY a1$j.cl, u$j.i),
+       |c1$j AS (SELECT cl, list(c ORDER BY i) AS v FROM m1$j GROUP BY cl),
+       |d2$j AS (
+       |  SELECT x$j.vec_id, c1$j.cl,
+       |    list_reduce(list_transform(list_zip(x$j.v, c1$j.v),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+       |  FROM x$j CROSS JOIN c1$j),
+       |a2$j AS (
+       |  SELECT vec_id, cl, dist FROM (
+       |    SELECT vec_id, cl, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+       |    FROM d2$j) WHERE rk = 1)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash-family-dependent /
@@ -3172,50 +3228,44 @@ object SparkEntry {
     // embed_kmeans (slice → init → one rounded update → assignment
     // keeping the min distance), then codes + error joined on vec_id
     "embed_pq" -> {
-      def sub(j: Int): String = {
-        val lo = j * 32 + 1; val hi = (j + 1) * 32
-        s"""x$j AS (
-           |  SELECT vec_id,
-           |    list_transform(list_slice(embedding, $lo, $hi),
-           |      e -> CAST(e AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |c0$j AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
-           |  FROM (SELECT vec_id, v FROM x$j ORDER BY vec_id LIMIT 4)),
-           |d1$j AS (
-           |  SELECT x$j.vec_id, c0$j.cl,
-           |    list_reduce(list_transform(list_zip(x$j.v, c0$j.v),
-           |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
-           |  FROM x$j CROSS JOIN c0$j),
-           |a1$j AS (
-           |  SELECT vec_id, cl FROM (
-           |    SELECT vec_id, cl,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-           |    FROM d1$j) WHERE rk = 1),
-           |u$j AS (
-           |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS i
-           |  FROM x$j),
-           |m1$j AS (
-           |  SELECT a1$j.cl, u$j.i, round(avg(u$j.e), 6) AS c
-           |  FROM a1$j JOIN u$j USING (vec_id) GROUP BY a1$j.cl, u$j.i),
-           |c1$j AS (SELECT cl, list(c ORDER BY i) AS v FROM m1$j GROUP BY cl),
-           |d2$j AS (
-           |  SELECT x$j.vec_id, c1$j.cl,
-           |    list_reduce(list_transform(list_zip(x$j.v, c1$j.v),
-           |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
-           |  FROM x$j CROSS JOIN c1$j),
-           |a2$j AS (
-           |  SELECT vec_id, cl, dist FROM (
-           |    SELECT vec_id, cl, dist,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-           |    FROM d2$j) WHERE rk = 1)""".stripMargin
-      }
-      s"""WITH ${sub(0)},
-         |${sub(1)}
+      s"""WITH ${PqOracleSub(0)},
+         |${PqOracleSub(1)}
          |SELECT a20.vec_id, a20.cl AS code_0, a21.cl AS code_1,
          |  round(sqrt(a20.dist + a21.dist), 6) AS qerr
          |FROM a20 JOIN a21 USING (vec_id)
          |ORDER BY vec_id""".stripMargin
+    },
+    // same per-subspace chain as embed_pq, then probe LUTs against the
+    // final codebooks and the ADC rank
+    "sim_pq" -> {
+      s"""WITH ${PqOracleSub(0)},
+         |${PqOracleSub(1)},
+         |lut0 AS (
+         |  SELECT p.vec_id AS probe_id, c.cl,
+         |    list_reduce(list_transform(list_zip(p.v, c.v),
+         |      q -> (q[1] - q[2]) * (q[1] - q[2])), (a, b) -> a + b) AS d2
+         |  FROM (SELECT vec_id, v FROM x0 WHERE vec_id < 20) p
+         |  CROSS JOIN c10 c),
+         |lut1 AS (
+         |  SELECT p.vec_id AS probe_id, c.cl,
+         |    list_reduce(list_transform(list_zip(p.v, c.v),
+         |      q -> (q[1] - q[2]) * (q[1] - q[2])), (a, b) -> a + b) AS d2
+         |  FROM (SELECT vec_id, v FROM x1 WHERE vec_id < 20) p
+         |  CROSS JOIN c11 c),
+         |ad AS (
+         |  SELECT l0.probe_id, a20.vec_id, l0.d2 + l1.d2 AS adist
+         |  FROM a20 JOIN a21 USING (vec_id)
+         |  JOIN lut0 l0 ON l0.cl = a20.cl
+         |  JOIN lut1 l1 ON l1.cl = a21.cl AND l1.probe_id = l0.probe_id
+         |  WHERE l0.probe_id <> a20.vec_id)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  round(adist, 6) AS adist
+         |FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adist, vec_id) AS rank
+         |  FROM ad) WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin
     },
     // both Lloyd iterations unrolled; the distance fold is the same
     // left-to-right double sum as the Spark side (list_reduce seeds

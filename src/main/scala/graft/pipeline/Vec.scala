@@ -204,19 +204,31 @@ object Vec {
     * ride as literals, every code and the error computed in a single
     * pass, nothing joined or shuffled. At 100 TB the codes table is
     * m bytes/vector instead of 4·dim — the point of PQ. */
-  def pqEncode(
+  /** Train the per-subspace PQ codebooks of [[pqEncode]] (returned as
+    * driver-side literals — m·k·(dim/m) doubles, kilobytes). */
+  def pqTrain(
       df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
-    require(m >= 1 && k >= 1 && iters >= 1, "pqEncode: m/k/iters >= 1")
+      m: Int, k: Int, iters: Int): Seq[Array[(Int, Array[Double])]] = {
+    require(m >= 1 && k >= 1 && iters >= 1, "pqTrain: m/k/iters >= 1")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"pqEncode: dim $dim not divisible by m $m")
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m $m")
     val sub = dim / m
-    val codebooks = (0 until m).map { j =>
+    (0 until m).map { j =>
       val xj = df.select(col(idCol).as("__id"),
         d(slice(col(vecCol), j * sub + 1, sub)).as("__v"))
       kmeansLoop(xj, k, iters - 1)
     }
+  }
+
+  /** Encode against PRE-TRAINED codebooks: one scan-bound projection
+    * (all codebooks as plan literals). */
+  def pqEncodeWith(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Array[(Int, Array[Double])]]): org.apache.spark.sql.DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head._2.length
     val staged = codebooks.zipWithIndex.foldLeft(
       df.select(col(idCol), d(col(vecCol)).as("__v"))) { case (acc, (cents, j)) =>
       acc.withColumn(s"__m$j",
@@ -227,6 +239,68 @@ object Vec {
         (0 until m).map(j => col(s"__m$j").getField("cid").as(s"code_$j")) :+
         sqrt((0 until m).map(j => col(s"__m$j").getField("dist"))
           .reduce(_ + _)).as("qerr"): _*)
+  }
+
+  def pqEncode(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): org.apache.spark.sql.DataFrame =
+    pqEncodeWith(df, idCol, vecCol, pqTrain(df, idCol, vecCol, m, k, iters))
+
+  /** PQ-ADC approximate top-`topK`: every probe ranks the WHOLE corpus
+    * by asymmetric distance — the probe's exact subvector against each
+    * corpus vector's reproduction value, i.e. `Σⱼ d²(qⱼ, centⱼ[codeⱼ])`.
+    * The per-probe m×k distance lookup tables are staged ONCE per
+    * probe row; each (probe, corpus) pair then costs m `element_at`
+    * lookups instead of a dim-length fold — the ADC trick that makes
+    * PQ search memory-bandwidth-bound. Self-matches excluded when id
+    * columns collide. Deterministic total order (distance, id).
+    *
+    * Scale shape: codes are m small ints per corpus row (the 4·dim →
+    * m compression is what gets scanned); probes + their LUTs
+    * broadcast. The final per-probe rank here is a probe-partitioned
+    * window for oracle parity — swap in [[Similarity.TopKAgg]] (the
+    * bounded-heap partial aggregate, ≤ topK rows per probe per
+    * partition on the shuffle) on a real cluster. */
+  def pqTopK(
+      corpus: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String,
+      m: Int, k: Int, iters: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIdCol != idCol,
+      "pqTopK: probe id column must be named differently from the corpus id")
+    val books = pqTrain(corpus, idCol, vecCol, m, k, iters)
+    val sub = books.head.head._2.length
+    val codes = pqEncodeWith(corpus, idCol, vecCol, books)
+      .select(col(idCol) +: (0 until m).map(j => col(s"code_$j")): _*)
+    val luts = books.zipWithIndex.foldLeft(
+      probes.select(col(probeIdCol), d(col(vecCol)).as("__q"))) {
+      case (acc, (cents, j)) =>
+        val byId = cents.toMap // lut index c+1 must hold centroid c
+        acc.withColumn(s"__lut$j", array((0 until k).map { c =>
+          byId.get(c) match {
+            case Some(cent) => aggregate(
+              zip_with(slice(col("__q"), j * sub + 1, sub),
+                lit(cent), (a, b) => (a - b) * (a - b)),
+              lit(0.0), _ + _)
+            // a cluster dropped during training never appears as a
+            // code, so its slot is never read — placeholder only
+            case None => lit(Double.MaxValue)
+          }
+        }: _*))
+    }.drop("__q")
+    val approx = (0 until m)
+      .map(j => element_at(col(s"__lut$j"), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    codes.crossJoin(broadcast(luts))
+      .filter(col(probeIdCol) =!= col(idCol))
+      .withColumn("__ad", approx)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(probeIdCol))
+          .orderBy(col("__ad"), col(idCol))))
+      .filter(col("rank") <= topK)
+      .select(col(probeIdCol), col("rank"), col(idCol), col("__ad").as("adist"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -237,6 +237,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(_._3 >= 0.0), s"qerr non-negative: $out")
   }
 
+  test("pqTopK: ADC neighbors come from the probe's own cluster") {
+    val mk = (base: Double, i: Int) => Seq(
+      (base + i * 0.1).toFloat, (base - i * 0.1).toFloat,
+      (base + i * 0.2).toFloat, (base).toFloat)
+    val corpus = ((1 to 4).map(i => (i.toLong, mk(0.0, i))) ++
+      (5 to 8).map(i => (i.toLong, mk(50.0, i)))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id").isin(1L, 5L))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val out = Vec.pqTopK(corpus, probes, "vec_id", "embedding", "probe_id",
+        m = 2, k = 2, iters = 2, topK = 3)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+    assert(out.length == 6, s"got ${out.toSeq}")
+    assert(out.forall { case (p, v) => (p <= 4) == (v <= 4) && p != v },
+      s"neighbors must stay in-cluster, self excluded: ${out.toSeq}")
+  }
+
   test("kmeansCentroids: ties assign to the lowest cluster id") {
     // both points equidistant from both (identical) init centroids →
     // everything lands in cluster 0; cluster 1 is dropped, not null
