@@ -251,6 +251,21 @@ class PlanShapeSpec extends SparkSpec {
       s"within-cell join must be an equi-join on cell:\n$p")
   }
 
+  test("pq encoding is one scan-bound projection: no shuffle but the oracle sort") {
+    // all m codebooks are plan literals; codes + reconstruction error
+    // must come out of a single pass with no exchange of the corpus
+    val p = plan("embed_pq")
+    assert(shuffles(p) <= 1, s"PQ encoding must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"PQ encoding must not join:\n$p")
+  }
+
+  test("audio analysis: decoded samples aggregate with one keyed exchange") {
+    val p = plan("mm_audio_stats")
+    assert(shuffles(p) <= 2,
+      s"posexplode + (doc, window) agg must share one exchange (+ sort):\n$p")
+    assert(!p.contains("Join"), s"no join in the sample path:\n$p")
+  }
+
   test("kmeans: centroids ride as literals; only catalog-sized joins, no cartesian") {
     // assignment must be a scan-bound map (centroids inlined by the
     // driver loop), the count join broadcast, and nothing cross-joined
