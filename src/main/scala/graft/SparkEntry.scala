@@ -1598,6 +1598,12 @@ object SparkEntry {
       Curation.deterministicSample(documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    "cur_weighted_sample" -> ((s, dir) =>
+      // derandomized Efraimidis–Spirakis: length-proportional sample
+      // of 100 docs, reproducible on any engine/layout
+      Curation.weightedSample(documents(s, dir), "doc_id", "n_chars", 100)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
     "cur_source_report" -> ((s, dir) =>
       // per-source curation telemetry: the go/no-go dashboard a corpus
       // build reads before mixing sources
@@ -3857,6 +3863,18 @@ object SparkEntry {
     "cur_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+    "cur_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) / 4294967296.0,
+        |      1.0 / n_chars) AS pri
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY pri DESC, doc_id) AS rk
+        |  FROM p) WHERE rk <= 100
         |ORDER BY doc_id""".stripMargin,
     "cur_source_report" ->
       """WITH t AS (

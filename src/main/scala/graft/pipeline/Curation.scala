@@ -213,6 +213,31 @@ object Curation {
     * every run and every engine. `fraction = 1` keeps every row
     * (including the ~1-in-4.3B keys whose md5 prefix is `ffffffff`);
     * null keys hash to null and are dropped at any fraction < 1. */
+  /** Efraimidis–Spirakis (2006) weighted sampling WITHOUT
+    * replacement, derandomized: each row's uniform draw is its
+    * md5-position (stable across runs/engines/layouts, like
+    * [[deterministicSample]]), its priority is `u^(1/w)`, and the
+    * sample is the top-`k` priorities — provably a weight-proportional
+    * sample for genuinely uniform `u`. Rows with non-positive weight
+    * are excluded. Ties (and any cross-engine pow ulp drift) break on
+    * the key, so the kept set is reproducible.
+    *
+    * Scale shape: a pure per-row projection + `TakeOrderedAndProject`
+    * (each partition keeps k rows; no global sort, no shuffle of the
+    * corpus). The weighted analogue of the md5-threshold splits. */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "weightedSample: k must be >= 1")
+    df.filter(col(weightCol) > 0)
+      .withColumn("__pri",
+        pow(conv(md5Position(col(keyCol)), 16, 10).cast("double")
+            / 4294967296.0,
+          lit(1.0) / col(weightCol)))
+      .orderBy(col("__pri").desc, col(keyCol))
+      .limit(k)
+      .drop("__pri")
+  }
+
   def deterministicSample(
       df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1,

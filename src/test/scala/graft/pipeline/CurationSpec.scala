@@ -284,4 +284,26 @@ class CurationSpec extends SparkSpec {
       docs.filter(col("doc_id") < 5), "source", "doc_id", 10)
     assert(small.count() == 5)
   }
+
+  test("weightedSample: heavy weights dominate, layout-stable, top-k plan") {
+    // priorities u^(1/w): weight-10000 rows sit near 1, weight-1 rows
+    // are uniform — the top 20 of 50+50 must be (almost) all heavy
+    val docs = ((0L until 50L).map((_, 1L)) ++
+      (100L until 150L).map((_, 10000L))).toDF("doc_id", "w")
+    val kept = Curation.weightedSample(docs, "doc_id", "w", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 20)
+    assert(kept.count(_ >= 100L) >= 18, s"heavy rows must dominate: $kept")
+    val again = Curation.weightedSample(docs.repartition(7), "doc_id", "w", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept, "kept set must be layout-invariant")
+    assert(Curation.weightedSample(docs, "doc_id", "w", 20)
+      .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort")
+    // non-positive weights excluded, never poisoning pow()
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") === 0L, 0L).otherwise(col("w")))
+    assert(!Curation.weightedSample(withZero, "doc_id", "w", 100)
+      .select("doc_id").as[Long].collect().contains(0L))
+  }
 }
