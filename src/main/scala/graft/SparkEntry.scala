@@ -1878,12 +1878,18 @@ object SparkEntry {
         }
         .mapPartitions { it =>
           it.grouped(64).flatMap { batch =>
-            batch.map(_._1).zip(
-              Multimodal.pHashBatch(batch.map(_._2)).map(_.longValue))
+            batch.map(_._1).zip(Multimodal.pHashBatch(batch.map(_._2)))
+              // undecodable payloads hash to null — skip, don't NPE
+              .collect { case (id, h) if h != null => (id, h.longValue) }
           }
         }
         .toDF("doc_id", "phash")
-      Dedup.hammingNearDupPairs(hashed, "doc_id", "phash", maxHamming = 10)
+      // maxHamming 6: planted variants differ by ≤ ~4 bits (brightness
+      // is DC-only; two one-pixel edits); iid cross-group hashes have
+      // P(≤6 of 63) ≈ 1e-11 — stray-pair expectation stays ≪ 1 even
+      // at millions of documents (10 would be ~4e-8/pair: ~0.5
+      // EXPECTED strays at a 5000-doc corpus — a coin-flip oracle)
+      Dedup.hammingNearDupPairs(hashed, "doc_id", "phash", maxHamming = 6)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
@@ -3134,10 +3140,14 @@ object SparkEntry {
         |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |      AS cos_raw
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99
+        |-- filter on the RAW cosine (the engine thresholds unrounded;
+        |-- rounding first would admit [0.9899995, 0.99) boundary pairs)
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM p
+        |WHERE cos_raw >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3222,13 +3232,14 @@ object SparkEntry {
         |    FROM d2) WHERE rk = 1),
         |p AS (
         |  SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
-        |    round(list_dot_product(xa.v, xb.v) /
+        |    list_dot_product(xa.v, xb.v) /
         |      (sqrt(list_dot_product(xa.v, xa.v)) *
-        |       sqrt(list_dot_product(xb.v, xb.v))), 6) AS cosine
+        |       sqrt(list_dot_product(xb.v, xb.v))) AS cos_raw
         |  FROM a2 aa JOIN a2 ab ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
         |  JOIN x xa ON xa.vec_id = aa.vec_id
         |  JOIN x xb ON xb.vec_id = ab.vec_id)
-        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM p
+        |WHERE cos_raw >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
     // per-subspace replay of the same bit-stable Lloyd chain as
     // embed_kmeans (slice → init → one rounded update → assignment

@@ -208,11 +208,6 @@ object Curation {
       .drop("__rn")
   }
 
-  /** The deterministic counterpart of `df.sample(fraction)`: keep rows
-    * whose md5-derived position falls below `fraction`. Same row set on
-    * every run and every engine. `fraction = 1` keeps every row
-    * (including the ~1-in-4.3B keys whose md5 prefix is `ffffffff`);
-    * null keys hash to null and are dropped at any fraction < 1. */
   /** Efraimidis–Spirakis (2006) weighted sampling WITHOUT
     * replacement, derandomized: each row's uniform draw is its
     * md5-position (stable across runs/engines/layouts, like
@@ -238,6 +233,11 @@ object Curation {
       .drop("__pri")
   }
 
+  /** The deterministic counterpart of `df.sample(fraction)`: keep rows
+    * whose md5-derived position falls below `fraction`. Same row set on
+    * every run and every engine. `fraction = 1` keeps every row
+    * (including the ~1-in-4.3B keys whose md5 prefix is `ffffffff`);
+    * null keys hash to null and are dropped at any fraction < 1. */
   def deterministicSample(
       df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1,

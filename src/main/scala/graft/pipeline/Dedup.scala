@@ -373,7 +373,14 @@ object Dedup {
     * path and the perceptual-image-hash path
     * ([[Multimodal.pHash64]]); chunk count scales with the requested
     * distance (a fixed split would silently lose recall above its
-    * design distance). */
+    * design distance).
+    *
+    * Two operating caveats: (1) recall is exact EXCEPT for band
+    * buckets larger than `maxBucket`, which are dropped as floods
+    * (identical-payload storms belong to exact dedup first); (2) band
+    * selectivity is `64/(maxHamming+1)` bits, so large distances on
+    * iid hashes prune weakly — beyond ~8 prefer a multi-index scheme
+    * or dedup exact duplicates first. */
   def hammingNearDupPairs(
       hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, maxBucket: Int = 10000): DataFrame = {

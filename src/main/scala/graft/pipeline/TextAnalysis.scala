@@ -381,31 +381,23 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(FpPrime)), lit(FpPrime)))
 
-  /** Per-document cross-entropy under a character-bigram language
-    * model trained on the corpus itself — the CCNet-style (Wenzek
-    * 2020) perplexity quality signal without an external LM: fluent
-    * in-distribution text scores low, gibberish/boilerplate scores
-    * high. Model: add-one-smoothed `p(c₂|c₁) = (n(c₁c₂)+1) /
-    * (n(c₁·)+V)` over [[charNgrams]]-normalized bigrams (case-folded,
-    * letter-only, space-padded), `V` = distinct successor characters.
-    * Output per doc: bigram count and mean `-log₂ p` in bits.
-    *
-    * Scale shape: the model is two corpus-level aggregates whose
-    * results are CHARACTER-VOCABULARY sized (≲ a few thousand rows in
-    * any script mix), broadcast back onto the exploded bigram stream;
-    * scoring is then one doc-keyed hash aggregate with map-side
-    * combine. Two corpus scans, zero corpus-sized shuffles — the same
-    * shape at 100 TB, where the model stays kilobytes. */
   /** Train the char-bigram LM of [[bigramCrossEntropy]] on `docs` as
     * THREE reusable model tables (all vocabulary-sized): per-bigram
     * bits, per-prefix-char totals, and the one-row successor-vocab
     * size. Persist/broadcast these to score OTHER corpora — the real
     * CCNet setup (LM trained on a trusted corpus scores the crawl). */
   def bigramLm(docs: org.apache.spark.sql.DataFrame, textCol: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val bi = docs
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bigramModelFrom(docs
       .select(explode(charNgrams(col(textCol), 2)).as("__g"))
-      .groupBy(col("__g")).agg(count(lit(1)).as("__nb"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nb")))
+
+  /** Add-one-smoothed model assembly from a (bigram, count) table —
+    * the ONE definition of the smoothing formula, shared by the
+    * self-trained and transfer paths (whose oracle parity depends on
+    * them never diverging). */
+  private def bigramModelFrom(bi: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val pre = bi
       .groupBy(substring(col("__g"), 1, 1).as("__c1"))
       .agg(sum(col("__nb")).as("__np"))
@@ -455,6 +447,21 @@ object TextAnalysis {
         (sum(col("__k") * col("__bits2")) / sum(col("__k"))).as("xent_bits"))
   }
 
+  /** Per-document cross-entropy under a character-bigram language
+    * model trained on the corpus itself — the CCNet-style (Wenzek
+    * 2020) perplexity quality signal without an external LM: fluent
+    * in-distribution text scores low, gibberish/boilerplate scores
+    * high. Model: add-one-smoothed `p(c₂|c₁) = (n(c₁c₂)+1) /
+    * (n(c₁·)+V)` over [[charNgrams]]-normalized bigrams (case-folded,
+    * letter-only, space-padded), `V` = distinct successor characters.
+    * Output per doc: bigram count and mean `-log₂ p` in bits.
+    *
+    * Scale shape: the model is two corpus-level aggregates whose
+    * results are CHARACTER-VOCABULARY sized (≲ a few thousand rows in
+    * any script mix), broadcast back onto the exploded bigram stream;
+    * scoring is then one doc-keyed hash aggregate with map-side
+    * combine. Two corpus scans, zero corpus-sized shuffles — the same
+    * shape at 100 TB, where the model stays kilobytes. */
   def bigramCrossEntropy(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
@@ -466,19 +473,8 @@ object TextAnalysis {
       .select(col(idCol), explode(charNgrams(col(textCol), 2)).as("__g"))
       .groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__k"))
-    val bi = docGrams.groupBy(col("__g")).agg(sum(col("__k")).as("__nb"))
-    val pre = bi
-      .groupBy(substring(col("__g"), 1, 1).as("__c1"))
-      .agg(sum(col("__nb")).as("__np"))
-    val vocab = bi.agg(
-      countDistinct(substring(col("__g"), 2, 1)).as("__v"))
-    val model = bi
-      .withColumn("__c1", substring(col("__g"), 1, 1))
-      .join(broadcast(pre), "__c1")
-      .crossJoin(broadcast(vocab))
-      .select(col("__g"),
-        (-log(2.0, (col("__nb") + 1L).cast("double") /
-          (col("__np") + col("__v")).cast("double"))).as("__bits"))
+    val (model, _, _) = bigramModelFrom(
+      docGrams.groupBy(col("__g")).agg(sum(col("__k")).as("__nb")))
     docGrams.join(broadcast(model), "__g")
       .groupBy(col(idCol))
       .agg(sum(col("__k")).as("n_bigrams"),
@@ -529,7 +525,7 @@ object TextAnalysis {
         col("n"))
       .cache()
     var vocab = vocab0
-    val out = (1 to merges).map { rank =>
+    val out = Iterator.from(1).map { rank =>
       val syms = split(trim(col("s")), "  ")
       val top = vocab
         .select(explode(zip_with(syms,
@@ -543,13 +539,15 @@ object TextAnalysis {
         .orderBy(col("c").desc, col("lft"), col("rgt"))
         .limit(1)
         .as[(String, String, Long)]
-        .head()
-      val (l, r, c) = top
-      vocab = vocab.withColumn("s",
-        call_function("replace", col("s"),
-          lit(s" $l  $r "), lit(s" $l$r ")))
-      (rank.toLong, l, r, c)
-    }
+        .collect()
+        .headOption // vocab fully collapsed → no pairs left
+      top.map { case (l, r, c) =>
+        vocab = vocab.withColumn("s",
+          call_function("replace", col("s"),
+            lit(s" $l  $r "), lit(s" $l$r ")))
+        (rank.toLong, l, r, c)
+      }
+    }.take(merges).takeWhile(_.isDefined).flatten.toSeq
     vocab0.unpersist()
     out.toDF("merge_rank", "lft", "rgt", "n")
   }
@@ -592,9 +590,13 @@ object TextAnalysis {
     require(chunkSize >= 1 && stride >= 1, "chunkTokens: size/stride >= 1")
     val t = tokens(col(textCol))
     val nt = size(t)
-    val nChunks = when(nt === 0, lit(0)).otherwise(
+    // second bound: a chunk must START inside the document (matters
+    // when stride > chunkSize — gapped sampling windows — where the
+    // cover-the-tail count would otherwise mint empty trailing chunks)
+    val nChunks = when(nt === 0, lit(0)).otherwise(least(
       (floor((greatest(nt - chunkSize, lit(0)) + (stride - 1)).cast("double")
-        / stride) + 1).cast("int"))
+        / stride) + 1).cast("int"),
+      (floor((nt - 1).cast("double") / stride) + 1).cast("int")))
     val win = slice(col("__tk"), col("chunk_id") * stride + 1, lit(chunkSize))
     docs
       .select(col(idCol), t.as("__tk"), nChunks.as("__nc"))

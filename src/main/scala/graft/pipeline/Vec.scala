@@ -96,26 +96,6 @@ object Vec {
       .groupBy(col(labelCol), col("i"))
       .agg(avg("v").as("c"), count(lit(1)).as("n"))
 
-  /** Distributed Lloyd k-means over an embedding column, returning the
-    * final per-cluster centroid table `(cluster, dim, c, n)` — one row
-    * per (cluster, dimension) with the member count. Fully
-    * deterministic (cross-engine reproducible, no RNG):
-    *  - init: the `k` vectors with the LOWEST ids, cluster index =
-    *    rank by id;
-    *  - assignment: exact squared-L2 (left-to-right fold, so the
-    *    doubles are bit-identical across engines), ties to the lowest
-    *    cluster id;
-    *  - update: per-dimension mean ROUNDED to 6 dp before the next
-    *    assignment (kills cross-engine ulp drift in the averages);
-    *    clusters that lose all members are dropped.
-    *
-    * Scale shape: the classic k-means-on-Spark loop — per iteration
-    * one distributed assignment pass (centroids inlined as literals,
-    * so the pass is a scan-bound map) + one (cluster, dim)-keyed mean
-    * with map-side combine; only the k×dim centroid table ever reaches
-    * the driver. The FINAL iteration's aggregate is returned as the
-    * (un-collected) result DataFrame. At 100 TB each iteration is one
-    * scan + one tiny shuffle; k×dim stays kilobytes. */
   private def kmeansPrep(df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
@@ -161,6 +141,26 @@ object Vec {
     cents
   }
 
+  /** Distributed Lloyd k-means over an embedding column, returning the
+    * final per-cluster centroid table `(cluster, dim, c, n)` — one row
+    * per (cluster, dimension) with the member count. Fully
+    * deterministic (cross-engine reproducible, no RNG):
+    *  - init: the `k` vectors with the LOWEST ids, cluster index =
+    *    rank by id;
+    *  - assignment: exact squared-L2 (left-to-right fold, so the
+    *    doubles are bit-identical across engines), ties to the lowest
+    *    cluster id;
+    *  - update: per-dimension mean ROUNDED to 6 dp before the next
+    *    assignment (kills cross-engine ulp drift in the averages);
+    *    clusters that lose all members are dropped.
+    *
+    * Scale shape: the classic k-means-on-Spark loop — per iteration
+    * one distributed assignment pass (centroids inlined as literals,
+    * so the pass is a scan-bound map) + one (cluster, dim)-keyed mean
+    * with map-side combine; only the k×dim centroid table ever reaches
+    * the driver. The FINAL iteration's aggregate is returned as the
+    * (un-collected) result DataFrame. At 100 TB each iteration is one
+    * scan + one tiny shuffle; k×dim stays kilobytes. */
   def kmeansCentroids(
       df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String, k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
@@ -188,22 +188,6 @@ object Vec {
       .select(col("__id").as(idCol), col("__v"), col("__cl").as("cell"))
   }
 
-  /** Product quantization (Jégou et al. 2011): the vector splits into
-    * `m` equal subspaces, each k-means'd independently with the same
-    * bit-stable Lloyd loop as [[kmeansCentroids]]; a vector's code is
-    * its nearest-centroid id per subspace. `k^m` reproduction values
-    * from `m·k` centroids — the codebook scale-out trick behind
-    * IVF-PQ indexes. Output: (`idCol`, `code_0..code_{m−1}`,
-    * `qerr` = √Σ subspace squared distances, the reconstruction
-    * error). Deterministic end to end, so a SQL replay matches
-    * exactly.
-    *
-    * Scale shape: training = per-subspace driver loops (corpus-sized
-    * scans, tiny k × dim/m collected means); ENCODING is ONE
-    * scan-bound projection — all m codebooks
-    * ride as literals, every code and the error computed in a single
-    * pass, nothing joined or shuffled. At 100 TB the codes table is
-    * m bytes/vector instead of 4·dim — the point of PQ. */
   /** Train the per-subspace PQ codebooks of [[pqEncode]] (returned as
     * driver-side literals — m·k·(dim/m) doubles, kilobytes). */
   def pqTrain(
@@ -241,6 +225,22 @@ object Vec {
           .reduce(_ + _)).as("qerr"): _*)
   }
 
+  /** Product quantization (Jégou et al. 2011): the vector splits into
+    * `m` equal subspaces, each k-means'd independently with the same
+    * bit-stable Lloyd loop as [[kmeansCentroids]]; a vector's code is
+    * its nearest-centroid id per subspace. `k^m` reproduction values
+    * from `m·k` centroids — the codebook scale-out trick behind
+    * IVF-PQ indexes. Output: (`idCol`, `code_0..code_{m−1}`,
+    * `qerr` = √Σ subspace squared distances, the reconstruction
+    * error). Deterministic end to end, so a SQL replay matches
+    * exactly.
+    *
+    * Scale shape: training = per-subspace driver loops (corpus-sized
+    * scans, tiny k × dim/m collected means); ENCODING is ONE
+    * scan-bound projection — all m codebooks
+    * ride as literals, every code and the error computed in a single
+    * pass, nothing joined or shuffled. At 100 TB the codes table is
+    * m bytes/vector instead of 4·dim — the point of PQ. */
   def pqEncode(
       df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String,

@@ -148,7 +148,7 @@ class MultimodalSpec extends SparkSpec {
       (id, Multimodal.pHash64(Multimodal.makeNoisePng(
         id / 4, (id % 4).toInt * 8, (id % 4).toInt)).longValue)
     }.toDF("doc_id", "phash")
-    val got = Dedup.hammingNearDupPairs(hashed, "doc_id", "phash", 10)
+    val got = Dedup.hammingNearDupPairs(hashed, "doc_id", "phash", 6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val want = (for {
       a <- 0L until 32L; b <- (a + 1) until 32L; if a / 4 == b / 4

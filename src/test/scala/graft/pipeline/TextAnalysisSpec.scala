@@ -269,6 +269,15 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "ab", "</w>", 4L)), s"got $out")
   }
 
+  test("bpeTrain stops early when the vocabulary fully collapses") {
+    // corpus "a": round 1 merges (a, </w>); the lone symbol "a</w>"
+    // has no pairs left, so rounds 2-3 must yield nothing, not throw
+    val out = TextAnalysis.bpeTrain(
+        Seq((1L, "a")).toDF("doc_id", "text"), "text", merges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", "</w>", 1L)), s"got $out")
+  }
+
   test("qualityLogit: bounded in (0,1), prose beats punctuation noise") {
     val df = Seq(
       (1L, "the cat sat on a mat and the dog ran by the tree"),
@@ -306,6 +315,20 @@ class TextAnalysisSpec extends SparkSpec {
       assert(chunks.last._4.endsWith("w" + nt), s"nt=$nt tail uncovered: $chunks")
       val ids = chunks.map(_._2).sorted
       assert(ids == (0 until chunks.length), s"nt=$nt ids not dense: $ids")
+    }
+  }
+
+  test("chunkTokens with stride > size (gapped sampling) never emits empty chunks") {
+    for (nt <- 1 to 12) {
+      val text = (1 to nt).map("w" + _).mkString(" ")
+      val chunks = TextAnalysis.chunkTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 3, 5)
+        .as[(Long, Int, Long, String)].collect().toSeq
+      assert(chunks.forall(_._3 > 0), s"nt=$nt empty chunk: $chunks")
+      assert(chunks.map(_._2).sorted == (0 until chunks.length),
+        s"nt=$nt ids not dense: $chunks")
+      // every chunk starts inside the doc: chunk i covers from 5i
+      assert(chunks.forall(c => c._2 * 5 < nt), s"nt=$nt phantom chunk: $chunks")
     }
   }
 }
