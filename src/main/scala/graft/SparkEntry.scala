@@ -907,6 +907,36 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketch.kmvDistinct(events(s, dir), "user_id", 64, Seq("event_type"))
         .orderBy("event_type")),
+    "sketch_cms" -> ((s, dir) => {
+      // count-min sketch of per-user event counts (4 rows x 256 cells
+      // — 1024 cells no matter the corpus size), point-queried for
+      // every user and joined to the exact count: the estimate is an
+      // upper bound, exact wherever no cell collides
+      val ev = events(s, dir)
+      val cells = Sketch.countMinCells(ev, "user_id", d = 4, w = 256)
+      Sketch.countMinEstimate(
+          cells, ev.select("user_id").distinct(), "user_id", d = 4, w = 256)
+        .join(ev.groupBy("user_id").agg(count(lit(1)).as("true_n")),
+          "user_id")
+        .select(col("user_id"), col("cms_est"), col("true_n"))
+        .orderBy("user_id")
+    }),
+    "layout_zorder" -> ((s, dir) => {
+      // 8-bit x/y interleaved to a 16-bit Morton z; the top 6 bits
+      // tile the plane into 64 "files" — each tile's extents show
+      // BOTH dimensions stay tight, the property that makes parquet
+      // footer pruning work on either predicate after a z-order write
+      val ev = events(s, dir)
+      val x = pmod(col("user_id"), lit(256L))
+      val y = pmod(col("event_id"), lit(256L))
+      ev.select(graft.pipeline.Layout.zValue(x, y, 8).as("__z"),
+          x.as("__x"), y.as("__y"))
+        .groupBy(shiftright(col("__z"), 10).as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+          min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+        .orderBy("tile")
+    }),
     "ts_ewma" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.ewma(
           events(s, dir), keys = Seq("user_id"), t = "ts", v = "value",
@@ -1474,6 +1504,15 @@ object SparkEntry {
       // oracle replays the identical double-space replace semantics
       TextAnalysis.bpeTrain(documents(s, dir), "text", merges = 6)
         .orderBy("merge_rank")),
+    "text_bpe_encode" -> ((s, dir) => {
+      // tokenizer inference: the 6 trained merges ride the plan as
+      // literal replace calls — encode is a scan-bound map + one
+      // doc-keyed count aggregate
+      val docs = documents(s, dir)
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 6)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
     "text_quality_clf" -> ((s, dir) =>
       // linear-model scoring at scale: the weights ride as literals in
       // the plan — a pure scan-bound map, the same shape a trained
@@ -2371,6 +2410,35 @@ object SparkEntry {
         |       ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
         |    AS est_distinct
         |FROM g ORDER BY event_type""".stripMargin,
+    // rebuild the identical d=4 x w=256 sketch from the same
+    // md5-60-bit hash family, then min over rows per key
+    "sketch_cms" ->
+      """WITH pos AS (
+        |  SELECT user_id, i.r AS row,
+        |    CAST(concat('0x', substring(md5(
+        |        CAST(user_id AS VARCHAR) || '|' || CAST(i.r AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 256 AS pos
+        |  FROM events, LATERAL (SELECT unnest(range(0, 4)) AS r) i),
+        |cells AS (SELECT row, pos, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        |keypos AS (SELECT DISTINCT user_id, row, pos FROM pos),
+        |est AS (
+        |  SELECT user_id, min(cnt) AS cms_est
+        |  FROM keypos JOIN cells USING (row, pos) GROUP BY user_id),
+        |exact AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
+        |SELECT user_id, cms_est, true_n
+        |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+    // replay the 8-bit Morton interleave with plain shift/AND ops
+    "layout_zorder" -> {
+      val terms = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+         |z AS (SELECT x, y, $terms AS z FROM b)
+         |SELECT z >> 10 AS tile, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY tile""".stripMargin
+    },
     "ts_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events
@@ -3498,6 +3566,56 @@ object SparkEntry {
          |z AS (SELECT 1)
          |$unions
          |ORDER BY merge_rank""".stripMargin
+    },
+    // replays text_bpe_train's 6 merge rounds, then applies them to
+    // every word with the identical double-space replace
+    "text_bpe_encode" -> {
+      def round(r: Int): String = {
+        val prev = s"v${r - 1}"
+        s"""p$r AS (
+           |  SELECT l[i] AS lft, l[i + 1] AS rgt, sum(n) AS c
+           |  FROM (SELECT string_split(trim(s, ' '), '  ') AS l, n FROM $prev) t,
+           |       LATERAL (SELECT unnest(range(1, len(t.l))) AS i)
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT lft, rgt, c FROM p$r ORDER BY c DESC, lft, rgt LIMIT 1),
+           |v$r AS (
+           |  SELECT replace(s, ' ' || lft || '  ' || rgt || ' ',
+           |                 ' ' || lft || rgt || ' ') AS s, n
+           |  FROM $prev CROSS JOIN m$r),""".stripMargin
+      }
+      def enc(r: Int): String =
+        s"""d$r AS (
+           |  SELECT doc_id, replace(s, ' ' || lft || '  ' || rgt || ' ',
+           |                 ' ' || lft || rgt || ' ') AS s
+           |  FROM d${r - 1} CROSS JOIN m$r),""".stripMargin
+      val rounds = (1 to 6).map(round).mkString("\n")
+      val encodes = (1 to 6).map(enc).mkString("\n")
+      s"""WITH w AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |v0 AS (
+         |  SELECT '  ' || array_to_string(
+         |      list_append(regexp_extract_all(word, '.'), '</w>'), '  ')
+         |      || '  ' AS s,
+         |    count(*) AS n
+         |  FROM w WHERE word <> '' GROUP BY 1),
+         |$rounds
+         |d0 AS (
+         |  SELECT doc_id, '  ' || array_to_string(
+         |      list_append(regexp_extract_all(word, '.'), '</w>'), '  ')
+         |      || '  ' AS s
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |    FROM documents WHERE len(trim(text)) > 0)
+         |  WHERE word <> ''),
+         |$encodes
+         |z AS (SELECT 1)
+         |SELECT doc_id,
+         |  CAST(sum(len(string_split_regex(trim(s, ' '), '\\s+'))) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM d6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // same feature definitions as text_quality's CTEs; fixed logistic
     // weights [-1, .35, 2, -4, .5] over

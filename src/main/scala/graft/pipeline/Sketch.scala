@@ -130,4 +130,53 @@ object Sketch {
     val (n, est) = kmvEstimate(col("__kmv"), k)
     sk.select(groupCols.map(col) :+ n :+ est: _*)
   }
+
+  /** Row-`i` cell position of a key in a `w`-wide count–min sketch:
+    * `hash60(key || '|' || i) mod w` — d independent hash rows from
+    * the one cross-engine [[hash60]] family, salt in the payload. */
+  private def cmsPos(key: Column, row: Int, w: Int): Column =
+    pmod(hash60(concat(key.cast("string"), lit("|"), lit(row))),
+      lit(w.toLong)).cast("int")
+
+  /** Count–min sketch (Cormode & Muthukrishnan 2005) of the key
+    * frequencies in `df`: `d` hash rows × `w` cells, each cell the
+    * count of keys hashing into it. Returns the cell table
+    * `(row, pos, cnt)` — AT MOST `d·w` rows regardless of data size.
+    * Deterministic: positions come from [[hash60]], so any SQL engine
+    * rebuilds the identical sketch.
+    *
+    * Scale shape: one projection exploding each input row into its
+    * `d` (row, pos) cells + one hash aggregate with map-side combine;
+    * the shuffle carries ≤ `d·w` cells per partition no matter the
+    * input size. The classic pre-aggregation for heavy-hitter /
+    * frequency queries over streams too large to count exactly. */
+  def countMinCells(
+      df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1, "countMinCells: d and w must be >= 1")
+    df.select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"),
+          cmsPos(col(keyCol), i, w).as("pos"))): _*)).as("__c"))
+      .groupBy(col("__c.row").as("row"), col("__c.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: for each key in `keys`, the estimate is
+    * `min` over the `d` rows of that key's cell count — an upper
+    * bound on the true frequency (CMS never underestimates; the
+    * one-sided error is the property the spec locks). `cells`
+    * broadcasts (≤ `d·w` rows), so estimation is a scan-bound
+    * broadcast join + per-key min — no corpus-sized shuffle. */
+  def countMinEstimate(
+      cells: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1, "countMinEstimate: d and w must be >= 1")
+    keys
+      .select(col(keyCol), explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"),
+          cmsPos(col(keyCol), i, w).as("pos"))): _*)).as("__c"))
+      .join(broadcast(cells),
+        col("__c.row") === cells("row") && col("__c.pos") === cells("pos"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
 }

@@ -552,6 +552,46 @@ object TextAnalysis {
     out.toDF("merge_rank", "lft", "rgt", "n")
   }
 
+  /** Apply a trained [[bpeTrain]] merge table to ENCODE documents —
+    * the inference half of the tokenizer: each whitespace word
+    * (case-folded, `</w>`-terminated) is split to characters and the
+    * merges replay in rank order with the identical double-space
+    * `replace` semantics as training, so train→encode round-trips
+    * exactly. Output per doc: total BPE token count and word count.
+    *
+    * Scale shape: the merge table collects to the driver (model-sized
+    * — K rows) and rides in the plan as a chain of K literal
+    * `replace` calls, so encoding is a scan-bound codegen'd map over
+    * the exploded words plus ONE doc-keyed count aggregate (map-side
+    * combined). Nothing corpus-sized is joined or shuffled beyond
+    * that single aggregate — the shape a 100 TB tokenization pass
+    * needs. */
+  def bpeEncode(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      mergesDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // model-sized collect: the trained merge pairs, in rank order
+    val merges = mergesDf.orderBy("merge_rank")
+      .select(col("lft"), col("rgt")).as[(String, String)].collect()
+    val s0 = concat(lit("  "),
+      array_join(
+        concat(graft.functions.charNgrams(col("__w"), 1),
+          array(lit("</w>"))), "  "),
+      lit("  "))
+    val enc = merges.foldLeft(s0) { case (s, (l, r)) =>
+      call_function("replace", s, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col(idCol), size(split(trim(enc), "\\s+")).as("__k"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** fastText-style linear quality classifier: a logistic score over
     * the interpretable per-document features (`σ(w·f)` with `f =
     * [1, ln(1+n_tokens), stopword_ratio, punct_ratio,

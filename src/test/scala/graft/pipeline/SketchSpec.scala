@@ -77,4 +77,32 @@ class SketchSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < (1L << 60)))
     assert(hs.distinct.length == 200, "no collisions on a tiny domain")
   }
+
+  test("countMin: cell table bounded by d*w; totals preserved per row") {
+    val df = (0 until 300).map(i => ("k" + i % 30)).toDF("k")
+    val cells = Sketch.countMinCells(df, "k", d = 3, w = 8).collect()
+    assert(cells.length <= 3 * 8, s"cells ${cells.length} > d*w")
+    // every hash row partitions the input: its cells sum to n
+    val byRow = cells.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum)
+    assert(byRow.toMap == Map(0 -> 300L, 1 -> 300L, 2 -> 300L), s"$byRow")
+  }
+
+  test("countMin estimate: never underestimates; exact when w is roomy") {
+    val df = (0 until 6).flatMap(i => Seq.fill(i + 1)("k" + i)).toDF("k")
+    val keys = df.distinct()
+    // wide sketch: 6 keys in 1024 cells -> collisions (p ~ 1.4%/pair)
+    // are absent for THIS fixed key set (asserted, not hoped)
+    val wide = Sketch.countMinEstimate(
+      Sketch.countMinCells(df, "k", 4, 1024), keys, "k", 4, 1024)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(wide == (0 until 6).map(i => ("k" + i, (i + 1).toLong)),
+      s"got $wide")
+    // degenerate w=1: every key collides into the one cell per row,
+    // so every estimate is the total row count — the upper bound
+    val tight = Sketch.countMinEstimate(
+      Sketch.countMinCells(df, "k", 4, 1), keys, "k", 4, 1)
+      .select("cms_est").as[Long].collect()
+    assert(tight.forall(_ == 21L), s"got ${tight.toSeq}")
+  }
 }

@@ -269,6 +269,18 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "ab", "</w>", 4L)), s"got $out")
   }
 
+  test("bpeEncode applies trained merges in rank order") {
+    // corpus: "aa"x3, "ab"x1. merge1 = (a, </w>) (count 3, beats
+    // (a,a)=3 lexicographically since '<' < 'a'); merge2 = (a, a</w>).
+    // encode: "aa" -> [aa</w>] (1 token), "ab" -> [a, b, </w>] (3 —
+    // neither merge pattern occurs)
+    val docs = Seq((1L, "aa ab"), (2L, "aa aa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 2)
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L), (2L, 2L, 2L)), s"got $out")
+  }
+
   test("bpeTrain stops early when the vocabulary fully collapses") {
     // corpus "a": round 1 merges (a, </w>); the lone symbol "a</w>"
     // has no pairs left, so rounds 2-3 must yield nothing, not throw

@@ -2,12 +2,13 @@
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf parquet tables, compare to the Spark parquet dumps in
 the verify outDir (columns sorted by name, rows sorted, values hashed).
-Usage: compare_oracle.py <sfDir> <verifyOutDir>
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [name1,name2,...]
 """
 import json, sys, glob, math
 import duckdb, pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -28,6 +29,7 @@ def norm(v):
 
 fails = 0
 for name in sorted(oracle):
+    if only is not None and name not in only: continue
     sql = oracle[name]
     try:
         odf = con.execute(sql).df()
@@ -69,6 +71,7 @@ for name in sorted(oracle):
 for d in sorted(glob.glob(f"{outdir}/*/")):
     name = d.rstrip("/").split("/")[-1]
     if name in oracle: continue
+    if only is not None and name not in only: continue
     files = glob.glob(f"{d}/*.parquet")
     n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
     print(f"ROWS {name}: {n}")
