@@ -921,6 +921,30 @@ object SparkEntry {
         .select(col("user_id"), col("cms_est"), col("true_n"))
         .orderBy("user_id")
     }),
+    "grouped_topk" -> ((s, dir) =>
+      // top-5 events by value per type WITHOUT a window sort: the
+      // bounded-heap aggregate shuffles <= k rows per type per
+      // partition (the plan-shape spec pins no Window operator)
+      Grouped.topKPerGroup(
+          events(s, dir).filter(col("value").isNotNull),
+          Seq("event_type"), "value", "event_id", k = 5)
+        .orderBy("event_type", "rank")),
+    "ts_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen week, counted
+      // in each later week they return — two user-keyed aggregates
+      // plus one co-partitioned user join, nothing driver-sized
+      val ev = events(s, dir)
+        .select(col("user_id"),
+          floor(col("ts").cast("long") / 604800L).as("__wk"))
+      val cohort = ev.groupBy("user_id")
+        .agg(min(col("__wk")).as("cohort_week"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("__wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     "layout_zorder" -> ((s, dir) => {
       // 8-bit x/y interleaved to a 16-bit Morton z; the top 6 bits
       // tile the plane into 64 "files" — each tile's extents show
@@ -2427,6 +2451,23 @@ object SparkEntry {
         |exact AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
         |SELECT user_id, cms_est, true_n
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+    "grouped_topk" ->
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS INT) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "ts_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // replay the 8-bit Morton interleave with plain shift/AND ops
     "layout_zorder" -> {
       val terms = (0 until 8).map(i =>

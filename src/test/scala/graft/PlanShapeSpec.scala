@@ -275,4 +275,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"count join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"catalog joins must not sort-merge:\n$p")
   }
+
+  test("grouped top-k: bounded-heap aggregate, never a window sort") {
+    // the whole point of Grouped.topKPerGroup — the shuffle carries
+    // <= k rows per group per partition via partial ObjectHashAggregate;
+    // a Window operator here would mean the full table got sorted
+    val p = plan("grouped_topk")
+    assert(!p.contains("Window"), s"top-k must not window-sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_topkagg"), s"heap must partial-aggregate:\n$p")
+  }
+
+  test("cms point queries broadcast the cell table, never shuffle the keys") {
+    val p = plan("sketch_cms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d*w cells must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cross join:\n$p")
+  }
+
+  test("bpe encode: merges are plan literals — no join anywhere") {
+    val p = plan("text_bpe_encode")
+    assert(!p.contains("Join"), s"encode must not join the merge table:\n$p")
+    assert(shuffles(p) <= 2,
+      s"one doc-keyed agg (+ oracle sort) only:\n$p")
+  }
 }
