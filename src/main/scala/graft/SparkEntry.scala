@@ -921,6 +921,29 @@ object SparkEntry {
         .select(col("user_id"), col("cms_est"), col("true_n"))
         .orderBy("user_id")
     }),
+    "cdc_apply" -> ((s, dir) => {
+      // MERGE-INTO semantics over a synthetic changelog: every 10th
+      // event deletes its user key, the rest upsert; the last change
+      // by (ts, event_id) wins. One keyed max_by aggregate — the
+      // shuffle carries |keys| candidate rows, not the whole log
+      val ch = events(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(pmod(col("event_id"), lit(10)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value"))
+      graft.timeseries.TimeSeriesOps.cdcApply(
+          ch, Seq("user_id"), Seq("ts", "event_id"), "op", "D")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy("user_id")
+    }),
+    "sketch_quantile" -> ((s, dir) =>
+      // constant-state quantiles: 512-bin histogram + in-bin linear
+      // interpolation — two map-side-combined scans; everything past
+      // the bin counts is model-sized
+      Sketch.histogramQuantiles(events(s, dir), "value", 512,
+          (1 to 9).map(_ / 10.0))
+        .select(col("q"), round(col("quantile"), 6).as("quantile"))
+        .orderBy("q")),
     "grouped_topk" -> ((s, dir) =>
       // top-5 events by value per type WITHOUT a window sort: the
       // bounded-heap aggregate shuffles <= k rows per type per
@@ -2451,6 +2474,34 @@ object SparkEntry {
         |exact AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
         |SELECT user_id, cms_est, true_n
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+    "cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_id, value FROM r
+        |WHERE rk = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    "sketch_quantile" ->
+      """WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+        |h AS (
+        |  SELECT least(CAST(floor((x - lo) / ((hi - lo) / 512)) AS BIGINT)
+        |      + 1, 512) AS bk,
+        |    count(*) AS cnt
+        |  FROM v CROSS JOIN b GROUP BY 1),
+        |c AS (SELECT bk, cnt, sum(cnt) OVER (ORDER BY bk) AS cum FROM h),
+        |q AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+        |                     0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS q),
+        |t AS (SELECT q, q * n AS target, lo, hi FROM q CROSS JOIN b),
+        |f AS (
+        |  SELECT t.q, t.lo, t.hi, t.target, c.bk, c.cnt, c.cum,
+        |    row_number() OVER (PARTITION BY t.q ORDER BY c.bk) AS rk
+        |  FROM t JOIN c ON c.cum >= t.target)
+        |SELECT q, round(lo + (bk - 1 + (target - (cum - cnt)) / cnt)
+        |    * ((hi - lo) / 512), 6) AS quantile
+        |FROM f WHERE rk = 1 ORDER BY q""".stripMargin,
     "grouped_topk" ->
       """SELECT event_type, rank, event_id, value FROM (
         |  SELECT event_type, event_id, value,

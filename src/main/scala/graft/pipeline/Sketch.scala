@@ -160,6 +160,60 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Histogram-sketch quantiles: approximate quantiles of a value
+    * column from a fixed-width `nBins` histogram — min/max bounds
+    * first (one 1-row aggregate), then bin counts (≤ `nBins` rows no
+    * matter the data size), then each requested quantile interpolates
+    * linearly inside the first bin whose cumulative count reaches
+    * `q·n`. Error is bounded by one bin width — the classic
+    * constant-state quantile at scale (exact `percentile` sorts the
+    * whole column; this shuffles `nBins` longs). Deterministic: every
+    * step is exact integer counting plus a fixed-shape double
+    * expression, so any engine replays it bit-for-bit.
+    *
+    * Scale shape: two scans (bounds, counts), both map-side combined;
+    * everything after is model-sized (`nBins` rows, |qs| quantiles —
+    * the window and joins below never see data-sized input). */
+  def histogramQuantiles(
+      df: DataFrame, v: String, nBins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(nBins >= 1, "histogramQuantiles: nBins >= 1")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "histogramQuantiles: quantiles in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(v).as("__v")).filter(col("__v").isNotNull)
+    val bounds = vals.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), count(lit(1)).as("__n"))
+    val hist = vals.crossJoin(broadcast(bounds))
+      // explicit bucket arithmetic (not width_bucket, whose float
+      // path differs between engines): floor((v-lo)/((hi-lo)/n))+1,
+      // clamping the v = hi row into the last real bin
+      .select(least(
+        floor((col("__v") - col("__lo")) /
+          ((col("__hi") - col("__lo")) / nBins)) + 1,
+        lit(nBins.toLong)).as("__bk"))
+      .groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
+    // nBins-sized table: the unpartitioned running sum is deliberate
+    val cum = hist.withColumn("__cum",
+      sum(col("__cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__bk"))))
+    qs.toDF("q")
+      .crossJoin(broadcast(bounds))
+      .withColumn("__target", col("q") * col("__n"))
+      .crossJoin(broadcast(cum))
+      .filter(col("__cum") >= col("__target"))
+      .groupBy(col("q"), col("__lo"), col("__hi"), col("__n"),
+        col("__target"))
+      .agg(min_by(struct(col("__bk"), col("__cnt"), col("__cum")),
+        col("__bk")).as("__p"))
+      .select(col("q"),
+        (col("__lo") + (col("__p.__bk") - 1 +
+          (col("__target") - (col("__p.__cum") - col("__p.__cnt"))) /
+            col("__p.__cnt")) *
+          ((col("__hi") - col("__lo")) / nBins)).as("quantile"))
+  }
+
   /** Point-query the sketch: for each key in `keys`, the estimate is
     * `min` over the `d` rows of that key's cell count — an upper
     * bound on the true frequency (CMS never underestimates; the

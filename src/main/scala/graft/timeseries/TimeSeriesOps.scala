@@ -391,4 +391,32 @@ object TimeSeriesOps {
         count(lit(1)).as("n_events"),
         min(col(t)).as("t_start"),
         max(col(t)).as("t_end"))
+
+  /** CDC / MERGE-INTO apply: fold a changelog of upserts and deletes
+    * into final table state — per key, the change with the highest
+    * `seqCols` (lexicographic struct order; make it total or the
+    * result depends on row order) wins, and wins of op `deleteOp`
+    * drop the key. The batch half of streaming "apply changes":
+    * upsert(k, v) then delete(k) then upsert(k, v2) ⇒ k holds v2.
+    *
+    * Scale shape: ONE key-hashed aggregate with map-side combine —
+    * `max_by(payload, seq)` partial-aggregates to a single candidate
+    * row per key per partition, so the shuffle carries |keys| rows,
+    * not |changelog| rows. The window-rank formulation (`row_number()
+    * ... WHERE rk = 1`, the oracle's shape) would sort the full log
+    * instead. */
+  def cdcApply(
+      changes: DataFrame, keys: Seq[String], seqCols: Seq[String],
+      opCol: String, deleteOp: String): DataFrame = {
+    require(keys.nonEmpty, "cdcApply: need at least one key column")
+    require(seqCols.nonEmpty, "cdcApply: need at least one sequence column")
+    val payload = changes.columns.filterNot(keys.contains).toSeq
+    changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(seqCols.map(col): _*)).as("__last"))
+      .filter(col(s"__last.$opCol") =!= deleteOp)
+      .select(keys.map(col) ++
+        payload.filterNot(_ == opCol).map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

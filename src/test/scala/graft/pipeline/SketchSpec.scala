@@ -78,6 +78,24 @@ class SketchSpec extends SparkSpec {
     assert(hs.distinct.length == 200, "no collisions on a tiny domain")
   }
 
+  test("histogramQuantiles: within one bin width of the exact quantile") {
+    val n = 2000
+    val df = (0 until n).map(i => ((i * 37) % n).toDouble).toDF("v")
+    val sorted = (0 until n).map(_.toDouble) // the same multiset, sorted
+    val binW = (sorted.last - sorted.head) / 100
+    val got = Sketch.histogramQuantiles(df, "v", 100,
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+      .orderBy("q").as[(Double, Double)].collect()
+    assert(got.length == 6)
+    got.foreach { case (q, est) =>
+      val exact = sorted(math.min(n - 1, math.ceil(q * n).toInt - 1))
+      assert(math.abs(est - exact) <= binW + 1e-9,
+        s"q=$q est=$est exact=$exact")
+    }
+    // monotone in q
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+  }
+
   test("countMin: cell table bounded by d*w; totals preserved per row") {
     val df = (0 until 300).map(i => ("k" + i % 30)).toDF("k")
     val cells = Sketch.countMinCells(df, "k", d = 3, w = 8).collect()

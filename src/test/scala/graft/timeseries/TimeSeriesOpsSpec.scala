@@ -295,4 +295,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.exists(r => r._3 > 2.0 && r._1.getTime < shift),
       "negative side must catch the below-mean first regime")
   }
+
+  test("cdcApply: last writer wins per key, trailing deletes drop the key") {
+    // key 1: U(v=1) then U(v=2)         -> survives with v=2
+    // key 2: U(v=3) then D              -> dropped
+    // key 3: D then U(v=4)              -> revived with v=4
+    // key 4: two changes at the same ts -> the higher seq wins
+    val ch = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "U", 1.0),
+      (1L, ts("2024-01-01 00:00:01"), 11L, "U", 2.0),
+      (2L, ts("2024-01-01 00:00:00"), 20L, "U", 3.0),
+      (2L, ts("2024-01-01 00:00:01"), 21L, "D", 0.0),
+      (3L, ts("2024-01-01 00:00:00"), 30L, "D", 0.0),
+      (3L, ts("2024-01-01 00:00:01"), 31L, "U", 4.0),
+      (4L, ts("2024-01-01 00:00:00"), 40L, "U", 5.0),
+      (4L, ts("2024-01-01 00:00:00"), 41L, "U", 6.0)
+    ).toDF("k", "t", "seq", "op", "v")
+    val got = TimeSeriesOps.cdcApply(ch, Seq("k"), Seq("t", "seq"), "op", "D")
+      .select("k", "seq", "v").orderBy("k")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 11L, 2.0), (3L, 31L, 4.0), (4L, 41L, 6.0)),
+      s"got $got")
+  }
 }
