@@ -810,6 +810,35 @@ object SparkEntry {
         .select(unix_timestamp(col("win.start")).as("win_start_s"), n, est)
         .orderBy("win_start_s")
     }),
+    "stream_cms" -> ((s, dir) => {
+      // count-min cells as STREAMING state: a per-day event-type
+      // frequency sketch — state is d*w cells per window no matter
+      // the stream volume (the mergeable-sketch property again); the
+      // drained sketch is point-queried exactly like the batch one
+      val d = 2; val w = 64
+      val cellsAgg = eventsStream(s, dir)
+        .withWatermark("ts", "48 hours")
+        .select(col("ts"),
+          explode(Sketch.cmsCells(col("event_type"), d, w)).as("__c"))
+        .groupBy(window(col("ts"), "24 hours").as("win"),
+          col("__c.row").as("row"), col("__c.pos").as("pos"))
+        .agg(count(lit(1)).as("cnt"))
+      val cells = drainToTable(s, cellsAgg, "complete", "stream_cms")
+        .select(unix_timestamp(col("win.start")).as("c_win"),
+          col("row"), col("pos"), col("cnt"))
+      events(s, dir)
+        .select((floor(col("ts").cast("long") / 86400L) * 86400)
+          .cast("long").as("win_start_s"), col("event_type"))
+        .distinct()
+        .select(col("win_start_s"), col("event_type"),
+          explode(Sketch.cmsCells(col("event_type"), d, w)).as("__c"))
+        .join(broadcast(cells),
+          col("win_start_s") === col("c_win") &&
+            col("__c.row") === col("row") && col("__c.pos") === col("pos"))
+        .groupBy(col("win_start_s"), col("event_type"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .orderBy("win_start_s", "event_type")
+    }),
     "stream_ohlc" -> ((s, dir) => {
       // the streaming face of Resample.ohlc: per event-time window,
       // open/close via min_by/max_by on the total (ts, event_id)
@@ -2610,6 +2639,22 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "stream_cms" ->
+      """WITH pos AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+        |      AS win_start_s,
+        |    event_type, i.r AS row,
+        |    CAST(concat('0x', substring(md5(
+        |        event_type || '|' || CAST(i.r AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 64 AS pos
+        |  FROM events, LATERAL (SELECT unnest(range(0, 2)) AS r) i),
+        |cells AS (
+        |  SELECT win_start_s, row, pos, count(*) AS cnt
+        |  FROM pos GROUP BY 1, 2, 3),
+        |keypos AS (SELECT DISTINCT win_start_s, event_type, row, pos FROM pos)
+        |SELECT win_start_s, event_type, min(cnt) AS cms_est
+        |FROM keypos JOIN cells USING (win_start_s, row, pos)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT

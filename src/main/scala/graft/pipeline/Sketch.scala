@@ -138,6 +138,13 @@ object Sketch {
     pmod(hash60(concat(key.cast("string"), lit("|"), lit(row))),
       lit(w.toLong)).cast("int")
 
+  /** The `d` (row, pos) cells a key lands in, as an array of structs —
+    * explode this to build or probe a sketch (streaming aggregates
+    * compose it with a time window for per-window sketch state). */
+  def cmsCells(key: Column, d: Int, w: Int): Column =
+    array((0 until d).map(i =>
+      struct(lit(i).as("row"), cmsPos(key, i, w).as("pos"))): _*)
+
   /** Count–min sketch (Cormode & Muthukrishnan 2005) of the key
     * frequencies in `df`: `d` hash rows × `w` cells, each cell the
     * count of keys hashing into it. Returns the cell table
@@ -153,9 +160,7 @@ object Sketch {
   def countMinCells(
       df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 1, "countMinCells: d and w must be >= 1")
-    df.select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("row"),
-          cmsPos(col(keyCol), i, w).as("pos"))): _*)).as("__c"))
+    df.select(explode(cmsCells(col(keyCol), d, w)).as("__c"))
       .groupBy(col("__c.row").as("row"), col("__c.pos").as("pos"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -225,9 +230,7 @@ object Sketch {
       d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 1, "countMinEstimate: d and w must be >= 1")
     keys
-      .select(col(keyCol), explode(array((0 until d).map(i =>
-        struct(lit(i).as("row"),
-          cmsPos(col(keyCol), i, w).as("pos"))): _*)).as("__c"))
+      .select(col(keyCol), explode(cmsCells(col(keyCol), d, w)).as("__c"))
       .join(broadcast(cells),
         col("__c.row") === cells("row") && col("__c.pos") === cells("pos"))
       .groupBy(col(keyCol))
