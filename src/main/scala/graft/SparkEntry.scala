@@ -950,6 +950,17 @@ object SparkEntry {
         .select(col("user_id"), col("cms_est"), col("true_n"))
         .orderBy("user_id")
     }),
+    "graph_pagerank" -> ((s, dir) => {
+      // PageRank over the customer-supplier bipartite graph (edge:
+      // customer ordered a part this supplier shipped) — 5 exact
+      // deterministic iterations, each O(|edges|) keyed join + sum
+      val edges = s.read.parquet(s"$dir/orders.parquet")
+        .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.pageRank(edges, "src", "dst", iters = 5).orderBy("node")
+    }),
     "cdc_apply" -> ((s, dir) => {
       // MERGE-INTO semantics over a synthetic changelog: every 10th
       // event deletes its user key, the rest upsert; the last change
@@ -2503,6 +2514,31 @@ object SparkEntry {
         |exact AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
         |SELECT user_id, cms_est, true_n
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+    // 5 unrolled deterministic PageRank iterations, every float op
+    // forced to DOUBLE (DuckDB decimal literals would otherwise
+    // divide in DECIMAL), round-6 per iteration like the Spark side
+    "graph_pagerank" -> {
+      def step(i: Int): String =
+        s"""r$i AS (
+           |  SELECT node, round(0.15::DOUBLE / n + 0.85::DOUBLE * s, 6) AS r
+           |  FROM (
+           |    SELECT e.dst AS node, sum(r${i - 1}.r / deg.deg) AS s
+           |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+           |    JOIN deg ON deg.src = e.src GROUP BY 1) CROSS JOIN n),""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (
+         |  SELECT src AS node, round(1.0::DOUBLE / n, 6) AS r
+         |  FROM deg CROSS JOIN n),
+         |${(1 to 5).map(step).mkString("\n")}
+         |z AS (SELECT 1)
+         |SELECT node, r FROM r5 ORDER BY node""".stripMargin
+    },
     "cdc_apply" ->
       """WITH r AS (
         |  SELECT user_id, event_id, value,

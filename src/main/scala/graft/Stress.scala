@@ -34,7 +34,9 @@ object Stress {
     "ts_scd2", "ts_cusum", "ts_ohlc", "text_heavy_hitters",
     "w1_rowid", "m5_approve_unflagged", "a1_progress", "plot_m4", "u1_union",
     "text_perplexity", "text_chunks", "text_quality_clf",
-    "embed_kmeans", "dedup_semdedup", "mm_phash", "mm_audio_stats")
+    "embed_kmeans", "dedup_semdedup", "mm_phash", "mm_audio_stats",
+    "grouped_topk", "cdc_apply", "sketch_cms", "sketch_quantile",
+    "layout_zorder", "text_bpe_encode", "ts_retention")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge LISTS (never adjacency
+  * matrices): the companion to [[Dedup.connectedComponents]]'
+  * label propagation. Every iteration is keyed joins + keyed
+  * aggregates on the edge table — the Pregel-on-DataFrames shape
+  * that holds at any scale because nothing is ever collected and
+  * nothing is quadratic in nodes.
+  */
+object Graph {
+
+  /** PageRank over an undirected edge list, fully deterministic
+    * (cross-engine replayable, like [[Vec.kmeansCentroids]]):
+    *  - edges are symmetrized with UNION ALL (callers pass each
+    *    undirected edge once; parallel edges act as weights);
+    *  - init: every node gets `round(1/N, roundDp)`;
+    *  - step: `r' = round(teleport/N + damping · Σ_{u→v} r(u)/deg(u),
+    *    roundDp)` — the per-iteration rounding kills cross-engine ulp
+    *    drift in the sums (the k-means recipe);
+    *  - no dangling mass: in a symmetrized graph every node has
+    *    degree ≥ 1.
+    * `teleport` is a separate EXACT literal (not computed as
+    * `1 − damping`, whose double differs from the SQL literal `0.15`
+    * an oracle would write).
+    *
+    * Scale shape: degree table and rank table are node-keyed; each
+    * iteration is one co-partitioned join (edges ⋈ ranks on src, both
+    * hashed the same way, so the edge exchange is reused across
+    * iterations) + one dst-keyed sum with map-side combine + a
+    * broadcast one-row N. Work per iteration is O(|edges|) shuffled
+    * bytes; nothing node-quadratic, nothing driver-sized. */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15,
+      roundDp: Int = 6): DataFrame = {
+    require(iters >= 1, "pageRank: iters >= 1")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val edged = und.join(deg, "src")
+    val n = deg.agg(count(lit(1)).as("__n"))
+    var ranks = deg.select(col("src").as("node"))
+      .crossJoin(broadcast(n))
+      .select(col("node"), round(lit(1.0) / col("__n"), roundDp).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edged.join(ranks, edged("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("__deg")).as("__s"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          round(lit(teleport) / col("__n") +
+            lit(damping) * col("__s"), roundDp).as("r"))
+    }
+    ranks
+  }
+}
