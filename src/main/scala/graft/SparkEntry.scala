@@ -1647,6 +1647,30 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("doc_id", "rank")),
+    "text_bm25" -> ((s, dir) =>
+      // retrieval scoring: query terms ride as a literal IN filter,
+      // df broadcasts, doc-length joins co-keyed — no corpus
+      // self-join; scores are a fixed double expression (oracle
+      // replays the identical Lucene-parameterized formula)
+      TextAnalysis.bm25(documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "vector"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")),
+    "cur_table_diff" -> ((s, dir) => {
+      // snapshot reconciliation: b mutates every 11th doc, drops every
+      // 13th, and re-adds every 17th under a shifted key — the diff
+      // moves (key, md5) rows only, never payloads
+      val a = documents(s, dir).select("doc_id", "text", "lang", "source")
+      val b = a.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" changed"))).otherwise(col("text")))
+        .unionByName(a.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Curation.tableDiff(a, b, Seq("doc_id"))
+        .groupBy("diff_status").agg(count(lit(1)).as("n"))
+        .orderBy("diff_status")
+    }),
     "text_heavy_hitters" -> ((s, dir) =>
       // corpus-level document-frequency top-k (vocabulary pruning /
       // boilerplate spotting); top-k runs as TakeOrderedAndProject —
@@ -3985,6 +4009,54 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // every float op forced to DOUBLE (decimal literals would divide
+    // in DECIMAL); expression tree mirrors the Spark side exactly
+    "text_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents WHERE len(trim(text)) > 0)
+        |  WHERE t <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tk
+        |  WHERE t IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (st.nd - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      (tf.tf * (1.2::DOUBLE + 1)) /
+        |      (tf.tf + 1.2::DOUBLE *
+        |        (1.0::DOUBLE - 0.75::DOUBLE
+        |         + 0.75::DOUBLE * dl.dl / st.avgdl)) AS s
+        |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, round(sum(s), 6) AS bm25
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "cur_table_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |      CASE WHEN doc_id % 11 = 0 THEN text || ' changed'
+        |           ELSE text END, lang, source)) AS h
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5(concat_ws(chr(1), text, lang, source))
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |j AS (
+        |  SELECT a.h AS ha, b.h AS hb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN hb IS NULL THEN 'removed'
+        |            WHEN ha IS NULL THEN 'added'
+        |            WHEN ha <> hb THEN 'changed'
+        |            ELSE 'same' END AS diff_status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, token FROM (

@@ -418,4 +418,33 @@ object Curation {
     df.withColumn(outCol,
       floor((sum(col(tokCol)).over(w) - col(tokCol)) / lit(budget)))
   }
+
+  /** Snapshot reconciliation: classify every key of two same-schema
+    * tables as `added` (only in `b`), `removed` (only in `a`),
+    * `changed` (payload md5 differs), or `same` — the data-diff
+    * primitive behind incremental-refresh audits and migration
+    * sign-offs. Payload comparison is an md5 over the non-key columns
+    * joined with a `\\u0001` separator (concat_ws skips nulls the same
+    * way in any engine, so null payloads compare stably).
+    *
+    * Scale shape: each side reduces to (key, 16-byte hash) map-side —
+    * the full-outer join moves hashes, not payloads; both sides hash-
+    * partition on the same key, so at 100 TB this is two scans + one
+    * co-partitioned exchange of key+hash rows. */
+  def tableDiff(
+      a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff: need at least one key column")
+    require(a.columns.sameElements(b.columns),
+      "tableDiff: schemas must match")
+    val payload = a.columns.filterNot(keyCols.contains).toSeq
+    def hashed(df: DataFrame, hc: String) =
+      df.select(keyCols.map(col) :+ md5(concat_ws("\u0001",
+        payload.map(c => col(c).cast("string")): _*)).as(hc): _*)
+    hashed(a, "__ha").join(hashed(b, "__hb"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha").isNull, lit("added"))
+          .when(col("__ha") =!= col("__hb"), lit("changed"))
+          .otherwise(lit("same")).as("diff_status"): _*)
+  }
 }

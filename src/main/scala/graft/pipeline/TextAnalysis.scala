@@ -552,6 +552,46 @@ object TextAnalysis {
     out.toDF("merge_rank", "lft", "rgt", "n")
   }
 
+  /** BM25 relevance scores (Robertson/Spärck Jones; the Lucene
+    * `k1`/`b` parameterization with the +1-smoothed idf) of every
+    * document against a fixed term set: `Σ_t ln(1 + (N−df+0.5)/(df+
+    * 0.5)) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`. Deterministic:
+    * `avgdl` is an exact integer-sum mean, every float op is a fixed
+    * double expression any engine replays.
+    *
+    * Scale shape: the query terms are a literal `IN` filter pushed at
+    * the token stream, so `tf` is (matching doc, term)-sized; `df` is
+    * terms-sized and broadcasts; doc length joins co-keyed on the doc
+    * id; N/avgdl ride as a broadcast one-row. No corpus self-join, no
+    * global sort — the standard inverted-index-free scoring pass for
+    * a retrieval-corpus quality check. */
+  def bm25(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    val toks = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__nd"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = toks.filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfT), "__t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__nd") - col("__df") + lit(0.5)) /
+            (col("__df") + lit(0.5))) *
+          (col("__tf") * lit(k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("__dl") / col("__avgdl")))).as("__s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("bm25"))
+  }
+
   /** Apply a trained [[bpeTrain]] merge table to ENCODE documents —
     * the inference half of the tokenizer: each whitespace word
     * (case-folded, `</w>`-terminated) is split to characters and the

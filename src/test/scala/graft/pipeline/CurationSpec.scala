@@ -306,4 +306,21 @@ class CurationSpec extends SparkSpec {
     assert(!Curation.weightedSample(withZero, "doc_id", "w", 100)
       .select("doc_id").as[Long].collect().contains(0L))
   }
+
+  test("tableDiff classifies added/removed/changed/same, null-stable") {
+    val a = Seq(
+      (1L, Some("x"), "p"), (2L, Some("y"), "p"),
+      (3L, None: Option[String], "p"), (4L, Some("z"), "p")
+    ).toDF("k", "v", "w")
+    val b = Seq(
+      (1L, Some("x"), "p"),              // same
+      (2L, Some("Y"), "p"),              // changed
+      (3L, None: Option[String], "p"),   // same (null payload stable)
+      (5L, Some("n"), "p")               // added; 4 removed
+    ).toDF("k", "v", "w")
+    val got = Curation.tableDiff(a, b, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "same"), (2L, "changed"), (3L, "same"),
+      (4L, "removed"), (5L, "added")), s"got $got")
+  }
 }

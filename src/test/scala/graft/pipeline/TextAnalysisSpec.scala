@@ -269,6 +269,19 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "ab", "</w>", 4L)), s"got $out")
   }
 
+  test("bm25 matches the hand-computed Lucene formula") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("a", "c"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    // nd=2, avgdl=2.5, df(a)=df(c)=1 -> idf=ln(2)
+    def score(tf: Double, dl: Double) =
+      math.log(1.0 + (2.0 - 1 + 0.5) / (1 + 0.5)) *
+        (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.5))
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(math.abs(got(0)._2 - score(2, 3)) < 1e-12, s"got ${got(0)}")
+    assert(math.abs(got(1)._2 - score(1, 2)) < 1e-12, s"got ${got(1)}")
+  }
+
   test("bpeEncode applies trained merges in rank order") {
     // corpus: "aa"x3, "ab"x1. merge1 = (a, </w>) (count 3, beats
     // (a,a)=3 lexicographically since '<' < 'a'); merge2 = (a, a</w>).
