@@ -984,6 +984,21 @@ object SparkEntry {
           (1 to 9).map(_ / 10.0))
         .select(col("q"), round(col("quantile"), 6).as("quantile"))
         .orderBy("q")),
+    "sketch_quantile_grouped" -> ((s, dir) =>
+      // the per-key p50/p90/p99: the same constant-state histogram
+      // pipeline, every stage keyed by the group
+      Sketch.histogramQuantiles(events(s, dir), "value", 256,
+          Seq(0.5, 0.9, 0.99), groupCols = Seq("event_type"))
+        .select(col("event_type"), col("q"),
+          round(col("quantile"), 6).as("quantile"))
+        .orderBy("event_type", "q")),
+    "text_inverted_index" -> ((s, dir) =>
+      // retrieval-index build: posting lists capped BEFORE collecting
+      // (keyed row_number), so no token ever aggregates more than
+      // maxPostings doc ids — boilerplate tokens can't flood a group
+      TextAnalysis.invertedIndex(documents(s, dir), "doc_id", "text",
+          maxPostings = 20)
+        .orderBy("token")),
     "grouped_topk" -> ((s, dir) =>
       // top-5 events by value per type WITHOUT a window sort: the
       // bounded-heap aggregate shuffles <= k rows per type per
@@ -2576,8 +2591,9 @@ object SparkEntry {
       """WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
         |b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
         |h AS (
-        |  SELECT least(CAST(floor((x - lo) / ((hi - lo) / 512)) AS BIGINT)
-        |      + 1, 512) AS bk,
+        |  SELECT CASE WHEN hi = lo THEN 1
+        |    ELSE least(CAST(floor((x - lo) / ((hi - lo) / 512)) AS BIGINT)
+        |      + 1, 512) END AS bk,
         |    count(*) AS cnt
         |  FROM v CROSS JOIN b GROUP BY 1),
         |c AS (SELECT bk, cnt, sum(cnt) OVER (ORDER BY bk) AS cum FROM h),
@@ -2591,6 +2607,54 @@ object SparkEntry {
         |SELECT q, round(lo + (bk - 1 + (target - (cum - cnt)) / cnt)
         |    * ((hi - lo) / 512), 6) AS quantile
         |FROM f WHERE rk = 1 ORDER BY q""".stripMargin,
+    "sketch_quantile_grouped" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, value AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT g, min(x) AS lo, max(x) AS hi, count(*) AS n
+        |  FROM v GROUP BY 1),
+        |h AS (
+        |  SELECT g, CASE WHEN hi = lo THEN 1
+        |    ELSE least(CAST(floor((x - lo) / ((hi - lo) / 256)) AS BIGINT)
+        |      + 1, 256) END AS bk,
+        |    count(*) AS cnt
+        |  FROM v JOIN b USING (g) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, bk, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bk) AS cum
+        |  FROM h),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+        |t AS (SELECT g, q, q * n AS target, lo, hi FROM b CROSS JOIN q),
+        |f AS (
+        |  SELECT t.g, t.q, t.lo, t.hi, t.target, c.bk, c.cnt, c.cum,
+        |    row_number() OVER (PARTITION BY t.g, t.q ORDER BY c.bk) AS rk
+        |  FROM t JOIN c ON c.g = t.g AND c.cum >= t.target)
+        |SELECT g AS event_type, q,
+        |  round(lo + (bk - 1 + (target - (cum - cnt)) / cnt)
+        |    * ((hi - lo) / 256), 6) AS quantile
+        |FROM f WHERE rk = 1 ORDER BY event_type, q""".stripMargin,
+    "text_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT t AS token, doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents WHERE len(trim(text)) > 0)
+        |  WHERE t <> ''),
+        |dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+        |capped AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT token, doc_id,
+        |      row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |    FROM tok)
+        |  WHERE rn <= 20),
+        |p AS (
+        |  SELECT token,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |      AS postings
+        |  FROM capped GROUP BY 1)
+        |SELECT token, df, postings FROM dfq JOIN p USING (token)
+        |ORDER BY token""".stripMargin,
     "grouped_topk" ->
       """SELECT event_type, rank, event_id, value FROM (
         |  SELECT event_type, event_id, value,

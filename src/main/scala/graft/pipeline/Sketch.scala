@@ -167,56 +167,72 @@ object Sketch {
 
   /** Histogram-sketch quantiles: approximate quantiles of a value
     * column from a fixed-width `nBins` histogram — min/max bounds
-    * first (one 1-row aggregate), then bin counts (≤ `nBins` rows no
-    * matter the data size), then each requested quantile interpolates
-    * linearly inside the first bin whose cumulative count reaches
-    * `q·n`. Error is bounded by one bin width — the classic
-    * constant-state quantile at scale (exact `percentile` sorts the
-    * whole column; this shuffles `nBins` longs). Deterministic: every
-    * step is exact integer counting plus a fixed-shape double
-    * expression, so any engine replays it bit-for-bit.
+    * first (one 1-row-per-group aggregate), then bin counts (≤
+    * `nBins` rows per group no matter the data size), then each
+    * requested quantile interpolates linearly inside the first bin
+    * whose cumulative count reaches `q·n`. Error is bounded by one
+    * bin width — the classic constant-state quantile at scale (exact
+    * `percentile` sorts the whole column; this shuffles `nBins` longs
+    * per group). Deterministic: every step is exact integer counting
+    * plus a fixed-shape double expression, so any engine replays it
+    * bit-for-bit. With `groupCols` the whole pipeline runs per group
+    * (p50/p95-per-key in two scans); constant groups collapse to
+    * their single value.
     *
     * Scale shape: two scans (bounds, counts), both map-side combined;
-    * everything after is model-sized (`nBins` rows, |qs| quantiles —
-    * the window and joins below never see data-sized input). */
+    * everything after is model-sized (`nBins`×groups rows, |qs|
+    * quantiles — the windows and joins below never see data-sized
+    * input). */
   def histogramQuantiles(
       df: DataFrame, v: String, nBins: Int,
-      qs: Seq[Double]): DataFrame = {
+      qs: Seq[Double], groupCols: Seq[String] = Nil): DataFrame = {
     require(nBins >= 1, "histogramQuantiles: nBins >= 1")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "histogramQuantiles: quantiles in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(col(v).as("__v")).filter(col("__v").isNotNull)
-    val bounds = vals.agg(min(col("__v")).as("__lo"),
+    val gcols = groupCols.map(col)
+    val vals = df.select(gcols :+ col(v).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val bounds = vals.groupBy(gcols: _*).agg(min(col("__v")).as("__lo"),
       max(col("__v")).as("__hi"), count(lit(1)).as("__n"))
-    val hist = vals.crossJoin(broadcast(bounds))
+    val bounded =
+      if (groupCols.isEmpty) vals.crossJoin(broadcast(bounds))
+      else vals.join(broadcast(bounds), groupCols)
+    val hist = bounded
       // explicit bucket arithmetic (not width_bucket, whose float
       // path differs between engines): floor((v-lo)/((hi-lo)/n))+1,
-      // clamping the v = hi row into the last real bin
-      .select(least(
-        floor((col("__v") - col("__lo")) /
-          ((col("__hi") - col("__lo")) / nBins)) + 1,
-        lit(nBins.toLong)).as("__bk"))
-      .groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
-    // nBins-sized table: the unpartitioned running sum is deliberate
+      // clamping the v = hi row into the last real bin; a constant
+      // group (hi = lo) puts everything in bin 1 (and interpolates
+      // to exactly lo, since the bin width is 0)
+      .select(gcols :+ when(col("__hi") === col("__lo"), lit(1L))
+        .otherwise(least(
+          floor((col("__v") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / nBins)) + 1,
+          lit(nBins.toLong))).as("__bk"): _*)
+      .groupBy(gcols :+ col("__bk"): _*).agg(count(lit(1)).as("__cnt"))
+    // bins-per-group-sized windows: the groupless global window is
+    // deliberate (≤ nBins rows reach it)
     val cum = hist.withColumn("__cum",
       sum(col("__cnt")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__bk"))))
-    qs.toDF("q")
-      .crossJoin(broadcast(bounds))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(gcols: _*).orderBy(col("__bk"))))
+    val targets = bounds.crossJoin(broadcast(qs.toDF("q")))
       .withColumn("__target", col("q") * col("__n"))
-      .crossJoin(broadcast(cum))
+    val joined =
+      if (groupCols.isEmpty) targets.crossJoin(broadcast(cum))
+      else targets.join(cum, groupCols)
+    joined
       .filter(col("__cum") >= col("__target"))
-      .groupBy(col("q"), col("__lo"), col("__hi"), col("__n"),
-        col("__target"))
+      .groupBy(gcols ++ Seq(col("q"), col("__lo"), col("__hi"),
+        col("__n"), col("__target")): _*)
       .agg(min_by(struct(col("__bk"), col("__cnt"), col("__cum")),
         col("__bk")).as("__p"))
-      .select(col("q"),
+      .select(gcols ++ Seq(col("q"),
         (col("__lo") + (col("__p.__bk") - 1 +
           (col("__target") - (col("__p.__cum") - col("__p.__cnt"))) /
             col("__p.__cnt")) *
-          ((col("__hi") - col("__lo")) / nBins)).as("quantile"))
+          ((col("__hi") - col("__lo")) / nBins)).as("quantile")): _*)
   }
 
   /** Point-query the sketch: for each key in `keys`, the estimate is

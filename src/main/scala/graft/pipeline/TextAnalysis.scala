@@ -552,6 +552,41 @@ object TextAnalysis {
     out.toDF("merge_rank", "lft", "rgt", "n")
   }
 
+  /** Inverted-index build: per token, the document frequency and a
+    * posting list of the `maxPostings` LOWEST doc ids (comma-joined,
+    * numerically sorted — deterministic and engine-portable). The cap
+    * is applied with a token-keyed `row_number` BEFORE anything is
+    * collected, so a boilerplate token appearing in every document
+    * contributes `maxPostings` rows to its group, never the whole
+    * corpus — the flood-guard every collect-per-key operator in this
+    * repo carries ([[Dedup]]'s `maxBucket` lesson).
+    *
+    * Scale shape: distinct (token, doc) with map-side partial, then
+    * two token-keyed stages (count, capped window + bounded collect)
+    * joined co-partitioned on the token. Postings per token are
+    * bounded; df is exact. */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      maxPostings: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPostings >= 1, "invertedIndex: maxPostings >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(explode(tokens(lower(col(textCol)))).as("token"), col(idCol))
+      .filter(col("token") =!= "")
+      .distinct()
+    val dfT = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val postings = tok
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("token"))
+          .orderBy(col(idCol))))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("token"))
+      .agg(array_join(transform(sort_array(collect_list(col(idCol))),
+        _.cast("string")), ",").as("postings"))
+    dfT.join(postings, "token")
+  }
+
   /** BM25 relevance scores (Robertson/Spärck Jones; the Lucene
     * `k1`/`b` parameterization with the +1-smoothed idf) of every
     * document against a fixed term set: `Σ_t ln(1 + (N−df+0.5)/(df+

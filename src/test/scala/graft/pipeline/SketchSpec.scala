@@ -96,6 +96,19 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
   }
 
+  test("histogramQuantiles grouped: per-group bounds; constant group collapses") {
+    val df = ((0 until 1000).map(i => ("wide", i.toDouble)) ++
+      (0 until 50).map(_ => ("const", 7.0))).toDF("g", "v")
+    val got = Sketch.histogramQuantiles(df, "v", 100, Seq(0.5, 0.9),
+      groupCols = Seq("g"))
+      .orderBy("g", "q").as[(String, Double, Double)].collect().toSeq
+    val cq = got.filter(_._1 == "const")
+    assert(cq.map(_._3) == Seq(7.0, 7.0), s"constant group: $cq")
+    val wq = got.filter(_._1 == "wide")
+    assert(math.abs(wq(0)._3 - 500.0) <= 10, s"p50: ${wq(0)}")
+    assert(math.abs(wq(1)._3 - 900.0) <= 10, s"p90: ${wq(1)}")
+  }
+
   test("countMin: cell table bounded by d*w; totals preserved per row") {
     val df = (0 until 300).map(i => ("k" + i % 30)).toDF("k")
     val cells = Sketch.countMinCells(df, "k", d = 3, w = 8).collect()

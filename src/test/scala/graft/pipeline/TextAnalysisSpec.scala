@@ -269,6 +269,17 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "ab", "</w>", 4L)), s"got $out")
   }
 
+  test("invertedIndex: exact df, postings capped at the lowest ids") {
+    val docs = Seq((10L, "a b"), (2L, "a b a"), (7L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text", 2)
+      .orderBy("token").as[(String, Long, String)].collect().toSeq
+    // token a: df=3 but postings capped to the 2 lowest ids, sorted
+    // numerically (2 < 7 < 10 — a lexicographic sort would put 10 first)
+    assert(got == Seq(("a", 3L, "2,7"), ("b", 2L, "2,10"),
+      ("c", 1L, "7")), s"got $got")
+  }
+
   test("bm25 matches the hand-computed Lucene formula") {
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("a", "c"))
