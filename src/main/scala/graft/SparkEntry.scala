@@ -2058,6 +2058,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
+    "mm_video_dedup" -> ((s, dir) => {
+      // REAL frame-fingerprint video dedup: 10-frame synthetic videos
+      // (one per doc id < 200 — a BOUNDED fixture, so the decode cost
+      // is constant at any sf), adjacent video pairs share 8 frames
+      // (trim/re-insert simulation), every frame renders as a real
+      // PNG and round-trips ImageIO decode + DCT pHash on executors;
+      // videos pair on >= 6 shared exact frame hashes. The oracle
+      // recomputes the planted pairs from id arithmetic alone.
+      import s.implicits._
+      val frames = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .flatMap { vid =>
+          (0 until 10).map { f =>
+            val seed = if (f < 8) (vid / 2) * 100L + 7000000L + f
+                       else vid * 1000L + 9000000L + f
+            (vid, Multimodal.makeNoisePng(seed, 0, 0))
+          }
+        }
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.map(_._1).zip(Multimodal.pHashBatch(batch.map(_._2)))
+              .collect { case (id, h) if h != null => (id, h.longValue) }
+          }
+        }
+        .toDF("video_id", "fhash")
+      Dedup.sharedFingerprintPairs(frames, "video_id", "fhash",
+          minShared = 6, maxBucket = 100)
+        .orderBy("id_a", "id_b")
+    }),
     "mm_audio_stats" -> ((s, dir) => {
       // REAL audio-content analysis: a sawtooth PCM waveform per doc
       // is WAV-encoded, decoded back through AudioSystem (container
@@ -2747,6 +2776,15 @@ object SparkEntry {
         |FROM documents,
         |  UNNEST(range(0, CAST(doc_id % 11 AS BIGINT), 3)) AS r(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // planted recovery: adjacent pairs under 200 share exactly their
+    // 8 base frames; everything else shares none
+    "mm_video_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(8 AS BIGINT) AS n_shared
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 200 AND b.doc_id < 200
+        |ORDER BY id_a, id_b""".stripMargin,
     "mm_audio_stats" ->
       """WITH d AS (SELECT doc_id, 400 + doc_id % 100 AS nn FROM documents),
         |s AS (

@@ -493,6 +493,36 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Generic shared-fingerprint pair join: given a pre-computed
+    * (id, fingerprint) table — frame perceptual hashes, audio chunk
+    * hashes, code-block hashes — pairs of ids sharing at least
+    * `minShared` DISTINCT fingerprints. The abstract form of
+    * [[sharedSpanPairs]] for callers that already hold fingerprints.
+    * Duplicate (id, fp) rows collapse first, so an id repeating a
+    * fingerprint internally neither inflates bucket sizes nor the
+    * shared count.
+    *
+    * Scale shape: distinct + a fingerprint-keyed self equi-join
+    * (never all-pairs); fingerprints shared by more than `maxBucket`
+    * ids are dropped as floods (an intro-sting frame in every video
+    * would otherwise mint m²/2 pairs) — the [[sharedSpanPairs]]
+    * boilerplate rule, one level up. */
+  def sharedFingerprintPairs(
+      fps: DataFrame, idCol: String, fpCol: String,
+      minShared: Int, maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, "sharedFingerprintPairs: minShared >= 1")
+    val capped = fps.select(col(idCol), col(fpCol)).distinct()
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(fpCol)))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val a = capped.select(col(fpCol), col(idCol).as("id_a"))
+    val b = capped.select(col(fpCol), col(idCol).as("id_b"))
+    a.join(b, Seq(fpCol))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col(fpCol)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // --------------------------------------------------- near-dup clusters
 
   /** Connected components over a near-dup pair list — the dedup

@@ -240,4 +240,24 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 3L, 7.0 / 9.0, 2L, 1L)), s"got $out")
   }
+
+  test("sharedFingerprintPairs: distinct counting, threshold, flood cap") {
+    // ids 1,2 share fps {10, 11, 12}; id 3 shares only {10} with them;
+    // fp 99 appears in ids 1..5 (> maxBucket 4) -> dropped as a flood;
+    // id 1 repeats fp 10 internally (must count once)
+    val fps = Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 99L),
+      (3L, 10L), (3L, 99L), (4L, 99L), (5L, 99L)
+    ).toDF("id", "fp")
+    val got = Dedup.sharedFingerprintPairs(fps, "id", "fp",
+        minShared = 2, maxBucket = 4)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L)), s"got $got")
+    // minShared = 1 picks up the single-fp overlaps, still no flood fp
+    val loose = Dedup.sharedFingerprintPairs(fps, "id", "fp", 1, 4)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(loose == Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"got $loose")
+  }
 }
