@@ -950,6 +950,19 @@ object SparkEntry {
         .select(col("user_id"), col("cms_est"), col("true_n"))
         .orderBy("user_id")
     }),
+    "q_cube" -> ((s, dir) =>
+      // CUBE grouping sets: all four (status, priority) subtotal
+      // levels in ONE pass — Expand x4 + a single hash aggregate with
+      // map-side combine, not four scans; subtotal NULLs coalesce to
+      // an explicit marker so both engines sort them identically
+      s.read.parquet(s"$dir/orders.parquet")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 4).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy("status", "priority")),
     "graph_pagerank" -> ((s, dir) => {
       // PageRank over the customer-supplier bipartite graph (edge:
       // customer ordered a part this supplier shipped) — 5 exact
@@ -2582,6 +2595,13 @@ object SparkEntry {
         |exact AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
         |SELECT user_id, cms_est, true_n
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     // 5 unrolled deterministic PageRank iterations, every float op
     // forced to DOUBLE (DuckDB decimal literals would otherwise
     // divide in DECIMAL), round-6 per iteration like the Spark side
