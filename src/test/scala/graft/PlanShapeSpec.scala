@@ -300,4 +300,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) <= 2,
       s"one doc-keyed agg (+ oracle sort) only:\n$p")
   }
+
+  test("pagerank: keyed joins and one-row broadcasts only, no cartesian") {
+    val p = physical("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // every N reference is a broadcast one-row; rank/edge joins are
+    // equi-joins (hash or sort-merge, both keyed)
+    assert(countOcc(p, "BroadcastNestedLoopJoin") <= 6,
+      s"only the one-row N broadcasts (init + 5 iterations):\n$p")
+  }
+
+  test("bm25: df broadcasts; no corpus self-join, no cartesian") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"df table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("inverted index: postings window is token-keyed, never global") {
+    val p = physical("text_inverted_index")
+    val globalWindow = p.linesIterator.exists(l =>
+      l.contains("Window [") && !l.contains("windowspecdefinition(token"))
+    assert(!globalWindow, s"posting cap must partition by token:\n$p")
+  }
 }
