@@ -950,6 +950,17 @@ object SparkEntry {
         .select(col("user_id"), col("cms_est"), col("true_n"))
         .orderBy("user_id")
     }),
+    "cur_expectations" -> ((s, dir) =>
+      // the whole rulebook in ONE scan: per-rule violation counters
+      // fold into a single map-side-combined aggregate; NULL
+      // predicates count as failures (three-valued-logic guard)
+      Expectations.check(events(s, dir), Seq(
+        "type_in_domain" -> col("event_type").isin(
+          "click", "error", "purchase", "signup", "view"),
+        "user_id_positive" -> (col("user_id") > 0),
+        "value_not_null" -> col("value").isNotNull,
+        "value_in_range" -> (col("value") >= 0 && col("value") <= 200)))
+        .orderBy("rule")),
     "q_cube" -> ((s, dir) =>
       // CUBE grouping sets: all four (status, priority) subtotal
       // levels in ONE pass — Expand x4 + a single hash aggregate with
@@ -2595,6 +2606,26 @@ object SparkEntry {
         |exact AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
         |SELECT user_id, cms_est, true_n
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+    "cur_expectations" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN event_type IN
+        |        ('click', 'error', 'purchase', 'signup', 'view')
+        |      THEN 0 ELSE 1 END) AS f1,
+        |    sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS f2,
+        |    sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END) AS f3,
+        |    sum(CASE WHEN value >= 0 AND value <= 200
+        |      THEN 0 ELSE 1 END) AS f4
+        |  FROM events)
+        |SELECT rule, n_fail, n_rows FROM (
+        |  SELECT 'type_in_domain' AS rule, f1 AS n_fail, n AS n_rows FROM t
+        |  UNION ALL
+        |  SELECT 'user_id_positive', f2, n FROM t
+        |  UNION ALL
+        |  SELECT 'value_not_null', f3, n FROM t
+        |  UNION ALL
+        |  SELECT 'value_in_range', f4, n FROM t)
+        |ORDER BY rule""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
