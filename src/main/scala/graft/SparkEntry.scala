@@ -810,6 +810,29 @@ object SparkEntry {
         .select(unix_timestamp(col("win.start")).as("win_start_s"), n, est)
         .orderBy("win_start_s")
     }),
+    "stream_expectations" -> ((s, dir) => {
+      // the expectations gate as a STREAMING monitor: per-day
+      // windowed violation counters — same one-aggregate shape, state
+      // is one row of counters per window
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "48 hours")
+        .groupBy(window(col("ts"), "24 hours").as("win"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("value") >= 0 && col("value") <= 200, 0L)
+            .otherwise(1L)).as("__f_range"),
+          sum(when(col("user_id") > 0, 0L).otherwise(1L)).as("__f_user"))
+      drainToTable(s, agg, "complete", "stream_expectations")
+        .select(unix_timestamp(col("win.start")).as("win_start_s"),
+          explode(array(
+            struct(lit("user_id_positive").as("rule"),
+              col("__f_user").as("n_fail"), col("__n").as("n_rows")),
+            struct(lit("value_in_range").as("rule"),
+              col("__f_range").as("n_fail"), col("__n").as("n_rows"))))
+            .as("__r"))
+        .select(col("win_start_s"), col("__r.rule").as("rule"),
+          col("__r.n_fail").as("n_fail"), col("__r.n_rows").as("n_rows"))
+        .orderBy("win_start_s", "rule")
+    }),
     "stream_cms" -> ((s, dir) => {
       // count-min cells as STREAMING state: a per-day event-type
       // frequency sketch — state is d*w cells per window no matter
@@ -2852,6 +2875,21 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "stream_expectations" ->
+      """WITH t AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+        |      AS win_start_s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN value >= 0 AND value <= 200
+        |      THEN 0 ELSE 1 END) AS f_range,
+        |    sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS f_user
+        |  FROM events GROUP BY 1)
+        |SELECT win_start_s, rule, n_fail, n_rows FROM (
+        |  SELECT win_start_s, 'user_id_positive' AS rule,
+        |    f_user AS n_fail, n AS n_rows FROM t
+        |  UNION ALL
+        |  SELECT win_start_s, 'value_in_range', f_range, n FROM t)
+        |ORDER BY win_start_s, rule""".stripMargin,
     "stream_cms" ->
       """WITH pos AS (
         |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
