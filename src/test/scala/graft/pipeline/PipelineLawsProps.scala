@@ -158,4 +158,69 @@ object PipelineLawsProps extends Properties("PipelineLaws") {
         Seq("key"), "t", Seq("attr")).count()
       tiled && twice == hist.count()
     }
+
+  private val keysGen = for {
+    n <- Gen.choose(1, 120)
+    ks <- Gen.listOfN(n, Gen.choose(0, 25))
+  } yield ks
+
+  property("countMin never underestimates; exact at w >= support size") =
+    forAll(keysGen) { ks =>
+      import spark.implicits._
+      val df = ks.map(k => s"k$k").toDF("k")
+      val truth = ks.groupBy(k => s"k$k").view.mapValues(_.size.toLong).toMap
+      val keys = df.distinct()
+      val est = Sketch.countMinEstimate(
+        Sketch.countMinCells(df, "k", 3, 16), keys, "k", 3, 16)
+        .as[(String, Long)].collect().toMap
+      val upper = truth.forall { case (k, n) => est(k) >= n }
+      // a roomy sketch (w = 64 >= 26-key support) has some exact row
+      // with overwhelming probability; the UPPER-BOUND law is the
+      // guarantee, exactness only needs one collision-free row
+      val wide = Sketch.countMinEstimate(
+        Sketch.countMinCells(df, "k", 4, 512), keys, "k", 4, 512)
+        .as[(String, Long)].collect().toMap
+      upper && truth.forall { case (k, n) => wide(k) == n }
+    }
+
+  property("topKPerGroup == the window-sort reference on random tables") =
+    forAll(Gen.choose(1, 80), Gen.choose(1, 6)) { (n, k) =>
+      import spark.implicits._
+      val rows = (0 until n).map { i =>
+        ("g" + (i % 4), i.toLong, ((i * 31) % 13).toDouble)
+      }
+      val got = Grouped.topKPerGroup(rows.toDF("g", "id", "v"),
+          Seq("g"), "v", "id", k)
+        .select("g", "rank", "id", "v")
+        .as[(String, Int, Long, Double)].collect().toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy { case (_, id, v) => (-v, id) }.take(k).zipWithIndex
+          .map { case ((_, id, v), r) => (g, r + 1, id, v) }
+      }.toSet
+      got == want
+    }
+
+  property("cdcApply is idempotent: re-applying the survivors is identity") =
+    forAll(Gen.choose(1, 60)) { n =>
+      import spark.implicits._
+      val ch = (0 until n).map { i =>
+        (i % 7L, i.toLong, if (i % 5 == 0) "D" else "U", i * 1.5)
+      }.toDF("k", "seq", "op", "v")
+      val once = TimeSeriesOps.cdcApply(ch, Seq("k"), Seq("seq"), "op", "D")
+      val again = TimeSeriesOps.cdcApply(
+        once.withColumn("op", lit("U")), Seq("k"), Seq("seq"), "op", "D")
+      once.select("k", "seq", "v").as[(Long, Long, Double)].collect().toSet ==
+        again.select("k", "seq", "v").as[(Long, Long, Double)].collect().toSet
+    }
+
+  property("pageRank conserves probability mass (within rounding)") =
+    forAll(Gen.choose(2, 12)) { m =>
+      import spark.implicits._
+      // a random-ish connected graph: chain + chords
+      val edges = (0 until m).map(i => (s"n$i", s"n${(i + 1) % (m + 1)}")) ++
+        (0 until m by 2).map(i => (s"n$i", s"n${(i * 3 + 2) % (m + 1)}"))
+      val ranks = Graph.pageRank(edges.toDF("s", "d"), "s", "d", 3)
+        .select("r").as[Double].collect()
+      math.abs(ranks.sum - 1.0) < 5e-3 && ranks.forall(_ > 0)
+    }
 }
