@@ -959,6 +959,22 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketch.kmvDistinct(events(s, dir), "user_id", 64, Seq("event_type"))
         .orderBy("event_type")),
+    "sketch_kmv_setops" -> ((s, dir) => {
+      // cohort-overlap analytics WITHOUT re-reading the data: two
+      // bottom-64 sketches (one scan each) answer |A|, |B|, |A∪B|,
+      // |A∩B| as pure array arithmetic on two k-length rows
+      val ev = events(s, dir)
+      val a = ev.filter(col("event_type") === "click")
+        .agg(Sketch.kmv("user_id", 64).as("__ka"))
+      val b = ev.filter(col("event_type") === "view")
+        .agg(Sketch.kmv("user_id", 64).as("__kb"))
+      a.crossJoin(b)
+        .select(Sketch.kmvSetOps(col("__ka"), col("__kb"), 64).as("__s"))
+        .select(round(col("__s.est_a"), 6).as("est_a"),
+          round(col("__s.est_b"), 6).as("est_b"),
+          round(col("__s.est_union"), 6).as("est_union"),
+          round(col("__s.est_intersection"), 6).as("est_intersection"))
+    }),
     "sketch_cms" -> ((s, dir) => {
       // count-min sketch of per-user event counts (4 rows x 256 cells
       // — 1024 cells no matter the corpus size), point-queried for
@@ -2612,6 +2628,42 @@ object SparkEntry {
         |       ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
         |    AS est_distinct
         |FROM g ORDER BY event_type""".stripMargin,
+    "sketch_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(concat('0x',
+        |      substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'click'),
+        |hb AS (
+        |  SELECT DISTINCT CAST(concat('0x',
+        |      substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'view'),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |ku AS (
+        |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        |  ORDER BY h LIMIT 64),
+        |ea AS (
+        |  SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END
+        |    AS e FROM ka),
+        |eb AS (
+        |  SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END
+        |    AS e FROM kb),
+        |nu AS (SELECT count(*) AS n, max(h) AS hk FROM ku),
+        |eu AS (
+        |  SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+        |    AS e, n FROM nu),
+        |ix AS (
+        |  SELECT count(*) AS m FROM ku
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+        |SELECT round(ea.e, 6) AS est_a, round(eb.e, 6) AS est_b,
+        |  round(eu.e, 6) AS est_union,
+        |  round(CASE WHEN eu.n < 64 THEN CAST(ix.m AS DOUBLE)
+        |    ELSE CAST(ix.m AS DOUBLE) / 64.0 * eu.e END, 6)
+        |    AS est_intersection
+        |FROM ea, eb, eu, ix""".stripMargin,
     // rebuild the identical d=4 x w=256 sketch from the same
     // md5-60-bit hash family, then min over rows per key
     "sketch_cms" ->

@@ -131,6 +131,37 @@ object Sketch {
     sk.select(groupCols.map(col) :+ n :+ est: _*)
   }
 
+  /** KMV set-operation estimates (Beyer et al. 2007) from TWO bottom-k
+    * sketches: distinct counts of each side, of the union, and of the
+    * intersection — WITHOUT touching the raw data again. The union
+    * sketch is the bottom-k of the merged hash sets (exactly the
+    * sketch the union of the raw sets would produce — the mergeability
+    * that makes KMV work distributed); the intersection estimate is
+    * the Jaccard fraction OBSERVED INSIDE the union sketch scaled by
+    * the union estimate: `|K ∩ A ∩ B| / k · est(A ∪ B)`. Exact when
+    * the union retains fewer than k hashes. Returns one row:
+    * `(est_a, est_b, est_union, est_intersection)`.
+    *
+    * Scale shape: pure array arithmetic on two k-length sketch rows —
+    * the data was read once when the sketches were built; cohort
+    * overlap questions after that are model-sized. */
+  def kmvSetOps(a: Column, b: Column, k: Int): Column = {
+    def est(s: Column): Column =
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+          element_at(s, k).cast("double"))
+    val union = slice(array_sort(array_union(a, b)), 1, k)
+    val interInUnion = size(array_intersect(array_intersect(union, a), b))
+    struct(
+      est(a).as("est_a"),
+      est(b).as("est_b"),
+      est(union).as("est_union"),
+      when(size(union) < k,
+        interInUnion.cast("double"))
+        .otherwise(interInUnion.cast("double") / lit(k.toDouble) *
+          est(union)).as("est_intersection"))
+  }
+
   /** Row-`i` cell position of a key in a `w`-wide count–min sketch:
     * `hash60(key || '|' || i) mod w` — d independent hash rows from
     * the one cross-engine [[hash60]] family, salt in the payload. */

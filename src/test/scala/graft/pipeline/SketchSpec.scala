@@ -96,6 +96,25 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
   }
 
+  test("kmvSetOps: exact below k; estimator within KMV error above") {
+    def sk(lo: Long, hi: Long) =
+      (lo until hi).toDF("u").agg(Sketch.kmv("u", 64))
+    def ops(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.toDF("ka").crossJoin(b.toDF("kb"))
+        .select(Sketch.kmvSetOps(col("ka"), col("kb"), 64).as("s"))
+        .select("s.est_a", "s.est_b", "s.est_union", "s.est_intersection")
+        .as[(Double, Double, Double, Double)].head()
+    // small cohorts: union retains < k hashes, everything is EXACT
+    val small = ops(sk(0, 10), sk(5, 15))
+    assert(small == ((10.0, 10.0, 15.0, 5.0)), s"got $small")
+    // large overlapping cohorts: |A|=|B|=600, |A∪B|=900, |A∩B|=300;
+    // the k=64 estimator should land within ~3/sqrt(k) ≈ 38%
+    val big = ops(sk(0, 600), sk(300, 900))
+    assert(math.abs(big._3 - 900) / 900 < 0.38, s"union: $big")
+    assert(big._4 > 90 && big._4 < 620, s"intersection: $big")
+  }
+
   test("histogramQuantiles grouped: per-group bounds; constant group collapses") {
     val df = ((0 until 1000).map(i => ("wide", i.toDouble)) ++
       (0 until 50).map(_ => ("const", 7.0))).toDF("g", "v")
