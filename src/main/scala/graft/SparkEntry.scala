@@ -1000,6 +1000,17 @@ object SparkEntry {
         "value_not_null" -> col("value").isNotNull,
         "value_in_range" -> (col("value") >= 0 && col("value") <= 200)))
         .orderBy("rule")),
+    "q4_semi" -> ((s, dir) =>
+      // TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — the
+      // probe side never duplicates rows (no distinct needed, no
+      // fan-out), then one small aggregate
+      s.read.parquet(s"$dir/orders.parquet")
+        .join(lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
     "q_cube" -> ((s, dir) =>
       // CUBE grouping sets: all four (status, priority) subtotal
       // levels in ONE pass — Expand x4 + a single hash aggregate with
@@ -2701,6 +2712,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'value_in_range', f4, n FROM t)
         |ORDER BY rule""".stripMargin,
+    "q4_semi" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
