@@ -322,4 +322,32 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Window [") && !l.contains("windowspecdefinition(token"))
     assert(!globalWindow, s"posting cap must partition by token:\n$p")
   }
+
+  test("cdc apply folds as one keyed aggregate, never a log-wide window sort") {
+    val p = plan("cdc_apply")
+    assert(!p.contains("Window"), s"last-writer must not window-sort:\n$p")
+    assert(shuffles(p) <= 2, s"one keyed agg (+ oracle sort):\n$p")
+  }
+
+  test("table diff joins hashes co-partitioned; payloads never move") {
+    val p = plan("cur_table_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"keyed join only:\n$p")
+    // each side reduces to (key, md5) BEFORE the join: the join's
+    // output columns must not include text/lang/source payloads
+    assert(p.contains("FullOuter"), s"full-outer reconciliation:\n$p")
+  }
+
+  test("q4: EXISTS runs as a LEFT SEMI join, not an aggregate-distinct") {
+    val p = plan("q4_semi")
+    assert(p.contains("LeftSemi"), s"semi join expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("grouped quantiles: bounds broadcast; no data-sized cartesian") {
+    val p = plan("sketch_quantile_grouped")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group bounds must broadcast onto the values:\n$p")
+  }
 }
