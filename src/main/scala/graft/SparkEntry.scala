@@ -1035,6 +1035,31 @@ object SparkEntry {
         .distinct()
       Graph.pageRank(edges, "src", "dst", iters = 5).orderBy("node")
     }),
+    "ivm_merge" -> ((s, dir) => {
+      // incremental view maintenance: the standing per-user rollup
+      // absorbs a delta batch by MERGING partial aggregates — cost is
+      // |keys touched|, the base data is never rescanned. The oracle
+      // recomputes the FULL aggregate from scratch: merge(agg(A),
+      // agg(B)) must equal agg(A ∪ B)
+      val ev = events(s, dir)
+      def rollup(df: DataFrame) = df.groupBy(col("user_id")).agg(
+        count(col("value")).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val view = rollup(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      val delta = rollup(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      // the reassociated (merged) float sum differs from the oracle's
+      // single-pass sum by ulps, and the cent-quantized values put
+      // many averages EXACTLY on round-6 half-points — so stabilize
+      // to integer cents first; after that every derived double is
+      // bit-identical on both engines
+      val svStable = round(col("sv") * 100) / 100.0
+      Ivm.merge(view, delta, Seq("user_id"), Seq(
+          "n" -> Ivm.Add, "sv" -> Ivm.Add,
+          "mn" -> Ivm.TakeMin, "mx" -> Ivm.TakeMax))
+        .select(col("user_id"), col("n"), svStable.as("sv"),
+          col("mn"), col("mx"), round(svStable / col("n"), 6).as("avg_v"))
+        .orderBy("user_id")
+    }),
     "cdc_apply" -> ((s, dir) => {
       // MERGE-INTO semantics over a synthetic changelog: every 10th
       // event deletes its user key, the rest upsert; the last change
@@ -2751,6 +2776,14 @@ object SparkEntry {
          |z AS (SELECT 1)
          |SELECT node, r FROM r5 ORDER BY node""".stripMargin
     },
+    // the IVM law: the incrementally-merged view must equal the
+    // from-scratch aggregate over the whole log
+    "ivm_merge" ->
+      """SELECT user_id, CAST(count(value) AS BIGINT) AS n,
+        |  round(sum(value) * 100) / 100 AS sv,
+        |  min(value) AS mn, max(value) AS mx,
+        |  round(round(sum(value) * 100) / 100 / count(value), 6) AS avg_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_apply" ->
       """WITH r AS (
         |  SELECT user_id, event_id, value,
