@@ -36,7 +36,9 @@ object Stress {
     "text_perplexity", "text_chunks", "text_quality_clf",
     "embed_kmeans", "dedup_semdedup", "mm_phash", "mm_audio_stats",
     "grouped_topk", "cdc_apply", "sketch_cms", "sketch_quantile",
-    "layout_zorder", "text_bpe_encode", "ts_retention")
+    "layout_zorder", "text_bpe_encode", "ts_retention",
+    "graph_pagerank", "text_bm25", "text_inverted_index",
+    "cur_table_diff", "ivm_merge", "sketch_quantile_grouped", "q4_semi")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
