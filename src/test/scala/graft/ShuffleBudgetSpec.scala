@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Grouped, Sketch}
+
+/** RUNTIME shuffle-volume budgets: PlanShapeSpec locks what the plan
+  * looks like; this suite locks what actually moved. After executing
+  * a query it reads `shuffleRecordsWritten` off every exchange in the
+  * final adaptive plan and asserts the record count stays bounded by
+  * the OPERATOR's contract (k·groups·partitions for a bounded heap,
+  * d·w·partitions for a sketch, ~groups·partitions for a combined
+  * aggregate) — orders of magnitude below the input row count. A
+  * regression that silently disables partial aggregation (e.g. an
+  * accidental non-combinable expression in an Aggregator) passes most
+  * plan-shape checks but fails these immediately.
+  *
+  * Record counts (not bytes) keep the assertions deterministic:
+  * compression and serialization sizes drift, cardinalities don't.
+  * Test session: local[4], 4 shuffle partitions.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 4 // spark.sql.shuffle.partitions in SparkSpec
+
+  private def shuffleRecords(df: DataFrame): Long = {
+    df.collect()
+    var total = 0L
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case q: QueryStageExec => walk(q.plan)
+      case n =>
+        n.metrics.get("shuffleRecordsWritten").foreach(m => total += m.value)
+    }
+    walk(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    total
+  }
+
+  test("hash aggregate partial-combines: 100k rows shuffle as <= groups x partitions") {
+    val agg = spark.range(100000)
+      .select((col("id") % 4).as("g"), col("id").as("v"))
+      .groupBy("g").agg(sum("v").as("s"))
+    val rec = shuffleRecords(agg)
+    assert(rec <= 4L * P, s"map-side combine broken: $rec records shuffled")
+  }
+
+  test("bounded-heap top-k shuffles <= k rows per group per partition") {
+    val df = spark.range(100000)
+      .select((col("id") % 8).cast("string").as("g"), col("id").as("i"),
+        (col("id") % 97).cast("double").as("v"))
+    val rec = shuffleRecords(Grouped.topKPerGroup(df, Seq("g"), "v", "i", 5))
+    assert(rec <= 8L * P, s"heap must shuffle one buffer per group per partition: $rec")
+  }
+
+  test("count-min cells shuffle bounded by d*w per partition, not input size") {
+    val df = spark.range(50000).select((col("id") % 1000).cast("string").as("k"))
+    val rec = shuffleRecords(Sketch.countMinCells(df, "k", d = 2, w = 32))
+    assert(rec <= 2L * 32 * P,
+      s"sketch cells must combine map-side: $rec records for 100k exploded cells")
+  }
+
+  test("kmv sketch shuffles <= one k-hash buffer per group per partition") {
+    val df = spark.range(60000)
+      .select((col("id") % 3).cast("string").as("g"), col("id").as("u"))
+    val rec = shuffleRecords(
+      df.groupBy("g").agg(Sketch.kmv("u", 64).as("kmv")).select("g"))
+    assert(rec <= 3L * P, s"kmv buffers: $rec rows shuffled for 60k inputs")
+  }
+
+  test("broadcast join moves zero fact rows through a shuffle") {
+    val fact = spark.range(80000).select((col("id") % 50).as("k"), col("id").as("v"))
+    val dim = spark.range(50).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    val joined = fact.join(broadcast(dim), "k")
+      .groupBy("name").agg(count(lit(1)).as("n"))
+    val rec = shuffleRecords(joined)
+    // only the post-join aggregate's combined partials shuffle
+    assert(rec <= 50L * P, s"fact side must not shuffle for the join: $rec")
+  }
+}
