@@ -1315,6 +1315,19 @@ object SparkEntry {
         .filter(col("v_mad_qcflag") === ManualFlag)
         .select(col("event_id")).orderBy("event_id")
     }),
+    "auto_seasonal" -> ((s, dir) => {
+      // plant +2000 on every 97th event: the diurnal profile absorbs
+      // the rhythm, the residual z flags only the plant (uniform base
+      // keeps normal z <= ~1, planted z ~ 8 — both far from 3.0)
+      val ev = events(s, dir).withColumn("v_seas",
+        col("value") + when(pmod(col("event_id"), lit(97)) === 0, 2000.0)
+          .otherwise(0.0))
+      val flagged = QcFlags.addFlags(ev, Seq("v_seas"))
+      QcAuto.flagSeasonalResiduals(flagged, "v_seas", "ts",
+          col("event_type"))
+        .filter(col("v_seas_qcflag") === ManualFlag)
+        .select(col("event_id")).orderBy("event_id")
+    }),
     "auto_range" -> ((s, dir) => {
       val flagged = QcFlags.addFlags(events(s, dir), Seq("value"))
       QcAuto.flagRange(flagged, "value", 10.0, 400.0)
@@ -3399,6 +3412,22 @@ object SparkEntry {
         |  FROM v3)
         |SELECT event_id FROM w
         |WHERE nl >= 6 AND nt >= 6 AND abs(step) > 30.0
+        |ORDER BY event_id""".stripMargin,
+    "auto_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    value + CASE WHEN event_id % 97 = 0 THEN 2000.0 ELSE 0 END AS v
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, hour(ts) AS h, avg(v) AS mu
+        |  FROM e GROUP BY 1, 2),
+        |j AS (
+        |  SELECT e.event_id, e.event_type, e.v, p.mu
+        |  FROM e JOIN p ON p.event_type = e.event_type
+        |    AND p.h = hour(e.ts)),
+        |s AS (SELECT event_type, stddev_samp(v - mu) AS sd FROM j GROUP BY 1)
+        |SELECT event_id FROM j JOIN s USING (event_type)
+        |WHERE sd > 0 AND abs(v - mu) / sd > 3.0
         |ORDER BY event_id""".stripMargin,
     "auto_mad" ->
       """WITH e AS (

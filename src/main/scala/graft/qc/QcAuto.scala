@@ -78,6 +78,35 @@ object QcAuto {
       .drop("__b", "__med", "__mad", "__mz")
   }
 
+  /** Diurnal-profile residual detector: the expected value of a row is
+    * its (bucket, hour-of-day) group mean, and a row flags when its
+    * residual exceeds `z` residual standard deviations of its bucket.
+    * The classic seasonal baseline for metrics with a daily rhythm —
+    * plain spike/level detectors fire on every rush hour; this learns
+    * the rhythm first and scores only the surprise left over.
+    *
+    * Scale shape: the profile is a (buckets × 24)-row broadcast table
+    * from one map-side-combined aggregate; the residual spread is a
+    * second bucket-keyed aggregate; scoring is a broadcast-join
+    * projection. Null buckets/hours match no profile and stay
+    * unflagged (LEFT joins — a detector never deletes rows). */
+  def flagSeasonalResiduals(
+      df: DataFrame, v: String, t: String, bucket: Column,
+      z: Double = 3.0, suffix: String = AutoSuffix): DataFrame = {
+    val keyed = df.withColumn("__b", bucket)
+      .withColumn("__h", hour(col(t)))
+    val prof = keyed.groupBy(col("__b"), col("__h"))
+      .agg(avg(qcol(v)).as("__mu"))
+    val withMu = keyed.join(broadcast(prof), Seq("__b", "__h"), "left")
+    val sd = withMu.groupBy(col("__b"))
+      .agg(stddev_samp(qcol(v) - col("__mu")).as("__sd"))
+    val scored = withMu.join(broadcast(sd), Seq("__b"), "left")
+      .withColumn("__z",
+        when(col("__sd") > 0, abs(qcol(v) - col("__mu")) / col("__sd")))
+    QcActions.flagSelected(scored, v, col("__z") > z, suffix)
+      .drop("__b", "__h", "__mu", "__sd", "__z")
+  }
+
   /** Backtick-quoted name for raw-SQL expr() contexts. */
   private def qname(n: String): String = s"`$n`"
 

@@ -99,4 +99,25 @@ class QcAutoSpec extends SparkSpec {
       s"only boundary rows flagged, got ${out.toSeq}")
     assert(out.contains(20L), "the first row of the new level is flagged")
   }
+
+  test("flagSeasonalResiduals: learns the rhythm, flags only the surprise") {
+    import java.sql.Timestamp
+    // two alternating hourly levels (10 vs 100) — a global z-score
+    // would treat every hour-1 row as a shift; the diurnal profile
+    // absorbs the rhythm, so only the +500 plant at id 13 flags
+    val rows = (0 until 48).map { i =>
+      val hr = i % 2
+      val base = if (hr == 0) 10.0 else 100.0
+      val v = base + (i % 5) * 0.5 + (if (i == 13) 500.0 else 0.0)
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 0$hr%d:15:00"), v)
+    }.toDF("id", "t", "v")
+    val flagged = QcFlags.addFlags(rows, Seq("v"))
+    val out = QcAuto.flagSeasonalResiduals(flagged, "v", "t", lit(0))
+      .filter(col("v_qcflag") === ManualFlag)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(13L), s"got $out")
+    // a detector never deletes rows
+    assert(QcAuto.flagSeasonalResiduals(flagged, "v", "t", lit(0))
+      .count() == 48)
+  }
 }
