@@ -2038,6 +2038,18 @@ object SparkEntry {
           round(avg("cos"), 6).as("mean_cos"),
           round(min("cos"), 6).as("min_cos"))
         .orderBy("label")),
+    "embed_outliers" -> ((s, dir) =>
+      // data-pruning pass, SemDeDup's complement: vectors
+      // ANTI-correlated with their own label centroid are suspect
+      // (mislabeled / noise). Threshold on the RAW cosine (round only
+      // for display); nearest fixture value sits 1.1e-3 away, so ulp
+      // noise cannot flip membership
+      Vec.centroidCosines(embeddings(s, dir), "vec_id", "embedding",
+          "label")
+        .filter(col("cos") < 0.0)
+        .select(col("vec_id"), col("label"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id")),
     "embed_quantize" -> ((s, dir) => {
       Vec.withInt8(
           embeddings(s, dir)
@@ -3916,6 +3928,23 @@ object SparkEntry {
         |  n2.n AS n
         |FROM m2 JOIN n2 USING (cl)
         |ORDER BY cluster, dim""".stripMargin,
+    // threshold on the RAW cosine; round only for display (the
+    // round-before-filter hazard from the cosine dedup oracles)
+    "embed_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i, avg(v) AS c FROM x GROUP BY 1, 2),
+        |d AS (
+        |  SELECT x.vec_id, x.label,
+        |    sum(x.v * c.c) AS dot, sum(x.v * x.v) AS n2, sum(c.c * c.c) AS c2
+        |  FROM x JOIN c USING (label, i) GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT vec_id, label, dot / (sqrt(n2) * sqrt(c2)) AS cos_raw
+        |  FROM d)
+        |SELECT vec_id, label, round(cos_raw, 6) AS cos
+        |FROM cos WHERE cos_raw < 0 ORDER BY vec_id""".stripMargin,
     "embed_dispersion" ->
       """WITH x AS (
         |  SELECT vec_id, label, unnest(embedding) AS v,
