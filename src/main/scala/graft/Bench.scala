@@ -41,14 +41,28 @@ object Bench {
         }
       }
       val runs = Seq.fill(reps)(once())
-      name -> (if (runs.exists(_ < 0)) runs.filter(_ < 0).head
-               else runs.min)
+      // Isolation between queries: a query that caches/persists must
+      // not bill its successors (a leaked cache squeezes execution
+      // memory for every later query — suite numbers then overstate
+      // late-alphabet queries). Library code releases its own caches;
+      // this is belt-and-braces so one bad op can't poison the suite.
+      spark.catalog.clearCache()
+      (name, runs,
+        if (runs.exists(_ < 0)) runs.filter(_ < 0).head else runs.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // full per-rep record: min-only artifacts made round-over-round
+    // regressions undiagnosable (warm-up vs steady-state is invisible)
+    val runsJson = results.map { case (k, rs, _) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
+    val env =
+      s""""reps":$reps,"cpus":$cpus,"filter":${
+        nameFilter.fold("null")(f => "\"" + f + "\"")}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env,"runs":$runsJson}"""
     println(line)
     // Also persist to a file: the driver's stdout tail-capture truncates
     // the per-query map on long runs; the artifact keeps the full record.

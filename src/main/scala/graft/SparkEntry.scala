@@ -103,7 +103,13 @@ object SparkEntry {
     val prev = s.conf.get(key)
     s.conf.set(key, statePartitions.toString)
     try {
-      val name = s"${tag}_${System.nanoTime()}"
+      // fixed per-tag sink name, previous drain dropped first: a
+      // nanoTime-suffixed name per invocation would register a NEW
+      // in-driver-memory result table every call and never free the
+      // old one — across a 195-query × n-rep bench the retained sinks
+      // accumulate into real driver memory pressure
+      val name = s"graft_stream_$tag"
+      s.catalog.dropTempView(name)
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1340,6 +1346,11 @@ object SparkEntry {
       QcPlotFeed.m4Downsample(events(s, dir), "ts", "value",
           widthSecs = 604800L, keys = Seq("event_type"))
         .select(col("event_id")).orderBy("event_id")),
+    "plot_tz_labels" -> ((s, dir) =>
+      // display-timezone label rendering (tz_user): UTC store → user's
+      // named zone, DST-correct via the IANA rules on both engines
+      QcPlotFeed.windowLabels(events(s, dir), "ts", "America/New_York")
+        .select(col("event_id"), col("t_label")).orderBy("event_id")),
     "sql_api" -> ((s, dir) => {
       // the pure-SQL surface: native graft expressions resolved inside
       // spark.sql after GraftExtensions registration — what a SQL-only
@@ -2737,21 +2748,23 @@ object SparkEntry {
         |cells AS (SELECT row, pos, count(*) AS cnt FROM pos GROUP BY 1, 2),
         |keypos AS (SELECT DISTINCT user_id, row, pos FROM pos),
         |est AS (
-        |  SELECT user_id, min(cnt) AS cms_est
-        |  FROM keypos JOIN cells USING (row, pos) GROUP BY user_id),
+        |  SELECT user_id, min(coalesce(cnt, 0)) AS cms_est
+        |  FROM keypos LEFT JOIN cells USING (row, pos) GROUP BY user_id),
         |exact AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
         |SELECT user_id, cms_est, true_n
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
     "cur_expectations" ->
       """WITH t AS (
-        |  SELECT count(*) AS n,
-        |    sum(CASE WHEN event_type IN
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type IN
         |        ('click', 'error', 'purchase', 'signup', 'view')
-        |      THEN 0 ELSE 1 END) AS f1,
-        |    sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS f2,
-        |    sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END) AS f3,
-        |    sum(CASE WHEN value >= 0 AND value <= 200
-        |      THEN 0 ELSE 1 END) AS f4
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS f2,
+        |    CAST(sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS f3,
+        |    CAST(sum(CASE WHEN value >= 0 AND value <= 200
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS f4
         |  FROM events)
         |SELECT rule, n_fail, n_rows FROM (
         |  SELECT 'type_in_domain' AS rule, f1 AS n_fail, n AS n_rows FROM t
@@ -3007,10 +3020,11 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
         |      AS win_start_s,
-        |    count(*) AS n,
-        |    sum(CASE WHEN value >= 0 AND value <= 200
-        |      THEN 0 ELSE 1 END) AS f_range,
-        |    sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS f_user
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 0 AND value <= 200
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS f_range,
+        |    CAST(sum(CASE WHEN user_id > 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS f_user
         |  FROM events GROUP BY 1)
         |SELECT win_start_s, rule, n_fail, n_rows FROM (
         |  SELECT win_start_s, 'user_id_positive' AS rule,
@@ -3031,8 +3045,8 @@ object SparkEntry {
         |  SELECT win_start_s, row, pos, count(*) AS cnt
         |  FROM pos GROUP BY 1, 2, 3),
         |keypos AS (SELECT DISTINCT win_start_s, event_type, row, pos FROM pos)
-        |SELECT win_start_s, event_type, min(cnt) AS cms_est
-        |FROM keypos JOIN cells USING (win_start_s, row, pos)
+        |SELECT win_start_s, event_type, min(coalesce(cnt, 0)) AS cms_est
+        |FROM keypos LEFT JOIN cells USING (win_start_s, row, pos)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_kmv" ->
       """WITH h AS (
@@ -3475,6 +3489,14 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY event_type, bucket))
         |WHERE value = vmin OR value = vmax OR tms = tmin OR tms = tmax
         |ORDER BY event_id""".stripMargin,
+    // naive-UTC parquet ts → instant (AT TIME ZONE 'UTC') → wall time
+    // in the display zone (AT TIME ZONE '<tz>') — DuckDB's two-step
+    // twin of from_utc_timestamp
+    "plot_tz_labels" ->
+      """SELECT event_id,
+        |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+        |    '%Y-%m-%d %H:%M') AS t_label
+        |FROM events ORDER BY event_id""".stripMargin,
     "sql_api" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -4389,16 +4411,23 @@ object SparkEntry {
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "cur_table_diff" ->
       """WITH a AS (
-        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS h
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |      coalesce('v' || text, chr(2)), coalesce('v' || lang, chr(2)),
+        |      coalesce('v' || source, chr(2)))) AS h
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, md5(concat_ws(chr(1),
-        |      CASE WHEN doc_id % 11 = 0 THEN text || ' changed'
-        |           ELSE text END, lang, source)) AS h
+        |      coalesce('v' || CASE WHEN doc_id % 11 = 0
+        |                           THEN text || ' changed'
+        |                           ELSE text END, chr(2)),
+        |      coalesce('v' || lang, chr(2)),
+        |      coalesce('v' || source, chr(2)))) AS h
         |  FROM documents WHERE doc_id % 13 <> 0
         |  UNION ALL
         |  SELECT doc_id + 1000000,
-        |    md5(concat_ws(chr(1), text, lang, source))
+        |    md5(concat_ws(chr(1),
+        |      coalesce('v' || text, chr(2)), coalesce('v' || lang, chr(2)),
+        |      coalesce('v' || source, chr(2))))
         |  FROM documents WHERE doc_id % 17 = 0),
         |j AS (
         |  SELECT a.h AS ha, b.h AS hb

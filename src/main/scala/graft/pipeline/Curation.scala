@@ -120,17 +120,24 @@ object Curation {
       textCol: String,
       n: Int = 8,
       minMatches: Int = 1,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      eager: Boolean = true): DataFrame = {
     require(n >= 1, "decontaminateBloom: n must be >= 1")
     require(minMatches >= 1, "decontaminateBloom: minMatches must be >= 1")
     require(fpp > 0 && fpp < 1, "decontaminateBloom: fpp must be in (0,1)")
     // persisted: the count job, the bloom build, and the confirm join
-    // would otherwise each re-run the bench explode+distinct
+    // would otherwise each re-run the bench explode+distinct. Scoped
+    // (eager path): the bad-id set is materialized below, so both the
+    // cache and the broadcast filter are released before returning
+    // instead of leaking block-manager/broadcast memory on every call.
     val bg = gramHashes(bench, idCol, textCol, n, "bench_id").distinct()
       .persist()
-    val nGrams = math.max(bg.count(), 1L)
-    val bf = bg.stat.bloomFilter("__gh", nGrams, fpp)
-    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val bfB =
+      try {
+        val nGrams = math.max(bg.count(), 1L)
+        val bf = bg.stat.bloomFilter("__gh", nGrams, fpp)
+        corpus.sparkSession.sparkContext.broadcast(bf)
+      } catch { case e: Throwable => bg.unpersist(); throw e }
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     val bad = gramHashes(corpus, idCol, textCol, n, idCol)
       .filter(mightContain(col("__gh"))) // scan-stage prune
@@ -139,7 +146,25 @@ object Curation {
       .agg(countDistinct(col("__gh")).as("n_matched"))
       .filter(col("n_matched") >= minMatches)
       .select(col(idCol)).distinct()
-    corpus.join(bad, Seq(idCol), "left_anti")
+    if (eager)
+      try
+        // the bad-id set is one id column of contaminated docs — tiny
+        // next to the corpus; materializing it here is what lets the
+        // bloom broadcast and the bench-gram cache be dropped
+        corpus.join(bad.localCheckpoint(true), Seq(idCol), "left_anti")
+      finally {
+        bg.unpersist()
+        // unpersist (not destroy): frees executor copies now, but keeps
+        // the driver value so a lost localCheckpoint block could still
+        // recompute instead of failing on a destroyed broadcast
+        bfB.unpersist()
+      }
+    else
+      // eager = false keeps the whole plan lazy and inspectable (the
+      // plan-shape spec reads the confirm join out of it) — the CALLER
+      // then owns the lifetime of the bench-gram cache and the bloom
+      // broadcast for the session
+      corpus.join(bad, Seq(idCol), "left_anti")
   }
 
   // ----------------------------------------------------- split assignment
@@ -424,8 +449,11 @@ object Curation {
     * `changed` (payload md5 differs), or `same` — the data-diff
     * primitive behind incremental-refresh audits and migration
     * sign-offs. Payload comparison is an md5 over the non-key columns
-    * joined with a `\\u0001` separator (concat_ws skips nulls the same
-    * way in any engine, so null payloads compare stably).
+    * joined with a `\\u0001` separator; each column is first encoded
+    * null-safely (`"v" ++ value`, null → `\\u0002`) because concat_ws
+    * SKIPS nulls — without the encoding, rows whose payloads differ
+    * only in WHICH column is null (`(x, null)` vs `(null, x)`) would
+    * hash identically and be misclassified `same`.
     *
     * Scale shape: each side reduces to (key, 16-byte hash) map-side —
     * the full-outer join moves hashes, not payloads; both sides hash-
@@ -439,7 +467,8 @@ object Curation {
     val payload = a.columns.filterNot(keyCols.contains).toSeq
     def hashed(df: DataFrame, hc: String) =
       df.select(keyCols.map(col) :+ md5(concat_ws("\u0001",
-        payload.map(c => col(c).cast("string")): _*)).as(hc): _*)
+        payload.map(c => coalesce(concat(lit("v"), col(c).cast("string")),
+          lit("\\u0002"))): _*)).as(hc): _*)
     hashed(a, "__ha").join(hashed(b, "__hb"), keyCols, "full_outer")
       .select(keyCols.map(col) :+
         when(col("__hb").isNull, lit("removed"))

@@ -22,9 +22,14 @@ object Expectations {
     require(rules.nonEmpty, "Expectations.check: need at least one rule")
     require(rules.map(_._1).distinct.length == rules.length,
       "Expectations.check: rule names must be unique")
+    // coalesce: sum() over ZERO rows is NULL, so an empty input would
+    // report n_fail = NULL for every rule — and a consumer gating on
+    // `n_fail > 0` would silently pass. An empty scan must report an
+    // explicit 0 violations.
     val aggs = count(lit(1)).as("__n") +:
       rules.map { case (name, pred) =>
-        sum(when(pred, 0L).otherwise(1L)).as(s"__f_$name")
+        coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L))
+          .as(s"__f_$name")
       }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rules.map { case (name, _) =>

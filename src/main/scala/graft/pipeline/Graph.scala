@@ -35,29 +35,47 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       damping: Double = 0.85, teleport: Double = 0.15,
-      roundDp: Int = 6): DataFrame = {
+      roundDp: Int = 6, checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "pageRank: iters >= 1")
+    require(checkpointEvery >= 1, "pageRank: checkpointEvery >= 1")
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // cached: every iteration's lineage re-reads the degree-annotated
     // edge table — uncached, the (possibly expensive) edge derivation
     // would re-execute once per iteration (measured 5.5 s → 1.5 s on
-    // the orders⋈lineitem bipartite at sf0.1)
+    // the orders⋈lineitem bipartite at sf0.1). Scoped: the final ranks
+    // are eagerly materialized below, so the cache is dropped before
+    // returning instead of leaking into the block manager for the life
+    // of the session (a long-lived shared session would otherwise lose
+    // execution memory to it on every call).
     val edged = und.join(deg, "src").persist()
-    val n = deg.agg(count(lit(1)).as("__n"))
-    var ranks = deg.select(col("src").as("node"))
-      .crossJoin(broadcast(n))
-      .select(col("node"), round(lit(1.0) / col("__n"), roundDp).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = edged.join(ranks, edged("src") === ranks("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("r") / col("__deg")).as("__s"))
+    try {
+      val n = deg.agg(count(lit(1)).as("__n"))
+      var ranks = deg.select(col("src").as("node"))
         .crossJoin(broadcast(n))
-        .select(col("dst").as("node"),
-          round(lit(teleport) / col("__n") +
-            lit(damping) * col("__s"), roundDp).as("r"))
-    }
-    ranks
+        .select(col("node"), round(lit(1.0) / col("__n"), roundDp).as("r"))
+      for (i <- 1 to iters) {
+        ranks = edged.join(ranks, edged("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("r") / col("__deg")).as("__s"))
+          .crossJoin(broadcast(n))
+          .select(col("dst").as("node"),
+            round(lit(teleport) / col("__n") +
+              lit(damping) * col("__s"), roundDp).as("r"))
+        // lineage cap: each iteration nests one more join+agg under the
+        // previous plan, so at tens of iterations analysis/optimization
+        // cost grows superlinearly and can dwarf execution. A periodic
+        // eager localCheckpoint truncates the plan to a block-backed
+        // leaf (cleaned by the ContextCleaner once unreachable) without
+        // changing any value — values are already 6-dp rounded, so the
+        // cut is bit-exact.
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint(true)
+      }
+      // eager: materializes the node-sized rank table so the edge cache
+      // can be released before the caller ever runs an action
+      ranks.localCheckpoint(true)
+    } finally edged.unpersist()
   }
 }

@@ -145,6 +145,7 @@ object Similarity {
         .groupBy("cell")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           _.getField("m")).as("c"))
+        // driver-sized by construction: one row per cell (<= nlist)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap
@@ -162,6 +163,7 @@ object Similarity {
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)))
       .limit(nlist)
+      // driver-sized by construction: limit(nlist) sample vectors
       .collect()
       .zipWithIndex
       .map { case (r, i) => // element-type agnostic (float or double arrays)
@@ -261,19 +263,34 @@ object Similarity {
   def ivfProbeIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, eager: Boolean = true): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
+      // driver-sized by construction: the centroid table has nlist rows
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    // persisted: the cell collection below and the scoring join would
-    // otherwise both evaluate the centroid-distance assignment
-    val probeCells = ivfProbeCells(probes, vecCol, cents, nprobe).persist()
-    val wanted = probeCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val index = spark.read.parquet(s"$path/index")
-      .filter(col("cell").isin(wanted.map(Integer.valueOf): _*))
-    ivfScore(probeCells, index, idCol, vecCol, k)
+    def scored(probeCells: DataFrame): DataFrame = {
+      val wanted = probeCells.select("cell").distinct()
+        // driver-sized by construction: distinct cell ids (<= nlist ints)
+        .collect().map(_.getInt(0)).sorted
+      val index = spark.read.parquet(s"$path/index")
+        .filter(col("cell").isin(wanted.map(Integer.valueOf): _*))
+      ivfScore(probeCells, index, idCol, vecCol, k)
+    }
+    if (eager) {
+      // persisted: the cell collection and the scoring join would
+      // otherwise both evaluate the centroid-distance assignment.
+      // Scoped: the (small, probe-sized) top-k result is materialized
+      // so the cache is dropped before returning rather than leaking
+      // into the block manager on every probe call.
+      val probeCells = ivfProbeCells(probes, vecCol, cents, nprobe).persist()
+      try scored(probeCells).localCheckpoint(true)
+      finally probeCells.unpersist()
+    } else
+      // eager = false keeps the plan lazy and inspectable (the spec
+      // asserts the partition IN filter reaches the index scan); the
+      // probe-cell assignment is then evaluated twice on execution
+      scored(ivfProbeCells(probes, vecCol, cents, nprobe))
   }
 
   /** Approximate top-k: LSH-bucketed candidate generation (union of the

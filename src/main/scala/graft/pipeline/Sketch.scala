@@ -271,7 +271,14 @@ object Sketch {
     * bound on the true frequency (CMS never underestimates; the
     * one-sided error is the property the spec locks). `cells`
     * broadcasts (≤ `d·w` rows), so estimation is a scan-bound
-    * broadcast join + per-key min — no corpus-sized shuffle. */
+    * broadcast join + per-key min — no corpus-sized shuffle.
+    *
+    * LEFT join with missing cells counted as 0: a sparse sketch table
+    * only materializes touched cells, so a probe key the sketch never
+    * saw (or one whose cells only partially collide with seen keys)
+    * must estimate over ALL `d` rows with absent cells = 0 — an inner
+    * join would drop those rows and overestimate, or drop the key
+    * entirely. */
   def countMinEstimate(
       cells: DataFrame, keys: DataFrame, keyCol: String,
       d: Int, w: Int): DataFrame = {
@@ -279,8 +286,9 @@ object Sketch {
     keys
       .select(col(keyCol), explode(cmsCells(col(keyCol), d, w)).as("__c"))
       .join(broadcast(cells),
-        col("__c.row") === cells("row") && col("__c.pos") === cells("pos"))
+        col("__c.row") === cells("row") && col("__c.pos") === cells("pos"),
+        "left_outer")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 }

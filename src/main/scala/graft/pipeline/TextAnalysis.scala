@@ -109,6 +109,7 @@ object TextAnalysis {
         Window.partitionBy("__lang").orderBy(col("__lc").desc, col("__g"))))
       .filter(col("__r") <= topK)
       .select("__lang", "__g")
+      // driver-sized by construction: topK grams per language (the model)
       .collect()
       .groupBy(_.getString(0))
       .map { case (l, rows) => (l, rows.map(_.getString(1)).toSeq) }
@@ -539,6 +540,7 @@ object TextAnalysis {
         .orderBy(col("c").desc, col("lft"), col("rgt"))
         .limit(1)
         .as[(String, String, Long)]
+        // driver-sized by construction: limit(1) best merge pair
         .collect()
         .headOption // vocab fully collapsed → no pairs left
       top.map { case (l, r, c) =>

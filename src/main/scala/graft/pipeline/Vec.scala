@@ -125,6 +125,7 @@ object Vec {
     * [[kmeansCentroids]] for the determinism contract). */
   private def kmeansLoop(x: org.apache.spark.sql.DataFrame,
       k: Int, rounds: Int): Array[(Int, Array[Double])] = {
+    // driver-sized by construction: limit(k) rows of dim doubles
     var cents: Array[(Int, Array[Double])] = x
       .orderBy(col("__id")).limit(k).collect()
       .zipWithIndex
@@ -135,6 +136,7 @@ object Vec {
         .agg(transform(
           sort_array(collect_list(struct(col("__i"), col("__c")))),
           _.getField("__c")).as("__v"))
+        // driver-sized by construction: one row per surviving cluster (<= k)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     }

@@ -78,6 +78,9 @@ object QcFlagLog {
       winIdCol: String = QcWindows.WinIdCol,
       suffix: String = AutoSuffix): DataFrame = {
     val sfx = resolveSuffix(base, suffix)
+    // driver-sized by construction: distinct flagged-variable NAMES —
+    // schema-sized, not data-sized (each must resolve to a flag column
+    // of `base`, so the require below bounds it by base's width)
     val vars = log.select("variable").distinct().collect().map(_.getString(0))
 
     vars.foldLeft(base) { (df, v) =>

@@ -55,6 +55,19 @@ object QcPlotFeed {
     }
   }
 
+  /** Display-timezone label rendering (`tz_user`,
+    * R/qc_window_app.R:47; window header labels
+    * `format(t, "%Y-%m-%d %H:%M")` R/qc_window_app.R:339-340): the
+    * engine stores UTC; every interactive surface renders the user's
+    * zone. Adds `outCol` = the timestamp shifted into `tzUser` and
+    * formatted `yyyy-MM-dd HH:mm`. Named zones are DST-correct (the
+    * whole point of doing this with `from_utc_timestamp` rather than a
+    * fixed offset); pure projection — shuffle-free, codegen'd. */
+  def windowLabels(df: DataFrame, t: String, tzUser: String,
+      outCol: String = "t_label"): DataFrame =
+    df.withColumn(outCol,
+      date_format(from_utc_timestamp(qcol(t), tzUser), "yyyy-MM-dd HH:mm"))
+
   /** P12: row subset by brushed id set (R/qc_window_app.R:211-213). */
   def byIds(df: DataFrame, ids: Seq[Long],
       idCol: String = QcWindows.RowIdCol): DataFrame =

@@ -152,6 +152,7 @@ object QcProgress {
       hideComplete: Boolean = false,
       reporter: Reporter = Reporter.Log): DataFrame = {
     val sfx = resolveSuffix(df, suffix)
+    // driver-sized by construction: one row per checked variable
     consistency(df, vars, sfx).collect().foreach { r =>
       val v = r.getAs[String]("variable")
       if (!r.getAs[Boolean]("na_consistent"))

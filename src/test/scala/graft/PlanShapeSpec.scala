@@ -172,8 +172,24 @@ class PlanShapeSpec extends SparkSpec {
   test("bloom decontamination: confirm join broadcasts, no cross join") {
     // the final LeftAnti (corpus vs bad ids) deliberately has no
     // broadcast hint — AQE promotes it at runtime (see decontaminate's
-    // scaladoc) — so only the gram-level joins are constrained here
-    val p = plan("cur_decontam_bloom")
+    // scaladoc) — so only the gram-level joins are constrained here.
+    // eager = false: the managed path checkpoints the bad-id set,
+    // which would hide the confirm join from the visible plan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val bench = docs.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(50)) === 0)
+    val corpus = docs.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(50)) =!= 0)
+    val p = graft.pipeline.Curation
+      .decontaminateBloom(corpus, bench, "doc_id", "text", n = 5,
+        eager = false)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("BroadcastHashJoin"),
       s"confirm join must broadcast the bench grams:\n$p")
     assert(!p.contains("CartesianProduct"),

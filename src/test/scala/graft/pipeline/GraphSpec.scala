@@ -33,6 +33,22 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-3, s"mass ${got.values.sum}")
   }
 
+  test("pageRank at 50 iterations: lineage capped, values match reference") {
+    // without the periodic localCheckpoint each iteration nests another
+    // join+agg — at 50 the analyzer/optimizer cost dwarfs execution;
+    // with the cap this completes quickly and values are unchanged
+    // (per-iteration rounding makes the cut bit-exact)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"))
+    val df = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 50,
+      checkpointEvery = 10)
+    // the returned plan must be a checkpoint leaf, not 50 nested joins
+    val depth = df.queryExecution.optimizedPlan.toString
+      .linesIterator.size
+    assert(depth < 20, s"plan must be lineage-capped, got $depth nodes")
+    val got = df.as[(String, Double)].collect().toMap
+    assert(got == ref(edges, 50), s"got $got want ${ref(edges, 50)}")
+  }
+
   test("pageRank on a symmetric path gives mirror-equal ranks") {
     val got = Graph.pageRank(
         Seq(("x", "m"), ("m", "y")).toDF("src", "dst"), "src", "dst", 4)

@@ -27,6 +27,26 @@ class QcExportSpec extends SparkSpec {
     val lines = Files.readAllLines(Paths.get(manifest))
     assert(lines.size >= 4, "manifest lists csv+parquet x qc+clean data files")
     assert(lines.stream().allMatch(l => l.matches("[0-9a-f]{32}  .+")))
+    // self-verify EVERY manifest row (s8 is the one rows-only gate
+    // entry with no oracle twin — this independent recompute closes
+    // it): re-hash each listed file with MessageDigest and compare
+    import scala.jdk.CollectionConverters._
+    for (line <- lines.asScala) {
+      val (hex, rel) = (line.substring(0, 32), line.substring(34))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val got = md.digest(Files.readAllBytes(Paths.get(dir).resolve(rel)))
+        .map("%02x".format(_)).mkString
+      assert(got == hex, s"manifest md5 mismatch for $rel")
+    }
+    // and the manifest covers exactly the regular data files on disk
+    val onDisk = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => Paths.get(dir).relativize(p).toString)
+      .filterNot(n => n.endsWith("_checksums.md5") ||
+        n.split('/').last.startsWith(".") || n.endsWith("_SUCCESS"))
+      .toSet
+    assert(lines.asScala.map(_.substring(34)).toSet == onDisk,
+      "manifest rows must cover every data file, nothing else")
   }
 
   test("S3 CSV sink: ISO-8601 UTC timestamps and NA null marker round-trip") {

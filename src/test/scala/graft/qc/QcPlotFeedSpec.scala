@@ -95,6 +95,26 @@ class QcPlotFeedSpec extends SparkSpec {
     assert(kept.count() < 200, "and actually decimate (<= 4ish per bucket)")
   }
 
+  test("windowLabels: display-tz rendering is DST-correct for named zones") {
+    // US spring-forward 2024-03-10: 07:00 UTC is the EST→EDT jump, so
+    // the 02:00-02:59 local hour does not exist
+    def ts(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    val rows = Seq(
+      (0L, ts("2024-03-10T06:30:00Z")), // EST (UTC-5) → 01:30
+      (1L, ts("2024-03-10T07:30:00Z")), // EDT (UTC-4) → 03:30, never 02:30
+      (2L, ts("2024-07-01T12:00:00Z")) // deep summer, EDT → 08:00
+    ).toDF("id", "t")
+    val labels = QcPlotFeed.windowLabels(rows, "t", "America/New_York")
+      .orderBy("id").select("t_label").as[String].collect().toSeq
+    assert(labels == Seq(
+      "2024-03-10 01:30", "2024-03-10 03:30", "2024-07-01 08:00"))
+    // and a fixed-offset zone renders as a plain shift
+    val off = QcPlotFeed.windowLabels(rows, "t", "+05:30", "lbl")
+      .orderBy("id").select("lbl").as[String].collect().toSeq
+    assert(off.head == "2024-03-10 12:00")
+  }
+
   test("U1 rawCleanUnion doubles rows with panel discriminator and strict mask") {
     val u = QcPlotFeed.rawCleanUnion(df)
     assert(u.count() == 8)
