@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.qc._
 import graft.pipeline._
@@ -816,6 +817,26 @@ object SparkEntry {
         .select(unix_timestamp(col("win.start")).as("win_start_s"), n, est)
         .orderBy("win_start_s")
     }),
+    "stream_topk" -> ((s, dir) => {
+      // windowed top-k: the heavy-hitter dashboard shape — a
+      // watermarked per-(window, type) count is the only STREAMING
+      // state; the rank over the drained (windows x types)-sized
+      // result is batch work on a tiny table
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "48 hours")
+        .groupBy(window(col("ts"), "24 hours").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      drainToTable(s, agg, "complete", "stream_topk")
+        .select(unix_timestamp(col("win.start")).as("win_start_s"),
+          col("event_type"), col("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("win_start_s")
+            .orderBy(col("n").desc, col("event_type"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("win_start_s", "rk", "event_type", "n")
+        .orderBy("win_start_s", "rk")
+    }),
     "stream_expectations" -> ((s, dir) => {
       // the expectations gate as a STREAMING monitor: per-day
       // windowed violation counters — same one-aggregate shape, state
@@ -980,6 +1001,18 @@ object SparkEntry {
           round(col("__s.est_b"), 6).as("est_b"),
           round(col("__s.est_union"), 6).as("est_union"),
           round(col("__s.est_intersection"), 6).as("est_intersection"))
+    }),
+    "sketch_hll" -> ((s, dir) => {
+      // HyperLogLog distinct users per event type + overall: fixed
+      // 256-register state per group at any cardinality; the 'ALL'
+      // row rides the same aggregate via an input union (a global HLL
+      // is NOT the sum of per-group HLLs — users appear in many types)
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      Sketch.hllEstimate(
+          ev.unionByName(
+            ev.select(lit("ALL").as("event_type"), col("user_id"))),
+          "user_id", Seq("event_type"), p = 8)
+        .orderBy("event_type")
     }),
     "sketch_cms" -> ((s, dir) => {
       // count-min sketch of per-user event counts (4 rows x 256 cells
@@ -1624,6 +1657,13 @@ object SparkEntry {
         .select(col("vec_id"),
           round(Vec.norm(col("embedding")), 6).as("norm"))
         .orderBy("vec_id")),
+    "embed_whiten" -> ((s, dir) =>
+      // per-dimension standardization (whitening): dim-sized stats
+      // broadcast back over the exploded corpus; 6-dp rounds on mu and
+      // sigma BEFORE z keep the result engine-exact
+      Vec.whiten(embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("i").cast("long").as("i"), col("z"))
+        .orderBy("vec_id", "i")),
 
     // --- LLM pipeline: text analysis ---------------------------------
     "text_tokens" -> ((s, dir) =>
@@ -1864,6 +1904,21 @@ object SparkEntry {
         .select(col("doc_id"), col("bench_id"), col("n_matched"))
         .orderBy("doc_id", "bench_id")
     }),
+    "cur_contam_report" -> ((s, dir) => {
+      // per-benchmark-doc leakage audit: every bench doc appears, clean
+      // ones with zeros — proves the benchmark clean, not just lists
+      // the dirty rows
+      val (corpus, bench) = decontamFixture(s, dir)
+      Curation.contaminationReport(corpus, bench, "doc_id", "text", n = 5)
+        .orderBy("bench_id")
+    }),
+    "cur_shuffle" -> ((s, dir) =>
+      // deterministic training-order shuffle: md5(seed|id)-ranged sort
+      // + pure-Catalyst zipWithIndex — same epoch order on any engine
+      // or partition layout
+      Curation.shuffleOrder(documents(s, dir), "doc_id", "ep0")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id")),
     "cur_split" -> ((s, dir) =>
       Curation.withSplit(documents(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -2736,6 +2791,43 @@ object SparkEntry {
         |    ELSE CAST(ix.m AS DOUBLE) / 64.0 * eu.e END, 6)
         |    AS est_intersection
         |FROM ea, eb, eu, ix""".stripMargin,
+    // rebuild the identical 256-register HLL from the same md5-60-bit
+    // hash family: register = low 8 bits, rank = leading zeros of the
+    // high 52 bits + 1 via length(bin(...)); the harmonic sum is exact
+    // integer arithmetic (powers of two scaled by 2^53) so no float
+    // summation-order drift can surface
+    "sketch_hll" ->
+      """WITH base AS (
+        |  SELECT event_type, user_id FROM events
+        |  UNION ALL SELECT 'ALL', user_id FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM base),
+        |b AS (
+        |  SELECT event_type, h % 256 AS idx,
+        |    CASE WHEN (h >> 8) = 0 THEN 53
+        |         ELSE 53 - length(bin(h >> 8)) END AS rho
+        |  FROM r),
+        |reg AS (SELECT event_type, idx, max(rho) AS m FROM b GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS present,
+        |    sum(1::BIGINT << (53 - m)) AS s_present
+        |  FROM reg GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    CAST(256 - present AS BIGINT) AS v,
+        |    CAST(s_present + (256 - present) * (1::BIGINT << 53)
+        |      AS DOUBLE) AS s
+        |  FROM agg)
+        |SELECT event_type,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0 / s <= 640.0 AND v > 0
+        |    THEN 256.0 * ln(256.0 / v)
+        |    ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0 / s END, 6) AS hll_est
+        |FROM est ORDER BY event_type""".stripMargin,
     // rebuild the identical d=4 x w=256 sketch from the same
     // md5-60-bit hash family, then min over rows per key
     "sketch_cms" ->
@@ -3048,6 +3140,19 @@ object SparkEntry {
         |SELECT win_start_s, event_type, min(coalesce(cnt, 0)) AS cms_est
         |FROM keypos LEFT JOIN cells USING (win_start_s, row, pos)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+        |      AS win_start_s,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT win_start_s, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY win_start_s
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT win_start_s, rk, event_type, n FROM r WHERE rk <= 3
+        |ORDER BY win_start_s, rk""".stripMargin,
     "stream_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT
@@ -3986,6 +4091,22 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // mu/sigma rounded to 6 dp BEFORE z, z rounded after — mirrors the
+    // engine's cross-float-drift recipe exactly
+    "embed_whiten" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT i, round(avg(x), 6) AS mu,
+        |    round(stddev_pop(x), 6) AS sigma
+        |  FROM x GROUP BY 1)
+        |SELECT vec_id, i,
+        |  CASE WHEN sigma = 0 THEN 0.0
+        |       ELSE round((x - mu) / sigma, 6) END AS z
+        |FROM x JOIN st USING (i)
+        |ORDER BY vec_id, i""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text,
@@ -4589,6 +4710,50 @@ object SparkEntry {
         |FROM cg JOIN bg USING (g)
         |GROUP BY 1, 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+    // cur_decontam's CTEs aggregated per benchmark doc, LEFT-joined
+    // back to the full bench id set so clean docs report zeros
+    "cur_contam_report" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |btok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM ctok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bg AS (
+        |  SELECT DISTINCT doc_id AS bench_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM btok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |pairs AS (
+        |  SELECT cg.doc_id, bg.bench_id, count(DISTINCT cg.g) AS n_matched
+        |  FROM cg JOIN bg USING (g) GROUP BY 1, 2),
+        |hit AS (
+        |  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |    CAST(max(n_matched) AS BIGINT) AS max_matched
+        |  FROM pairs GROUP BY 1)
+        |SELECT b.doc_id AS bench_id,
+        |  coalesce(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+        |  coalesce(max_matched, CAST(0 AS BIGINT)) AS max_matched
+        |FROM bench b LEFT JOIN hit ON b.doc_id = hit.bench_id
+        |ORDER BY bench_id""".stripMargin,
+    "cur_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('ep0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "cur_split" ->
       """SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'

@@ -91,6 +91,61 @@ object Curation {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Per-benchmark-document contamination coverage — the audit twin of
+    * [[decontaminate]] (which answers "what do I drop"; this answers
+    * "how leaked is each eval doc"): for every benchmark document, how
+    * many corpus documents share ≥ `minMatches` n-grams with it, and
+    * the worst single overlap. Benchmark docs with NO contamination
+    * appear with zeros (a leakage report that silently omits the clean
+    * rows can't prove a benchmark is clean).
+    *
+    * Scale shape: [[contaminatedPairs]]' broadcast-join aggregation,
+    * then a bench-keyed rollup of the (tiny) pair table, right-joined
+    * back to the bench ids — all post-aggregation work is
+    * benchmark-sized. */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minMatches: Int = 1): DataFrame = {
+    val pairs =
+      contaminatedPairs(corpus, bench, idCol, textCol, n, minMatches)
+    val hit = pairs.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("n_matched")).as("max_matched"))
+    bench.select(col(idCol).as("bench_id"))
+      .join(hit, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("max_matched"), lit(0L)).as("max_matched"))
+  }
+
+  /** Deterministic global training-order shuffle: rows ordered by
+    * `md5(seed ‖ key)` — the same order on every run, engine, and
+    * partition layout (unlike `orderBy(rand(seed))`, whose sample
+    * depends on partition layout), with `outCol` = 0-based position.
+    * Different seeds give independent epoch orders.
+    *
+    * Scale shape: a training-order shuffle IS a global sort — but over
+    * the md5 column it is a range-partitioned sort (every partition
+    * sorts in parallel after a sampled range exchange), and the
+    * position assignment rides [[graft.qc.QcWindows.withRowId]]'s
+    * pure-Catalyst zipWithIndex: per-partition numbering + a
+    * partition-count-sized offset catalog. No single-partition stage
+    * at any size. */
+  def shuffleOrder(
+      df: DataFrame,
+      keyCol: String,
+      seed: String,
+      outCol: String = "shuffle_pos"): DataFrame =
+    graft.qc.QcWindows.withRowId(
+      df.withColumn("__shuffle_key",
+        md5Hex(concat(lit(seed), lit("|"), col(keyCol).cast("string")))),
+      Seq("__shuffle_key", keyCol), outCol)
+      .drop("__shuffle_key")
+
   /** (id, xxhash64(n-gram)) pairs — the shared kernel under both
     * decontamination paths. */
   private def gramHashes(

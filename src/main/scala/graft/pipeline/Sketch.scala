@@ -266,6 +266,73 @@ object Sketch {
           ((col("__hi") - col("__lo")) / nBins)).as("quantile")): _*)
   }
 
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al.
+    * 2007) — the fixed-size companion to [[kmv]]: where KMV keeps the
+    * k smallest hashes, HLL keeps one max-rank byte per register
+    * (`2^p` registers), so the shuffle carries ≤ `2^p` rows per group
+    * per partition regardless of cardinality, with relative error
+    * ~`1.04/sqrt(2^p)` at ANY scale (KMV's error grows once n >> k).
+    *
+    * Fully deterministic and cross-engine replayable:
+    *  - hash = [[hash60]] (md5-based — any SQL engine reproduces it);
+    *  - register = low `p` bits, rank = leading zeros of the high
+    *    `60-p` bits + 1, computed via `length(bin(...))` (identical
+    *    string semantics in Spark and DuckDB — no clz builtin needed);
+    *  - the harmonic sum `Σ 2^-M_j` is scaled by `2^(61-p)` and summed
+    *    in EXACT integer arithmetic (every term is a power of two
+    *    ≤ 2^(60-p); `2^p` terms stay under 2^61 — no ANSI overflow),
+    *    so it is immune to float summation-order drift; the only
+    *    float ops are one division and the small-range `ln`, both on
+    *    identical inputs in either engine;
+    *  - small-range correction: linear counting `m·ln(m/V)` when the
+    *    raw estimate ≤ 2.5m and V (empty registers) > 0, as in the
+    *    original paper.
+    *
+    * Scale shape: two hash aggregates with map-side combine —
+    * (group, register) max-rank, then per-group integer sum. Nothing
+    * is ever collected; state is O(2^p) per group. */
+  def hllEstimate(
+      df: DataFrame, keyCol: String, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, "hllEstimate: p must be in [4, 14]")
+    val m = 1 << p
+    val wBits = 60 - p // suffix bits feeding the rank
+    val rhoMax = wBits + 1 // rank when the whole suffix is zero
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val gcols = groupCols.map(col)
+    val h = hash60(col(keyCol))
+    val idx = pmod(h, lit(m)) // low p bits: register index
+    val w = shiftright(h, p) // high 60-p bits: rank source
+    val rho = when(w === 0, lit(rhoMax))
+      .otherwise(lit(rhoMax) - length(bin(w)))
+    val regs = df
+      .select(gcols :+ idx.as("__idx") :+ rho.as("__rho"): _*)
+      .groupBy(gcols :+ col("__idx"): _*)
+      .agg(max(col("__rho")).as("__m"))
+    regs
+      .groupBy(gcols: _*)
+      .agg(
+        count(lit(1)).as("__present"),
+        // exact: each term is 2^(rhoMax - M_j), a long
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - __m)"))
+          .as("__s_present"))
+      .select(gcols ++ Seq(
+        (lit(m) - col("__present")).cast("long").as("__v"),
+        (col("__s_present") +
+          (lit(m.toLong) - col("__present")) *
+            lit(1L << rhoMax)).cast("double").as("__s")): _*)
+      .select(gcols :+
+        round(
+          when(
+            lit(alpha * m.toDouble * m.toDouble) *
+              lit(math.pow(2.0, rhoMax)) / col("__s") <= lit(2.5 * m) &&
+              col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(lit(alpha * m.toDouble * m.toDouble) *
+              lit(math.pow(2.0, rhoMax)) / col("__s")),
+          6).as("hll_est"): _*)
+  }
+
   /** Point-query the sketch: for each key in `keys`, the estimate is
     * `min` over the `d` rows of that key's cell count — an upper
     * bound on the true frequency (CMS never underestimates; the

@@ -342,6 +342,35 @@ object Vec {
     * a second (id, label)-keyed aggregate with map-side combine. The
     * corpus is scanned twice, shuffled only as ×dim partial-aggregate
     * output — never joined against itself. */
+  /** Per-dimension whitening (standardization): `z = (x − μ_i) / σ_i`
+    * with corpus-wide per-dimension mean and POPULATION stddev — the
+    * embedding normalization step before cosine/PQ work when dims have
+    * wildly different scales. Output: one (`idCol`, `i`, `z`) row per
+    * vector component. Constant dimensions (σ = 0) whiten to 0 rather
+    * than dividing (ANSI mode would abort; DuckDB would yield NULL).
+    *
+    * Determinism (cross-engine): μ and σ are ROUNDED to 6 dp before
+    * the z computation and z is rounded after — the k-means recipe —
+    * so float summation-order drift between engines cannot surface.
+    *
+    * Scale shape: one (dimension)-keyed aggregate with map-side
+    * combine (dim-sized result), broadcast back onto the exploded
+    * corpus — the corpus is never self-joined and nothing data-sized
+    * reaches the driver. */
+  def whiten(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String): org.apache.spark.sql.DataFrame = {
+    val x = df.select(col(idCol), posexplode(d(col(vecCol))).as(Seq("i", "x")))
+    val stats = x.groupBy(col("i")).agg(
+      round(avg(col("x")), 6).as("__mu"),
+      round(stddev_pop(col("x")), 6).as("__sigma"))
+    x.join(broadcast(stats), Seq("i"))
+      .select(col(idCol), col("i"),
+        when(col("__sigma") === 0, lit(0.0))
+          .otherwise(round((col("x") - col("__mu")) / col("__sigma"), 6))
+          .as("z"))
+  }
+
   def centroidCosines(
       df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {

@@ -323,4 +323,64 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, "same"), (2L, "changed"), (3L, "same"),
       (4L, "removed"), (5L, "added")), s"got $got")
   }
+
+  test("tableDiff: null-position swaps classify 'changed', not 'same'") {
+    // concat_ws SKIPS nulls — without per-column null encoding,
+    // (x, null) and (null, x) hash identically
+    val a = Seq((1L, Some("x"), None: Option[String])).toDF("k", "v", "w")
+    val b = Seq((1L, None: Option[String], Some("x"))).toDF("k", "v", "w")
+    val got = Curation.tableDiff(a, b, Seq("k"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "changed")), s"got $got")
+    // and a VALUE equal to the null sentinel char still differs from an
+    // actual null in the other column (the 'v' prefix disambiguates)
+    val c = Seq((1L, Some(""), None: Option[String])).toDF("k", "v", "w")
+    val d = Seq((1L, None: Option[String], Some(""))).toDF("k", "v", "w")
+    assert(Curation.tableDiff(c, d, Seq("k"))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "changed")))
+  }
+
+  test("contaminationReport: clean bench docs report zeros, dirty ones roll up") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "never seen in any corpus document text")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "xx alpha beta gamma delta epsilon zeta yy"), // hits 1
+      (11L, "alpha beta gamma delta epsilon zeta"),       // hits 1
+      (12L, "one two three four five six")                // hits 2
+    ).toDF("doc_id", "text")
+    val got = Curation
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 5)
+      .orderBy("bench_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 1: two corpus docs; (10) shares grams of the 6-token window
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == 2L && got(1)._2 == 1L, s"got $got")
+    assert(got(2) == ((3L, 0L, 0L)), s"clean doc must report zeros: $got")
+    // the report's nonzero rows agree with contaminatedPairs
+    val pairs = Curation
+      .contaminatedPairs(corpus, bench, "doc_id", "text", n = 5)
+      .groupBy("bench_id").count().as[(Long, Long)].collect().toMap
+    got.filter(_._2 > 0).foreach { case (b, n, _) =>
+      assert(pairs(b) == n)
+    }
+  }
+
+  test("shuffleOrder: a deterministic permutation, seed-sensitive, layout-free") {
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def posMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val p1 = posMap(Curation.shuffleOrder(docs, "doc_id", "ep0"))
+    // a bijection onto 0..n-1
+    assert(p1.values.toSeq.sorted == (0L until 500L))
+    // stable across runs and partition layouts
+    val p2 = posMap(Curation.shuffleOrder(docs.repartition(13), "doc_id", "ep0"))
+    assert(p1 == p2, "order must not depend on layout")
+    // a different seed gives a (near-certainly) different epoch order
+    val p3 = posMap(Curation.shuffleOrder(docs, "doc_id", "ep1"))
+    assert(p1 != p3, "seeds must decorrelate epochs")
+    // and it is not the identity order
+    assert(p1.exists { case (id, pos) => id != pos })
+  }
 }

@@ -23,6 +23,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(same - 1.0) < 1e-12)
   }
 
+  test("Vec.whiten: per-dim mean 0 / stddev 1; constant dims whiten to 0") {
+    val df = Seq(
+      (0L, Array(1.0f, 10.0f, 5.0f)),
+      (1L, Array(2.0f, 20.0f, 5.0f)),
+      (2L, Array(3.0f, 30.0f, 5.0f)),
+      (3L, Array(4.0f, 40.0f, 5.0f))
+    ).toDF("id", "v")
+    val z = Vec.whiten(df, "id", "v")
+    val stats = z.groupBy("i")
+      .agg(avg(col("z")).as("m"), stddev_pop(col("z")).as("s"))
+      .orderBy("i").as[(Int, Double, Double)].collect().toSeq
+    for ((i, m, s) <- stats.take(2)) {
+      assert(math.abs(m) < 1e-6, s"dim $i mean $m")
+      assert(math.abs(s - 1.0) < 1e-4, s"dim $i std $s")
+    }
+    // dim 2 is constant: sigma = 0 must yield z = 0, never a division
+    val (_, m2, s2) = stats(2)
+    assert(m2 == 0.0 && s2 == 0.0, "constant dim whitens to exactly 0")
+    // equal z-profiles across proportional dims (0 and 1 are scalings)
+    val z0 = z.filter(col("i") === 0).orderBy("id").select("z").as[Double].collect().toSeq
+    val z1 = z.filter(col("i") === 1).orderBy("id").select("z").as[Double].collect().toSeq
+    assert(z0 == z1, "whitening is scale-invariant per dimension")
+  }
+
   test("bruteTopK (bounded-heap aggregator) == bruteTopKWindow (window rank)") {
     val probes = emb.filter(col("vec_id") < 5)
     val viaWin = Similarity.bruteTopKWindow(emb, probes, "vec_id", "embedding", 7)

@@ -155,4 +155,36 @@ class SketchSpec extends SparkSpec {
       .select("cms_est").as[Long].collect()
     assert(tight.forall(_ == 21L), s"got ${tight.toSeq}")
   }
+
+  test("hllEstimate: within HLL error across regimes, duplicate-blind, layout-free") {
+    // p=8 → 256 registers → typical relative error ~1.04/16 ≈ 6.5%;
+    // assert a generous 3-sigma 20% across linear-counting (n < 640)
+    // and raw regimes
+    for (n <- Seq(100, 1000, 20000)) {
+      val df = (0 until n).map(i => s"k$i").toDF("k")
+      val est = Sketch.hllEstimate(df, "k", Nil)
+        .select("hll_est").as[Double].head()
+      assert(math.abs(est - n) / n < 0.20, s"n=$n est=$est")
+    }
+    // duplicates do not move the estimate; neither does layout
+    val dup = (0 until 1000).flatMap(i => Seq.fill(7)(s"k$i")).toDF("k")
+    val e1 = Sketch.hllEstimate(dup, "k", Nil)
+      .select("hll_est").as[Double].head()
+    val e2 = Sketch.hllEstimate(
+        (0 until 1000).map(i => s"k$i").toDF("k").repartition(17), "k", Nil)
+      .select("hll_est").as[Double].head()
+    assert(e1 == e2, "hash sketch must be a pure function of the key set")
+  }
+
+  test("hllEstimate grouped: per-group independence, same answer as separate runs") {
+    val df = (0 until 3000).map(i => (s"g${i % 3}", s"k${i / (1 + i % 3)}"))
+      .toDF("grp", "k")
+    val grouped = Sketch.hllEstimate(df, "k", Seq("grp"))
+      .orderBy("grp").as[(String, Double)].collect().toSeq
+    for ((g, est) <- grouped) {
+      val alone = Sketch.hllEstimate(df.filter(col("grp") === g), "k", Nil)
+        .select("hll_est").as[Double].head()
+      assert(est == alone, s"group $g: $est != $alone")
+    }
+  }
 }
