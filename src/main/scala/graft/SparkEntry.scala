@@ -1067,12 +1067,20 @@ object SparkEntry {
       // PageRank over the customer-supplier bipartite graph (edge:
       // customer ordered a part this supplier shipped) — 5 exact
       // deterministic iterations, each O(|edges|) keyed join + sum
+      // iterate on LONG node ids (even = customer, odd = supplier) and
+      // re-stringify once at the end: 5 iterations of join+groupBy on
+      // 8-byte keys instead of strings — same graph, same ranks
       val edges = s.read.parquet(s"$dir/orders.parquet")
         .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      Graph.pageRank(edges, "src", "dst", iters = 5).orderBy("node")
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(concat(
+            when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("s")),
+            (col("node") / 2).cast("long")).as("node"),
+          col("r"))
+        .orderBy("node")
     }),
     "ivm_merge" -> ((s, dir) => {
       // incremental view maintenance: the standing per-user rollup
