@@ -646,6 +646,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy("event_type")
     }),
+    "s14_bucket_join" -> ((s, dir) => {
+      // bucketed-layout co-located join: both fact tables are written
+      // bucketBy(orderkey) (DROP + overwrite keeps bench reps clean),
+      // so the hinted sort-merge join reads bucket-aligned sorted
+      // files with NO exchange and NO sort on either side — the
+      // layout-as-index pattern that turns a 100 TB fact-fact join
+      // from a full shuffle into local merges. PlanShapeSpec asserts
+      // the exchange-free join.
+      val wh = scratch("s14")
+      s.sql("DROP TABLE IF EXISTS g_orders_b")
+      s.sql("DROP TABLE IF EXISTS g_lineitem_b")
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b").saveAsTable("g_orders_b")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").saveAsTable("g_lineitem_b")
+      s.table("g_orders_b").hint("merge")
+        .join(s.table("g_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
     "s13_orc_source" -> ((s, dir) => {
       // ORC roundtrip — the fourth source/sink format (parquet, csv,
       // json, orc): columnar like parquet, so projection pushdown
@@ -815,6 +844,26 @@ object SparkEntry {
       val (n, est) = Sketch.kmvEstimate(col("__kmv"), 64)
       drainToTable(s, agg, "complete", "stream_kmv")
         .select(unix_timestamp(col("win.start")).as("win_start_s"), n, est)
+        .orderBy("win_start_s")
+    }),
+    "stream_hll" -> ((s, dir) => {
+      // HLL registers as STREAMING state: register-max is mergeable
+      // (commutative, associative, idempotent), so the per-(window,
+      // register) max-rank rides ONE watermarked streaming aggregate
+      // with <= 256 rows of state per window; the harmonic
+      // finalization is batch arithmetic on the drained register
+      // catalog — the mergeable-sketch pattern KMV uses, at fixed
+      // state even for billion-user windows
+      val regs = Sketch.hllRegisters(
+        eventsStream(s, dir)
+          .withWatermark("ts", "48 hours")
+          .withColumn("win", window(col("ts"), "24 hours"))
+          .select(col("win"), col("user_id")),
+        "user_id", Seq("win"))
+      Sketch.hllFinalize(
+          drainToTable(s, regs, "complete", "stream_hll"), Seq("win"))
+        .select(unix_timestamp(col("win.start")).as("win_start_s"),
+          col("hll_est"))
         .orderBy("win_start_s")
     }),
     "stream_topk" -> ((s, dir) => {
@@ -1081,6 +1130,27 @@ object SparkEntry {
             (col("node") / 2).cast("long")).as("node"),
           col("r"))
         .orderBy("node")
+    }),
+    "ts_new_users" -> ((s, dir) => {
+      // daily active / new / cumulative-distinct users: first-seen day
+      // per user (one keyed aggregate) turns cumulative COUNT DISTINCT
+      // — which no engine windows cheaply — into a running SUM over
+      // the day catalog; the only global window runs on that
+      // catalog-sized result, never the data
+      val ev = events(s, dir).select(
+        (floor(unix_timestamp(col("ts")) / 86400) * 86400)
+          .cast("long").as("day"),
+        col("user_id")).distinct()
+      val active = ev.groupBy("day").agg(count(lit(1)).as("n_active"))
+      val news = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      active.join(news, Seq("day"), "left_outer")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
     }),
     "ivm_merge" -> ((s, dir) => {
       // incremental view maintenance: the standing per-user rollup
@@ -2538,6 +2608,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the bucketed layout changes the PLAN, not the answer: the oracle
+    // is the plain join aggregate
+    "s14_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s7_dual_export" ->
       s"""$SeededCte
          |SELECT * FROM (
@@ -3148,6 +3225,58 @@ object SparkEntry {
         |SELECT win_start_s, event_type, min(coalesce(cnt, 0)) AS cms_est
         |FROM keypos LEFT JOIN cells USING (win_start_s, row, pos)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // batch replay of the streaming register pipeline — same md5 hash
+    // family, same exact-integer harmonic sum as sketch_hll, per day
+    "stream_hll" ->
+      """WITH r AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+        |      AS win_start_s,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (
+        |  SELECT win_start_s, h % 256 AS idx,
+        |    CASE WHEN (h >> 8) = 0 THEN 53
+        |         ELSE 53 - length(bin(h >> 8)) END AS rho
+        |  FROM r),
+        |reg AS (
+        |  SELECT win_start_s, idx, max(rho) AS m FROM b GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT win_start_s, count(*) AS present,
+        |    sum(1::BIGINT << (53 - m)) AS s_present
+        |  FROM reg GROUP BY 1),
+        |est AS (
+        |  SELECT win_start_s,
+        |    CAST(256 - present AS BIGINT) AS v,
+        |    CAST(s_present + (256 - present) * (1::BIGINT << 53)
+        |      AS DOUBLE) AS s
+        |  FROM agg)
+        |SELECT win_start_s,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0 / s <= 640.0 AND v > 0
+        |    THEN 256.0 * ln(256.0 / v)
+        |    ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |      * 9007199254740992.0 / s END, 6) AS hll_est
+        |FROM est ORDER BY win_start_s""".stripMargin,
+    "ts_new_users" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT
+        |    CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day,
+        |    user_id
+        |  FROM events),
+        |act AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM ev GROUP BY 1),
+        |fst AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+        |nw AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fst GROUP BY 1)
+        |SELECT act.day, n_active,
+        |  coalesce(n_new, CAST(0 AS BIGINT)) AS n_new,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY act.day)
+        |    AS BIGINT) AS cum_users
+        |FROM act LEFT JOIN nw USING (day)
+        |ORDER BY day""".stripMargin,
     "stream_topk" ->
       """WITH c AS (
         |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)

@@ -293,22 +293,41 @@ object Sketch {
     * is ever collected; state is O(2^p) per group. */
   def hllEstimate(
       df: DataFrame, keyCol: String, groupCols: Seq[String],
+      p: Int = 8): DataFrame =
+    hllFinalize(hllRegisters(df, keyCol, groupCols, p), groupCols, p)
+
+  /** The (group, register)-max-rank table behind [[hllEstimate]] —
+    * exposed because this aggregate is the sketch's MERGEABLE state:
+    * register max is commutative/associative/idempotent, so it can
+    * ride a watermarked STREAMING aggregate (or a partial per-shard
+    * pass later unioned), with [[hllFinalize]] run in batch over the
+    * drained register table. Output: groupCols..., `__idx`, `__m`. */
+  def hllRegisters(
+      df: DataFrame, keyCol: String, groupCols: Seq[String],
       p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 14, "hllEstimate: p must be in [4, 14]")
+    require(p >= 4 && p <= 14, "hllRegisters: p must be in [4, 14]")
     val m = 1 << p
-    val wBits = 60 - p // suffix bits feeding the rank
-    val rhoMax = wBits + 1 // rank when the whole suffix is zero
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val rhoMax = 60 - p + 1 // rank when the whole suffix is zero
     val gcols = groupCols.map(col)
     val h = hash60(col(keyCol))
     val idx = pmod(h, lit(m)) // low p bits: register index
     val w = shiftright(h, p) // high 60-p bits: rank source
     val rho = when(w === 0, lit(rhoMax))
       .otherwise(lit(rhoMax) - length(bin(w)))
-    val regs = df
-      .select(gcols :+ idx.as("__idx") :+ rho.as("__rho"): _*)
+    df.select(gcols :+ idx.as("__idx") :+ rho.as("__rho"): _*)
       .groupBy(gcols :+ col("__idx"): _*)
       .agg(max(col("__rho")).as("__m"))
+  }
+
+  /** Per-group estimate from a [[hllRegisters]] table (absent
+    * registers count as empty). */
+  def hllFinalize(
+      regs: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, "hllFinalize: p must be in [4, 14]")
+    val m = 1 << p
+    val rhoMax = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val gcols = groupCols.map(col)
     regs
       .groupBy(gcols: _*)
       .agg(

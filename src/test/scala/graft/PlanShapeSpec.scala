@@ -206,6 +206,18 @@ class PlanShapeSpec extends SparkSpec {
       s"prefix filtering must never go quadratic:\n$p")
   }
 
+  test("bucketed join: co-located, no exchange on the join keys") {
+    // both sides are written bucketBy(8, orderkey), so the hinted
+    // sort-merge join must consume bucket-aligned scans directly —
+    // any Exchange on an orderkey means the layout was ignored and a
+    // 100 TB join would re-shuffle both facts
+    val p = physical("s14_bucket_join")
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not shuffle the facts:\n$p")
+  }
+
   test("q17: the per-part aggregate broadcasts back onto the fact") {
     val p = plan("q17_small_qty")
     assert(p.contains("BroadcastHashJoin"),
