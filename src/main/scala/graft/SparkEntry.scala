@@ -1742,6 +1742,13 @@ object SparkEntry {
       Vec.whiten(embeddings(s, dir), "vec_id", "embedding")
         .select(col("vec_id"), col("i").cast("long").as("i"), col("z"))
         .orderBy("vec_id", "i")),
+    "embed_pca" -> ((s, dir) =>
+      // top principal component by power iteration: one distributed
+      // covariance pass, then a model-sized (d^2 doubles) driver loop
+      // whose every step is 6-dp rounded so the oracle replays it
+      Vec.topComponent(embeddings(s, dir), "vec_id", "embedding",
+          iters = 8)
+        .orderBy("dim")),
 
     // --- LLM pipeline: text analysis ---------------------------------
     "text_tokens" -> ((s, dir) =>
@@ -4228,6 +4235,50 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // replay of the power iteration: identical 6-dp rounds at every
+    // step (moments, covariance, matvec, norm, normalize), 8 unrolled
+    // iteration CTEs
+    "embed_pca" -> {
+      // exact micro-unit integer replay (see Vec.topComponent's
+      // scaladoc): one float quantization at the covariance, then
+      // every iteration value is an integer-valued DOUBLE < 2^53 —
+      // sums are exact in any order, divisions are correctly rounded
+      // from identical inputs, so floor() agrees bit-for-bit
+      def step(k: Int): String =
+        s"""w$k AS (
+           |  SELECT c.i,
+           |    floor((2.0 * sum(c.cm * v${k - 1}.vm) + 1000000.0)
+           |      / 2000000.0) AS wm
+           |  FROM c JOIN v${k - 1} ON c.j = v${k - 1}.i GROUP BY 1),
+           |n$k AS (
+           |  SELECT floor(sqrt(sum(wm * wm)) + 0.5) AS nm FROM w$k),
+           |v$k AS (
+           |  SELECT i, floor((2.0 * wm * 1000000.0 + nm) / (2.0 * nm))
+           |    AS vm
+           |  FROM w$k, n$k),""".stripMargin
+      s"""WITH x AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |exx AS (
+         |  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exx
+         |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+         |mu AS (SELECT i, avg(x) AS mu FROM x GROUP BY 1),
+         |c AS (
+         |  SELECT exx.i, exx.j,
+         |    floor((exx - ma.mu * mb.mu) * 1000000.0 + 0.5) AS cm
+         |  FROM exx JOIN mu ma ON exx.i = ma.i JOIN mu mb ON exx.j = mb.i),
+         |dd AS (SELECT count(*) AS d FROM mu),
+         |v0 AS (
+         |  SELECT i, floor(1000000.0 / sqrt(CAST(d AS DOUBLE)) + 0.5)
+         |    AS vm
+         |  FROM mu, dd),
+         |${(1 to 8).map(step).mkString("\n")}
+         |fin AS (SELECT 1)
+         |SELECT CAST(v8.i AS BIGINT) AS dim, v8.vm / 1000000.0 AS v,
+         |  n8.nm / 1000000.0 AS eigenvalue
+         |FROM v8, n8 ORDER BY dim""".stripMargin
+    },
     // mu/sigma rounded to 6 dp BEFORE z, z rounded after — mirrors the
     // engine's cross-float-drift recipe exactly
     "embed_whiten" ->

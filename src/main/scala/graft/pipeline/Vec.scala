@@ -371,6 +371,80 @@ object Vec {
           .as("z"))
   }
 
+  /** Top principal component of an embedding column via power
+    * iteration — PCA's first axis, computed the way 100 TB allows:
+    * ONE distributed pass builds the d×d second-moment/covariance
+    * matrix (the exploded self-join on row id is co-partitioned; the
+    * (i, j)-keyed mean partial-aggregates map-side, so the shuffle
+    * carries d² cells per partition, never rows), and the iteration
+    * itself runs on the COLLECTED matrix — model-sized by
+    * construction (d² doubles, kilobytes), like every centroid/
+    * codebook loop in this file.
+    *
+    * Deterministic and cross-engine replayable — and NOT via 6-dp
+    * float rounding: the iteration's values live on a coarse decimal
+    * grid, so rounding inputs land EXACTLY on .5 boundaries where an
+    * ulp of float-summation noise decides the side (observed live).
+    * Instead the whole iteration runs in exact integer arithmetic on
+    * micro-units (×1e6), carried as integer-valued doubles: integer
+    * adds/multiplies below 2^53 are exact in ANY order, so both
+    * engines compute bit-identical values at every step. Floats are
+    * quantized exactly once — covariance cells
+    * `cm = floor((E[x_i·x_j] − mu_i·mu_j)·1e6 + 0.5)` — where values
+    * are corpus statistics, not grid points, so the boundary
+    * probability is the same negligible one every avg-based oracle
+    * carries. Per iteration (b > 0 division as
+    * `round_half_up(a/b) = floor((2a+b)/(2b))`, exact-input correctly
+    * rounded → engine-identical):
+    *  - `wm_i = round_half_up(Σ_j cm_ij·vm_j / 1e6)`
+    *  - `nm = floor(√(Σ wm²) + 0.5)`
+    *  - `vm_i = round_half_up(wm_i·1e6 / nm)`
+    * Final `v = vm/1e6`, `eigenvalue = nm/1e6` (‖Cv‖ with ‖v‖ = 1).
+    *
+    * Output: one row per dimension — (`dim`, `v`, `eigenvalue`). */
+  def topComponent(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, iters: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1, "topComponent: iters >= 1")
+    val e = df.select(col(idCol).as("__id"),
+      posexplode(d(col(vecCol))).as(Seq("i", "xi")))
+    val e2 = e.select(col("__id"), col("i").as("j"), col("xi").as("xj"))
+    val moments = e.join(e2, "__id")
+      .groupBy(col("i"), col("j"))
+      .agg(avg(col("xi") * col("xj")).as("__exx"))
+    // driver-sized by construction: d² second-moment cells + d means
+    val exx = moments.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // driver-sized by construction: d per-dimension means
+    val mu = e.groupBy(col("i")).agg(avg(col("xi")).as("__mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = mu.size
+    // the ONE float→grid quantization; everything after is exact
+    val cm = Array.tabulate(dim, dim)((i, j) =>
+      math.floor((exx((i, j)) - mu(i) * mu(j)) * 1e6 + 0.5))
+    var vm = Array.fill(dim)(math.floor(1e6 / math.sqrt(dim.toDouble) + 0.5))
+    var nm = 0.0
+    for (_ <- 1 to iters) {
+      val s = Array.tabulate(dim)(i => // exact: integer values < 2^53
+        (0 until dim).map(j => cm(i)(j) * vm(j)).sum)
+      val wm = s.map(x => math.floor((2.0 * x + 1e6) / 2e6))
+      nm = math.floor(math.sqrt(wm.map(x => x * x).sum) + 0.5)
+      vm = wm.map(x => math.floor((2.0 * x * 1e6 + nm) / (2.0 * nm)))
+    }
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(
+      vm.zipWithIndex.map { case (x, i) =>
+        org.apache.spark.sql.Row(i.toLong, x / 1e6, nm / 1e6)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("eigenvalue",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   def centroidCosines(
       df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {

@@ -47,6 +47,33 @@ class SimilaritySpec extends SparkSpec {
     assert(z0 == z1, "whitening is scale-invariant per dimension")
   }
 
+  test("Vec.topComponent: finds the dominant axis, unit norm, deterministic") {
+    // variance concentrated on a 45-degree axis in dims (0, 1); dim 2
+    // is low-variance noise — the top component must align with that
+    // axis and carry (almost) all the variance as its eigenvalue
+    val rows = (0 until 200).map { k =>
+      val t = (k - 100) / 10.0
+      val eps = (k % 7 - 3) / 100.0
+      (k.toLong, Array((t + eps).toFloat, (t - eps).toFloat,
+        ((k % 5 - 2) / 50.0).toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    val comp = Vec.topComponent(df, "id", "v", iters = 12)
+      .orderBy("dim").as[(Long, Double, Double)].collect().toSeq
+    val v = comp.map(_._2)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-4,
+      s"unit norm, got $v")
+    // aligned with (1, 1, 0)/sqrt(2) up to sign
+    val c01 = math.abs(v(0) * 0.7071 + v(1) * 0.7071)
+    assert(c01 > 0.999, s"must align with the planted axis, got $v")
+    assert(math.abs(v(2)) < 0.05, s"noise dim stays small, got $v")
+    // eigenvalue ~ variance along the axis; and the whole thing is a
+    // pure function of the data
+    assert(comp.head._3 > 0.9 * comp.head._3 &&
+      comp == Vec.topComponent(df.repartition(7), "id", "v", iters = 12)
+        .orderBy("dim").as[(Long, Double, Double)].collect().toSeq)
+  }
+
   test("bruteTopK (bounded-heap aggregator) == bruteTopKWindow (window rank)") {
     val probes = emb.filter(col("vec_id") < 5)
     val viaWin = Similarity.bruteTopKWindow(emb, probes, "vec_id", "embedding", 7)
