@@ -123,6 +123,23 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
+  /** Co-supplier projection graph: an undirected edge between two
+    * suppliers whenever they shipped lineitems of the SAME order.
+    * Unlike the customer-supplier bipartite (triangle-free by
+    * construction) this is unipartite and has real triangles and
+    * community structure. The projection is safe at scale because
+    * TPC-H orders carry a BOUNDED number of lineitems (≤ 7), so the
+    * per-order pair fan-out is O(1) and the projection stays linear
+    * in |lineitem|. */
+  private def coSupplierEdges(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")).as("l1")
+      .join(
+        lineitem(s, dir).select(col("l_orderkey").as("ok2"),
+          col("l_suppkey").as("sk2")),
+        col("l_orderkey") === col("ok2") && col("l_suppkey") < col("sk2"))
+      .select(col("l_suppkey").as("a"), col("sk2").as("b"))
+      .distinct()
+
   /** The driver's events table has no missing values, so QC scenarios
     * synthesize `value2`: null on event_id % 19 == 0, NaN on % 23 == 0
     * (exercising the NA-vs-NaN trichotomy, SURVEY §1.3). */
@@ -155,6 +172,17 @@ object SparkEntry {
       |                 WHEN value2 < 100 THEN 1
       |                 ELSE 0 END AS value2_qcflag
       |  FROM e2)""".stripMargin
+
+  // DuckDB twin of [[coSupplierEdges]]: distinct supplier pairs that
+  // shipped the same order (a < b), plus symmetrized edges and degrees
+  private val CoSupplierCte =
+    """e0 AS (
+      |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |    AND l1.l_suppkey < l2.l_suppkey),
+      |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1)""".stripMargin
 
   private val WinCte = // 24 h tumbling windows from the global min time
     """win AS (
@@ -1131,6 +1159,24 @@ object SparkEntry {
           col("r"))
         .orderBy("node")
     }),
+    "graph_triangles" -> ((s, dir) =>
+      // exact per-supplier triangle counts on the co-supplier graph,
+      // degree-ordered orientation (each triangle found once, at its
+      // lowest-degree corner — the O(m^1.5) bound that survives hubs)
+      Graph.triangleCount(coSupplierEdges(s, dir), "a", "b")
+        .orderBy("node")),
+    "graph_bfs" -> ((s, dir) =>
+      // min hop distance from the %100==1 supplier seed set, ≤ 3 hops
+      Graph.bfsHops(coSupplierEdges(s, dir), "a", "b",
+          s.read.parquet(s"$dir/supplier.parquet")
+            .filter(col("s_suppkey") % 100 === 1),
+          "s_suppkey", maxHops = 3)
+        .orderBy("node")),
+    "graph_lpa" -> ((s, dir) =>
+      // 3 synchronous label-propagation rounds, modal neighbor label,
+      // ties to the smallest — deterministic community detection
+      Graph.labelPropagation(coSupplierEdges(s, dir), "a", "b", iters = 3)
+        .orderBy("node")),
     "ts_new_users" -> ((s, dir) => {
       // daily active / new / cumulative-distinct users: first-seen day
       // per user (one keyed aggregate) turns cumulative COUNT DISTINCT
@@ -2997,6 +3043,73 @@ object SparkEntry {
          |${(1 to 5).map(step).mkString("\n")}
          |z AS (SELECT 1)
          |SELECT node, r FROM r5 ORDER BY node""".stripMargin
+    },
+    // shared CTE prefix for the co-supplier graph oracles: distinct
+    // supplier pairs sharing an order (a < b), symmetrized
+    "graph_triangles" ->
+      s"""WITH $CoSupplierCte,
+         |o AS (
+         |  SELECT CASE WHEN da.deg < db.deg
+         |                OR (da.deg = db.deg AND e0.a < e0.b)
+         |              THEN e0.a ELSE e0.b END AS u,
+         |         CASE WHEN da.deg < db.deg
+         |                OR (da.deg = db.deg AND e0.a < e0.b)
+         |              THEN e0.b ELSE e0.a END AS v
+         |  FROM e0
+         |  JOIN deg da ON da.node = e0.a
+         |  JOIN deg db ON db.node = e0.b),
+         |wg AS (
+         |  SELECT o1.u AS u, o1.v AS v, o2.v AS w2
+         |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+         |  JOIN deg dv ON dv.node = o1.v
+         |  JOIN deg dw ON dw.node = o2.v
+         |  WHERE dv.deg < dw.deg OR (dv.deg = dw.deg AND o1.v < o2.v)),
+         |t AS (
+         |  SELECT wg.u, wg.v, wg.w2 FROM wg
+         |  JOIN o ON o.u = wg.v AND o.v = wg.w2),
+         |pn AS (
+         |  SELECT node, count(*) AS c FROM (
+         |    SELECT u AS node FROM t
+         |    UNION ALL SELECT v FROM t
+         |    UNION ALL SELECT w2 FROM t) GROUP BY 1)
+         |SELECT deg.node AS node,
+         |  CAST(coalesce(pn.c, 0) AS BIGINT) AS triangles
+         |FROM deg LEFT JOIN pn ON pn.node = deg.node
+         |ORDER BY deg.node""".stripMargin,
+    "graph_bfs" -> {
+      def hop(i: Int): String =
+        s"""k$i AS (
+           |  SELECT node, min(hops) AS hops FROM (
+           |    SELECT node, hops FROM k${i - 1}
+           |    UNION ALL
+           |    SELECT und.b AS node, k${i - 1}.hops + 1 AS hops
+           |    FROM und JOIN k${i - 1} ON und.a = k${i - 1}.node)
+           |  GROUP BY 1),""".stripMargin
+      s"""WITH $CoSupplierCte,
+         |k0 AS (
+         |  SELECT DISTINCT s_suppkey AS node, CAST(0 AS BIGINT) AS hops
+         |  FROM supplier WHERE s_suppkey % 100 = 1),
+         |${(1 to 3).map(hop).mkString("\n")}
+         |z AS (SELECT 1)
+         |SELECT node, CAST(hops AS BIGINT) AS hops
+         |FROM k3 ORDER BY node""".stripMargin
+    },
+    "graph_lpa" -> {
+      def round(i: Int): String =
+        s"""c$i AS (
+           |  SELECT und.a AS src, l${i - 1}.label AS label, count(*) AS cnt
+           |  FROM und JOIN l${i - 1} ON und.b = l${i - 1}.node
+           |  GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label, row_number() OVER (
+           |      PARTITION BY src ORDER BY cnt DESC, label ASC) AS rk
+           |    FROM c$i) WHERE rk = 1),""".stripMargin
+      s"""WITH $CoSupplierCte,
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+         |${(1 to 3).map(round).mkString("\n")}
+         |z AS (SELECT 1)
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
     },
     // the IVM law: the incrementally-merged view must equal the
     // from-scratch aggregate over the whole log

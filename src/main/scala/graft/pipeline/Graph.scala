@@ -78,4 +78,135 @@ object Graph {
       ranks.localCheckpoint(true)
     } finally edged.unpersist()
   }
+
+  /** Per-node triangle counts over an undirected edge list, exact.
+    *
+    * Scale shape: the degree-ordered orientation bound. Each edge is
+    * directed from its lower-(degree, id) endpoint to the higher one,
+    * so every triangle is enumerated exactly once, at its
+    * lowest-degree corner. Wedge generation is then a self-join on
+    * the oriented source whose fan-out per node is the ORIENTED
+    * out-degree — O(√m) worst case even for a star hub — giving the
+    * classic O(m^1.5) total instead of the O(Σ deg²) a naive
+    * neighbor-pair join pays on skewed graphs. Closing the wedge is
+    * one more equi-join against the oriented edge table. Everything
+    * is keyed joins + keyed counts; nothing is collected.
+    *
+    * Returns `(node, triangles)` for every node of the graph
+    * (0 for triangle-free nodes). Self-loops and duplicate/reverse
+    * edges are dropped first. */
+  def triangleCount(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set: unordered pair kept once
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the endpoint with the smaller (deg, id)
+    // key to the larger — deterministic total order, no RNG
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the lowest-degree corner: (u → v1, u → v2), v1 < v2 in
+    // the SAME orientation key order so the closing edge, if present,
+    // is exactly (v1 → v2) in `oriented`
+    val o2 = oriented.select(col("u").as("u2"), col("v").as("w"))
+    val keyed = oriented
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val k2 = keyed.select(col("u").as("u2"), col("v").as("w"),
+      col("dv").as("dw"))
+    val wedges = keyed.join(k2, col("u") === col("u2"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    // each triangle credits all three corners
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Minimum hop distance from a seed set, breadth-first, capped at
+    * `maxHops`. Returns `(node, hops)` for every node reached within
+    * the cap (seeds at 0); unreached nodes are absent.
+    *
+    * Scale shape: per hop one frontier⋈edges keyed join + one
+    * min-aggregate over (known ∪ expanded) — O(|edges touched|)
+    * shuffled bytes per hop, nothing driver-sized, lineage capped
+    * with a periodic eager localCheckpoint exactly like [[pageRank]].
+    * The min-agg formulation (rather than anti-join frontiers) keeps
+    * the plan a pure join+agg pipeline Catalyst can pick hash
+    * strategies for; results are identical. */
+  def bfsHops(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(maxHops >= 0, "bfsHops: maxHops >= 0")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var known = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("hops"))
+    for (i <- 1 to maxHops) {
+      val expanded = und.join(known, und("src") === known("node"))
+        .select(und("dst").as("node"), (col("hops") + 1L).as("hops"))
+      known = known.union(expanded)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+      if (i % checkpointEvery == 0 && i < maxHops)
+        known = known.localCheckpoint(true)
+    }
+    known
+  }
+
+  /** Synchronous label propagation (community detection), fully
+    * deterministic: labels start as the node's own id; each iteration
+    * every node adopts its neighbors' modal label, ties broken by the
+    * SMALLEST label — so replays are bit-identical on any engine (no
+    * RNG, no update-order dependence, integer/string labels only).
+    *
+    * Scale shape: per iteration one edges⋈labels keyed join, one
+    * (node, label) count with map-side combine, and one per-node
+    * arg-max via `max_by`-style struct max — no window, no sort, all
+    * keyed aggregates. Lineage capped like [[pageRank]]. */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters >= 1")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to iters) {
+      // modal neighbor label; tie → smallest label. max of
+      // (cnt, NEGATED rank of label) picks highest count then smallest
+      // label without a window sort — max_by over a struct is a plain
+      // keyed aggregate with partial merge.
+      val counted = und
+        .join(labels, und("dst") === labels("node"))
+        .select(col("src"), col("label"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = counted
+        .groupBy(col("src"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("neg"), col("label"))).as("label"))
+        .select(col("src").as("node"), col("label"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
 }

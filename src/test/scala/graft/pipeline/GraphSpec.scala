@@ -56,4 +56,57 @@ class GraphSpec extends SparkSpec {
     assert(got("x") == got("y"), s"got $got")
     assert(got("m") > got("x"))
   }
+
+  test("triangleCount: K4 has 3 per node; appendix nodes 0; dup edges ok") {
+    // K4 on 1-4 (4 triangles, each node in 3) plus a pendant 5 and an
+    // isolated edge 6-7; reversed + duplicate edges must not change it
+    val k4 = for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (6L, 7L), (2L, 1L), (1L, 2L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L), s"got $got")
+  }
+
+  test("triangleCount on a star is zero everywhere (skew-shaped input)") {
+    val star = (1 to 50).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val got = Graph.triangleCount(star, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 0L), s"got $got")
+    assert(got.size == 51)
+  }
+
+  test("bfsHops: min hop distance, cap honored, unreached absent") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1 via shortcut
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, "src", "dst", seeds, "node", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L),
+      s"got $got")
+    val capped = Graph.bfsHops(edges, "src", "dst", seeds, "node", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 4L -> 1L), s"got $capped")
+  }
+
+  test("labelPropagation: two cliques with a bridge settle to two labels") {
+    val cliqueA = for (i <- 1 to 4; j <- 1 to 4 if i < j)
+      yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 11 to 14; j <- 11 to 14 if i < j)
+      yield (i.toLong, j.toLong)
+    val edges = (cliqueA ++ cliqueB ++ Seq((4L, 11L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    // deterministic min-tie-break drives each clique to its least id
+    val labelsA = (1 to 4).map(i => got(i.toLong)).toSet
+    val labelsB = (11 to 14).map(i => got(i.toLong)).toSet
+    assert(labelsA.size == 1 && labelsB.size == 1, s"got $got")
+    assert(labelsA != labelsB, s"communities merged: $got")
+    // replay is bit-identical (pure determinism, no RNG)
+    val again = Graph.labelPropagation(edges, "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
 }
