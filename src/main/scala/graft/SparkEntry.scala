@@ -1718,6 +1718,19 @@ object SparkEntry {
           col("nbr_id"))
         .orderBy("probe_id", "rank")
     }),
+    "sim_radius" -> ((s, dir) => {
+      // range search: ALL neighbors with 6dp-rounded cosine >= 0.2 for
+      // the first 10 vectors — one broadcast-probe corpus scan, output
+      // pair-sized; cosine itself stays out of the result (float) and
+      // the pair set is exact after rounding
+      val emb = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      Similarity.radiusSearch(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", tau = 0.2)
+        .select(col("probe_id"), col("nbr_id"))
+        .orderBy("probe_id", "nbr_id")
+    }),
     "sim_topk_q8" -> ((s, dir) => {
       // retrieval over the 4×-compressed int8 store: quantize →
       // dequantize → exact top-k. Proves the quantized path preserves
@@ -4066,6 +4079,18 @@ object SparkEntry {
         |  FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
         |SELECT probe_id, rank, nbr_id FROM scored
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    // 6-dp rounding BEFORE the τ compare on both engines makes the
+    // boundary decision replayable (raw fold ulps don't reach it)
+    "sim_radius" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT p.probe_id, e.vec_id AS nbr_id
+        |FROM p CROSS JOIN embeddings e
+        |WHERE e.vec_id <> p.probe_id
+        |  AND round(list_cosine_similarity(p.pv, e.embedding::DOUBLE[]),
+        |    6) >= 0.2::DOUBLE
+        |ORDER BY probe_id, nbr_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE planted AS (
         |  SELECT doc_id + 1000000 AS doc_id,

@@ -86,6 +86,35 @@ object Similarity {
         col("__t._2").as("nbr_id"), col("__t._1").as("cosine"))
   }
 
+  /** Radius (range) search: every (probe, neighbor) pair with cosine
+    * similarity ≥ `tau` — the companion to top-k for "give me ALL
+    * matches above a quality bar" workloads (semantic contamination
+    * sweeps, near-dup audits) where k is unknowable in advance.
+    *
+    * The cosine is rounded to `roundDp` BEFORE the threshold compare,
+    * so the boundary decision is replayable across engines (raw double
+    * folds can differ in the last ulp right at τ; after 6-dp rounding
+    * both engines compare the same number).
+    *
+    * Scale shape: identical to [[bruteTopKWindow]] — one corpus scan
+    * with the probe set broadcast (probe-side only; the corpus never
+    * shuffles), a scan-bound map with no window and no sort. Output is
+    * pair-sized, not corpus-sized. For probe sets too big to
+    * broadcast, feed [[hyperplaneBands]] candidates through the same
+    * threshold instead (the [[annTopK]] path). */
+  def radiusSearch(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      roundDp: Int = 6): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("cosine", round(Vec.cosine(col("__pv"), col("__cv")), roundDp))
+      .filter(col("cosine") >= tau)
+      .select(col("probe_id"), col("nbr_id"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes: `tables` × `bitsPerTable` unit
     * gaussians of dimension `dim`, seeded. */
   private[pipeline] def hyperplanes(

@@ -307,6 +307,26 @@ class SimilaritySpec extends SparkSpec {
       s"neighbors must stay in-cluster, self excluded: ${out.toSeq}")
   }
 
+  test("radiusSearch returns exactly the pairs at or above tau") {
+    // orthogonal + parallel fixture: 1∥2 (cos 1), 1⊥3 (cos 0),
+    // 4 at 45° to 1 and 2 (cos ≈ 0.707107 after 6-dp rounding)
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") === 1L)
+    val hits = Similarity.radiusSearch(df, probes, "vec_id", "embedding",
+        tau = 0.5).select("probe_id", "nbr_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 2L), (1L, 4L)), s"got $hits")
+    // tau right AT the rounded 45° cosine includes it; just above excludes
+    val at = Similarity.radiusSearch(df, probes, "vec_id", "embedding",
+        tau = 0.707107).select("nbr_id").as[Long].collect().toSet
+    assert(at == Set(2L, 4L), s"got $at")
+    val above = Similarity.radiusSearch(df, probes, "vec_id", "embedding",
+        tau = 0.707108).select("nbr_id").as[Long].collect().toSet
+    assert(above == Set(2L), s"got $above")
+  }
+
   test("kmeansCentroids: ties assign to the lowest cluster id") {
     // both points equidistant from both (identical) init centroids →
     // everything lands in cluster 0; cluster 1 is dropped, not null
