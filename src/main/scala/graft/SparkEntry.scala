@@ -643,6 +643,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("lang")
     }),
+    "s15_dpp_join" -> ((s, dir) => {
+      // DYNAMIC partition pruning: the fact table is day-partitioned,
+      // the dim (top-5 purchase days) exists only at runtime — static
+      // pruning can't help, so Catalyst injects a dynamicpruning#
+      // subquery that broadcasts the dim's day set to the fact SCAN,
+      // reading 5 of ~30 partitions instead of all. PlanShapeSpec
+      // asserts the pruning subquery is actually in the plan — at
+      // 100 TB this is the difference between a 5-day and a full scan.
+      val tmp = scratch("s15")
+      events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$tmp/events_by_day")
+      val fact = s.read.parquet(s"$tmp/events_by_day")
+      val topDays = fact.filter(col("event_type") === "purchase")
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("day")).limit(5)
+        .select(col("day").as("d"))
+      fact.join(topDays, col("day") === col("d"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+    }),
     "s11_upsert" -> ((s, dir) => {
       // checkpoint maintenance: merge a 10%-of-keys delta (doubled
       // value, bumped version) into the base snapshot; latest wins
@@ -2653,6 +2677,18 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= 'cccccccc'
         |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "s15_dpp_join" ->
+      """WITH f AS (
+        |  SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |top_days AS (
+        |  SELECT day FROM (
+        |    SELECT day, count(*) AS n FROM f
+        |    WHERE event_type = 'purchase' GROUP BY 1
+        |    ORDER BY n DESC, day LIMIT 5)),
+        |j AS (SELECT f.* FROM f JOIN top_days USING (day))
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "s11_upsert" ->
       """WITH base AS (
         |  SELECT event_id, value, 0 AS version, 0 AS src FROM events),

@@ -378,4 +378,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"per-group bounds must broadcast onto the values:\n$p")
   }
+
+  test("dpp join: the fact scan carries a dynamicpruning subquery") {
+    // the dim (top purchase days) exists only at runtime, so only
+    // DYNAMIC partition pruning can cut the fact scan to 5 of ~30 day
+    // partitions — the plan must show the injected pruning subquery on
+    // the partition column, not a full scan followed by a join filter
+    val p = plan("s15_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must be dynamically pruned:\n$p")
+    assert(!p.contains("CartesianProduct"), s"keyed join only:\n$p")
+  }
+
+  test("triangle count: oriented self-joins stay keyed, never cartesian") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closing joins must be equi-joins:\n$p")
+  }
 }
