@@ -1920,6 +1920,21 @@ object SparkEntry {
       TextAnalysis.chunkTokens(documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
+    "text_line_dedup" -> ((s, dir) => {
+      // CORPUS-WIDE line dedup (CCNet global pass): every %5==0 doc
+      // carries the same planted footer; with maxDup=10 the footer
+      // (thousands of copies) is stripped everywhere while each doc's
+      // unique body line survives. clean text is md5'd to keep the
+      // compare row-sized.
+      val planted = documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit("\nsubscribe to our newsletter")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.corpusLineDedup(planted, "doc_id", "text", maxDup = 10)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
     "text_perplexity_xfer" -> ((s, dir) => {
       // transfer scoring (the real CCNet setup): LM trained on the
       // even-id half scores the odd-id half; unseen bigrams take the
@@ -4759,6 +4774,29 @@ object SparkEntry {
         |  round(sum(k * bits) / sum(k), 6) AS xent_bits
         |FROM k JOIN model USING (gm)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || chr(10) || 'subscribe to our newsletter'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, g.i AS pos,
+        |    list_extract(string_split(text, chr(10)), g.i) AS line
+        |  FROM d, LATERAL (SELECT unnest(range(1,
+        |    len(string_split(text, chr(10))) + 1)) AS i) g),
+        |c AS (SELECT line, count(*) AS cnt FROM l GROUP BY 1),
+        |k AS (
+        |  SELECT doc_id, pos, l.line, (c.cnt <= 10) AS keep
+        |  FROM l JOIN c USING (line))
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_chunks" ->
       """WITH d AS (
         |  SELECT doc_id,

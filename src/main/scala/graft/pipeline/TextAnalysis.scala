@@ -724,4 +724,48 @@ object TextAnalysis {
         size(win).cast("long").as("n_tok"),
         array_join(win, " ").as("chunk"))
   }
+
+  /** CORPUS-WIDE duplicate-line removal (the CCNet/C4 global pass,
+    * distinct from the per-document [[lineQualityStats]]): every line
+    * occurring more than `maxDup` times across the WHOLE corpus —
+    * boilerplate, navigation chrome, cookie banners — is dropped from
+    * every document; line order inside each document is preserved.
+    *
+    * Returns `(id, n_kept, n_dropped, clean)` with `clean` the
+    * reassembled document (possibly empty when every line was
+    * boilerplate — the row is kept so callers can count hollowed-out
+    * docs).
+    *
+    * Scale shape: explode to (id, pos, line) — corpus-linear — then
+    * ONE line-keyed count with map-side combine, an inner hash join
+    * of counts back onto the lines (AQE handles the inevitable skew
+    * of hyper-common lines), and one id-keyed reassembly via
+    * sort_array(collect_list) — no window over the corpus, no
+    * driver-sized state, nothing quadratic. */
+  def corpusLineDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      maxDup: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(maxDup >= 1, "corpusLineDedup: maxDup >= 1")
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val counts = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__cnt"))
+    val kept = lines.join(counts, Seq("__line"))
+      .select(col(idCol), col("__pos"), col("__line"),
+        (col("__cnt") <= maxDup).as("__keep"))
+    kept.groupBy(col(idCol))
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("__pos"), col("__keep"),
+                col("__line")))),
+              _.getField("__keep")),
+            _.getField("__line")),
+          "\n").as("clean"))
+  }
 }

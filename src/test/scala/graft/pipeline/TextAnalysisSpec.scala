@@ -367,4 +367,24 @@ class TextAnalysisSpec extends SparkSpec {
       assert(chunks.forall(c => c._2 * 5 < nt), s"nt=$nt phantom chunk: $chunks")
     }
   }
+
+  test("corpusLineDedup strips corpus-wide boilerplate, keeps order, keeps hollow docs") {
+    val docs = Seq(
+      (1L, "unique one\nFOOTER\nbody a"),
+      (2L, "FOOTER\nunique two"),
+      (3L, "unique three\nFOOTER"),
+      (4L, "FOOTER")). // nothing but boilerplate → hollow, still a row
+      toDF("doc_id", "text")
+    val out = TextAnalysis.corpusLineDedup(docs, "doc_id", "text", maxDup = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, "unique one\nbody a")), s"got $out")
+    assert(out(2L) == ((1L, 1L, "unique two")), s"got $out")
+    assert(out(3L) == ((1L, 1L, "unique three")), s"got $out")
+    assert(out(4L) == ((0L, 1L, "")), s"hollow doc must survive: $out")
+    // at maxDup = 4 the footer is under the bar and everything is kept
+    val kept = TextAnalysis.corpusLineDedup(docs, "doc_id", "text", maxDup = 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(kept.forall(_._3 == 0L), s"got ${kept.toSeq}")
+  }
 }
