@@ -285,6 +285,15 @@ object SparkEntry {
         .select(col("l_returnflag"),
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
         .orderBy("l_returnflag")),
+    "skew_join_card" -> ((s, dir) =>
+      // pre-flight explosion check for events ⋈ purchases on user_id:
+      // exact output cardinality + the 5 hottest keys, WITHOUT running
+      // the join — two per-key count scans and a count-keyed join
+      Skew.joinCardinality(
+          events(s, dir),
+          events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", topK = 5)
+        .orderBy(col("pairs").desc, col("key"))),
 
     "q6_filter_agg" -> ((s, dir) =>
       // TPC-H Q6-shaped: the pure pushdown showcase — every predicate
@@ -2124,6 +2133,12 @@ object SparkEntry {
       Curation.deterministicSample(documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    "cur_group_sample" -> ((s, dir) =>
+      // EXACTLY 20 docs per language, md5-rank deterministic — the
+      // fixed-count twin of cur_stratified's fixed-rate sampling
+      Curation.groupSample(documents(s, dir), "lang", "doc_id", k = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id")),
     "cur_weighted_sample" -> ((s, dir) =>
       // derandomized Efraimidis–Spirakis: length-proportional sample
       // of 100 docs, reproducible on any engine/layout
@@ -2553,6 +2568,21 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_join_card" ->
+      """WITH nl AS (
+        |  SELECT user_id AS key, count(*) AS n_left
+        |  FROM events GROUP BY 1),
+        |nr AS (
+        |  SELECT user_id AS key, count(*) AS n_right
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (
+        |  SELECT key, n_left, n_right, n_left * n_right AS pairs
+        |  FROM nl JOIN nr USING (key)),
+        |t AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM p)
+        |SELECT key, n_left, n_right, CAST(pairs AS BIGINT) AS pairs,
+        |  total_pairs
+        |FROM p CROSS JOIN t
+        |ORDER BY pairs DESC, key LIMIT 5""".stripMargin,
     "q3_join" ->
       """SELECT c_nationkey,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -5184,6 +5214,13 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    "cur_group_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin,
     "cur_weighted_sample" ->
       """WITH p AS (
         |  SELECT doc_id, n_chars,

@@ -331,6 +331,32 @@ object Curation {
     }
   }
 
+  /** EXACT `k` rows per group, deterministically: rows are ranked
+    * inside each group by the md5 of their key (a stable,
+    * layout-independent pseudo-random order — same mechanics as
+    * [[deterministicSample]], so re-runs, engines, and partitionings
+    * all pick the SAME rows) and the first `k` survive. The
+    * fixed-count twin of [[stratifiedSample]]'s fixed-rate sampling —
+    * eval-set construction wants "exactly 500 per language", not
+    * "roughly 1%".
+    *
+    * Scale shape: one group-keyed window ranked by the md5 — a keyed
+    * shuffle + per-group sort of GROUP-sized runs (not a global
+    * sort); groups are assumed many and individually
+    * memory-partition-sized, the same contract as every grouped op
+    * here. */
+  def groupSample(
+      df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, "groupSample: k >= 1")
+    df.withColumn("__rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(groupCol))
+            .orderBy(md5Hex(col(keyCol)), col(keyCol))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Per-stratum deterministic sampling — the corpus-mixing primitive:
     * sample each stratum (language, source, domain) at its own rate to
     * hit a target mixture. Same md5-position mechanics as

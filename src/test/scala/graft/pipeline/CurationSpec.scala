@@ -383,4 +383,19 @@ class CurationSpec extends SparkSpec {
     // and it is not the identity order
     assert(p1.exists { case (id, pos) => id != pos })
   }
+
+  test("groupSample: exactly k per group, layout-stable, whole small groups") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "grp")
+    val got = Curation.groupSample(docs, "grp", "id", k = 10)
+      .as[(Long, String)].collect()
+    assert(got.count(_._2 == "big") == 10, s"got ${got.toSeq}")
+    // a group smaller than k survives whole
+    assert(got.filter(_._2 == "small").map(_._1).sorted.toSeq ==
+      (91L to 100L), s"got ${got.toSeq}")
+    // layout-independent: same rows from a different partitioning
+    val again = Curation.groupSample(docs.repartition(7), "grp", "id", 10)
+      .as[(Long, String)].collect()
+    assert(got.toSet == again.toSet, "sample must not depend on layout")
+  }
 }

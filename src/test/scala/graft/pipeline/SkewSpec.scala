@@ -46,4 +46,19 @@ class SkewSpec extends SparkSpec {
     assert(Skew.saltedSumCount(skewed, Seq("k"), "v", salt = 1).count() ==
       skewed.select("k").distinct().count())
   }
+
+  test("joinCardinality: total equals the real join's count, hot key first") {
+    import spark.implicits._
+    // key 7 is hot on both sides (4×3=12 pairs); keys only on one side
+    // contribute nothing
+    val l = Seq(7L, 7L, 7L, 7L, 1L, 1L, 2L, 9L).toDF("k")
+    val r = Seq(7L, 7L, 7L, 1L, 2L, 2L, 5L).toDF("k")
+    val out = Skew.joinCardinality(l, r, "k", topK = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val realCount = l.join(r, Seq("k")).count()
+    assert(out.forall(_._5 == realCount),
+      s"total_pairs must equal the executed join: ${out.toSeq} vs $realCount")
+    assert(out.head == ((7L, 4L, 3L, 12L, realCount)), s"got ${out.toSeq}")
+    assert(out.map(_._1).toSet == Set(7L, 1L, 2L), s"got ${out.toSeq}")
+  }
 }
