@@ -1318,6 +1318,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    "layout_skip_stats" -> ((s, dir) => {
+      // the Z-order payoff, quantified: 64 files per layout, same
+      // data, same 16×16 predicate square. Linear-on-x keeps y
+      // full-width in every file (y never prunes); the Morton tiling
+      // keeps BOTH tight, so files_read/rows_scanned collapse while
+      // rows_matched (the invariant) stays identical.
+      val ev = events(s, dir)
+      val x = pmod(col("user_id"), lit(256L))
+      val y = pmod(col("event_id"), lit(256L))
+      val base = ev.select(x.as("__x"), y.as("__y"),
+        graft.pipeline.Layout.zValue(x, y, 8).as("__z"))
+      val lin = base.withColumn("__file", floor(col("__x") / 4))
+      val zo = base.withColumn("__file", shiftright(col("__z"), 10))
+      def stats(df: DataFrame, tag: String) =
+        graft.pipeline.Layout.skipStats(df, "__file", "__x", "__y",
+            32, 47, 64, 79)
+          .select(lit(tag).as("layout"), col("n_files"), col("files_read"),
+            col("rows_scanned"), col("rows_matched"))
+      stats(lin, "linear").unionByName(stats(zo, "zorder"))
+        .orderBy("layout")
+    }),
     "layout_zorder" -> ((s, dir) => {
       // 8-bit x/y interleaved to a 16-bit Morton z; the top 6 bits
       // tile the plane into 64 "files" — each tile's extents show
@@ -3318,6 +3339,35 @@ object SparkEntry {
          |SELECT z >> 10 AS tile, CAST(count(*) AS BIGINT) AS n,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1 ORDER BY tile""".stripMargin
+    },
+    "layout_skip_stats" -> {
+      val terms = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      def stats(fileExpr: String, tag: String): String =
+        s"""SELECT '$tag' AS layout,
+           |  CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(CASE WHEN minx <= 47 AND maxx >= 32
+           |    AND miny <= 79 AND maxy >= 64 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS files_read,
+           |  CAST(sum(CASE WHEN minx <= 47 AND maxx >= 32
+           |    AND miny <= 79 AND maxy >= 64 THEN n ELSE 0 END)
+           |    AS BIGINT) AS rows_scanned,
+           |  CAST(sum(m) AS BIGINT) AS rows_matched
+           |FROM (
+           |  SELECT $fileExpr AS f, count(*) AS n,
+           |    min(x) AS minx, max(x) AS maxx,
+           |    min(y) AS miny, max(y) AS maxy,
+           |    sum(CASE WHEN x BETWEEN 32 AND 47
+           |      AND y BETWEEN 64 AND 79 THEN 1 ELSE 0 END) AS m
+           |  FROM z GROUP BY 1)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+         |z AS (SELECT x, y, $terms AS z FROM b)
+         |${stats("CAST(floor(x / 4) AS BIGINT)", "linear")}
+         |UNION ALL
+         |${stats("z >> 10", "zorder")}
+         |ORDER BY layout""".stripMargin
     },
     "ts_funnel" ->
       """WITH s1 AS (

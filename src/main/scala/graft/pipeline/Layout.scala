@@ -30,6 +30,38 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Footer-pruning simulator: given a layout expressed as a "file"
+    * assignment column, compute the per-file min/max stats a parquet
+    * footer would hold for `xCol`/`yCol` and evaluate the conjunctive
+    * 2-D range predicate `x ∈ [xLo,xHi] ∧ y ∈ [yLo,yHi]` the way a
+    * scan planner does: a file is READ iff BOTH columns' ranges
+    * intersect the predicate (either miss skips the file). Returns a
+    * single row `(n_files, files_read, rows_scanned, rows_matched)` —
+    * the exact I/O a layout buys, without writing a byte.
+    *
+    * Scale shape: one file-keyed aggregate (map-side combined) + a
+    * one-row fold over the file-sized stats table. */
+  def skipStats(
+      df: DataFrame, fileCol: String, xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val matched = col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi)
+    df.groupBy(col(fileCol))
+      .agg(count(lit(1)).as("__n"),
+        min(col(xCol)).as("__minx"), max(col(xCol)).as("__maxx"),
+        min(col(yCol)).as("__miny"), max(col(yCol)).as("__maxy"),
+        sum(when(matched, 1L).otherwise(0L)).as("__m"))
+      .select(lit(1).as("__g"), col("__n"), col("__m"),
+        (col("__minx") <= xHi && col("__maxx") >= xLo &&
+          col("__miny") <= yHi && col("__maxy") >= yLo).as("__read"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("__read"), 1L).otherwise(0L)).as("files_read"),
+        sum(when(col("__read"), col("__n")).otherwise(0L))
+          .as("rows_scanned"),
+        coalesce(sum(col("__m")), lit(0L)).as("rows_matched"))
+      .drop("__g")
+  }
+
   /** Z-order the frame on two integer columns: range-partition by the
     * interleaved z-value and sort within partitions, so every output
     * file covers a small square-ish tile of (x, y) space — both

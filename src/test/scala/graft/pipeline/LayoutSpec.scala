@@ -46,4 +46,19 @@ class LayoutSpec extends SparkSpec {
     assert(meanX <= 36 && meanY <= 36,
       s"tiles not tight: mean extents $meanX x $meanY")
   }
+
+  test("skipStats: planner semantics — a file is read iff BOTH ranges hit") {
+    // 4 files on a 0..15 grid: file 0 covers the predicate square,
+    // file 1 misses on x only, file 2 misses on y only, file 3 both.
+    // Predicate x∈[0,3] y∈[0,3] → only file 0 read, 1 row matched.
+    val rows = Seq(
+      (0L, 1L, 1L), (0L, 5L, 2L),   // file 0: x 1-5, y 1-2 → hit, 1 match
+      (1L, 9L, 1L),                 // file 1: x misses
+      (2L, 1L, 9L),                 // file 2: y misses
+      (3L, 9L, 9L))                 // file 3: both miss
+      .toDF("f", "x", "y")
+    val got = Layout.skipStats(rows, "f", "x", "y", 0, 3, 0, 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((4L, 1L, 2L, 1L)), s"got $got")
+  }
 }
