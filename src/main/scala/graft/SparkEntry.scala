@@ -841,6 +841,24 @@ object SparkEntry {
           col("sessionId").as("session_id"))
         .orderBy("user_id", "ts_ms", "session_id")
     }),
+    "stream_session_native" -> ((s, dir) => {
+      // the BUILT-IN session_window twin of stream_sessionize (prefer
+      // native operators to custom state where semantics allow):
+      // 1h-gap sessions merged by the engine, append mode — a session
+      // emits when the watermark passes its end (last event + gap), so
+      // the drained table holds exactly the CLOSED sessions; the
+      // oracle encodes that same predicate against the global max ts
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+      drainToTable(s, agg, "append", "stream_session_native")
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start) DIV 1000").as("start_ms"),
+          expr("unix_micros(session_window.end) DIV 1000").as("end_ms"),
+          col("n_events"))
+        .orderBy("user_id", "start_ms")
+    }),
     "stream_dedup" -> ((s, dir) => {
       // streaming exact dedup via dropDuplicatesWithinWatermark:
       // per-key state is ONE timestamp evicted at the watermark, so
@@ -3588,6 +3606,31 @@ object SparkEntry {
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // millisecond gap compare mirrors the stream's Timestamp.getTime
     // arithmetic exactly (micros would disagree within 1ms of the gap)
+    // closed-session predicate = the final watermark (global max ts,
+    // delay 0): a session emits iff last_event + gap <= max ts
+    "stream_session_native" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |l AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN pts IS NULL OR epoch(ts - pts) >= 3600
+        |      THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, sid, min(ts) AS st, max(ts) AS lt,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(epoch_ms(st) AS BIGINT) AS start_ms,
+        |  CAST(epoch_ms(lt) + 3600000 AS BIGINT) AS end_ms,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM g CROSS JOIN mx
+        |WHERE epoch_ms(lt) + 3600000 <= epoch_ms(m)
+        |ORDER BY user_id, start_ms""".stripMargin,
     "stream_sessionize" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id, epoch_ms(ts) AS tms,
