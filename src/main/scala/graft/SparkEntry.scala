@@ -1210,6 +1210,14 @@ object SparkEntry {
           col("r"))
         .orderBy("node")
     }),
+    "graph_ppr" -> ((s, dir) =>
+      // trust propagation: teleport only to the %100==1 seed suppliers;
+      // rank table stays sparse (seed neighborhood only), 4 iterations
+      Graph.personalizedPageRank(coSupplierEdges(s, dir), "a", "b",
+          s.read.parquet(s"$dir/supplier.parquet")
+            .filter(col("s_suppkey") % 100 === 1),
+          "s_suppkey", iters = 4)
+        .orderBy("node")),
     "graph_triangles" -> ((s, dir) =>
       // exact per-supplier triangle counts on the co-supplier graph,
       // degree-ordered orientation (each triangle found once, at its
@@ -3176,6 +3184,32 @@ object SparkEntry {
          |${(1 to 5).map(step).mkString("\n")}
          |z AS (SELECT 1)
          |SELECT node, r FROM r5 ORDER BY node""".stripMargin
+    },
+    "graph_ppr" -> {
+      def step(i: Int): String =
+        s"""r$i AS (
+           |  SELECT coalesce(p.node, tele.node) AS node,
+           |    round(coalesce(tele.t, 0.0::DOUBLE) +
+           |      0.85::DOUBLE * coalesce(p.s, 0.0::DOUBLE), 6) AS r
+           |  FROM (
+           |    SELECT e.b AS node, sum(r${i - 1}.r / deg.deg) AS s
+           |    FROM und e JOIN r${i - 1} ON e.a = r${i - 1}.node
+           |    JOIN dg deg ON deg.node = e.a GROUP BY 1) p
+           |  FULL JOIN tele ON p.node = tele.node),""".stripMargin
+      s"""WITH $CoSupplierCte,
+         |dg AS (SELECT node, deg FROM deg),
+         |seeds AS (
+         |  SELECT DISTINCT s_suppkey AS node FROM supplier
+         |  WHERE s_suppkey % 100 = 1),
+         |mm AS (SELECT count(*) AS m FROM seeds),
+         |tele AS (
+         |  SELECT node, 0.15::DOUBLE / m AS t FROM seeds CROSS JOIN mm),
+         |r0 AS (
+         |  SELECT node, round(1.0::DOUBLE / m, 6) AS r
+         |  FROM seeds CROSS JOIN mm),
+         |${(1 to 4).map(step).mkString("\n")}
+         |z AS (SELECT 1)
+         |SELECT node, r FROM r4 ORDER BY node""".stripMargin
     },
     // shared CTE prefix for the co-supplier graph oracles: distinct
     // supplier pairs sharing an order (a < b), symmetrized

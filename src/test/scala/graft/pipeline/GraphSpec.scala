@@ -57,6 +57,47 @@ class GraphSpec extends SparkSpec {
     assert(got("m") > got("x"))
   }
 
+  /** Driver-side replica of personalizedPageRank's sparse exact
+    * arithmetic (same 6-dp HALF_UP rounding, teleport only to seeds). */
+  private def pprRef(
+      edges: Seq[(String, String)], seeds: Seq[String],
+      iters: Int): Map[String, Double] = {
+    val und = edges ++ edges.map(_.swap)
+    val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+    val m = seeds.distinct.size
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r: Map[String, Double] =
+      seeds.distinct.map(s => s -> rnd(1.0 / m)).toMap
+    for (_ <- 1 to iters) {
+      val prop = und.toSeq
+        .flatMap { case (u, v) => r.get(u).map(ru => v -> ru / deg(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val nodes = prop.keySet ++ seeds
+      r = nodes.map { v =>
+        val t = if (seeds.contains(v)) 0.15 / m else 0.0
+        v -> rnd(t + 0.85 * prop.getOrElse(v, 0.0))
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: sparse spread from the seed, matches reference") {
+    // path a-b-c-d plus hub edge b-d; seed at a
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"))
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", Seq("a").toDF("node"), "node", 3)
+      .as[(String, Double)].collect().toMap
+    assert(got == pprRef(edges, Seq("a"), 3), s"got $got")
+    // proximity ordering: the seed's neighbor b outranks the far side
+    assert(got("b") > got("c") && got("b") > got("d"), s"got $got")
+    // after 1 iteration only the seed and its neighbor exist (sparse)
+    val one = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", Seq("a").toDF("node"), "node", 1)
+      .as[(String, Double)].collect().toMap
+    assert(one.keySet == Set("a", "b"), s"got $one")
+  }
+
   test("triangleCount: K4 has 3 per node; appendix nodes 0; dup edges ok") {
     // K4 on 1-4 (4 triangles, each node in 3) plus a pendant 5 and an
     // isolated edge 6-7; reversed + duplicate edges must not change it
