@@ -51,17 +51,21 @@ object Graph {
     // execution memory to it on every call).
     val edged = und.join(deg, "src").persist()
     try {
-      val n = deg.agg(count(lit(1)).as("__n"))
-      var ranks = deg.select(col("src").as("node"))
-        .crossJoin(broadcast(n))
-        .select(col("node"), round(lit(1.0) / col("__n"), roundDp).as("r"))
+      // driver-sized by construction: one long. Counted from the CACHED
+      // edge table and folded into the plan as a literal — as an in-plan
+      // broadcast subquery it would re-derive the (possibly expensive)
+      // edge source once per iteration, because `deg` sits above the
+      // cache boundary. `1.0 / n` and `teleport / n` are the same IEEE
+      // divisions the subquery produced, so ranks are bit-identical.
+      val n = edged.select(col("src")).distinct().count().toDouble
+      var ranks = edged.select(col("src").as("node")).distinct()
+        .select(col("node"), round(lit(1.0) / lit(n), roundDp).as("r"))
       for (i <- 1 to iters) {
         ranks = edged.join(ranks, edged("src") === ranks("node"))
           .groupBy(col("dst"))
           .agg(sum(col("r") / col("__deg")).as("__s"))
-          .crossJoin(broadcast(n))
           .select(col("dst").as("node"),
-            round(lit(teleport) / col("__n") +
+            round(lit(teleport) / lit(n) +
               lit(damping) * col("__s"), roundDp).as("r"))
         // lineage cap: each iteration nests one more join+agg under the
         // previous plan, so at tens of iterations analysis/optimization
