@@ -2192,6 +2192,15 @@ object SparkEntry {
       Curation.weightedSample(documents(s, dir), "doc_id", "n_chars", 100)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")),
+    "cur_dsir" -> ((s, dir) => {
+      // DSIR importance weights: target distribution = the English
+      // docs, raw = the whole corpus; en-looking docs score high and
+      // get picked by weight-ordered resampling downstream
+      val docs = documents(s, dir)
+      Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "cur_source_report" -> ((s, dir) =>
       // per-source curation telemetry: the go/no-go dashboard a corpus
       // build reads before mixing sources
@@ -5360,6 +5369,34 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY pri DESC, doc_id) AS rk
         |  FROM p) WHERE rk <= 100
         |ORDER BY doc_id""".stripMargin,
+    "cur_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE len(trim(lower(text))) > 0),
+        |bk AS (SELECT doc_id, substring(md5(t), 1, 2) AS b FROM tok),
+        |k AS (SELECT doc_id, b, count(*) AS k FROM bk GROUP BY 1, 2),
+        |cb AS (SELECT b, sum(k) AS cr FROM k GROUP BY 1),
+        |tb AS (
+        |  SELECT b, count(*) AS ct
+        |  FROM bk JOIN documents USING (doc_id) WHERE lang = 'en'
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cr) FROM cb) AS r,
+        |               (SELECT coalesce(sum(ct), 0) FROM tb) AS tt),
+        |llr AS (
+        |  SELECT cb.b,
+        |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+        |       CAST(tt + 256 AS DOUBLE)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / CAST(r + 256 AS DOUBLE)) AS llr
+        |  FROM cb LEFT JOIN tb USING (b) CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, sum(k) AS n, round(sum(k * llr), 6) AS w
+        |  FROM k JOIN llr USING (b) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_toks,
+        |  coalesce(w, 0.0) AS dsir_w
+        |FROM documents d LEFT JOIN w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "cur_source_report" ->
       """WITH t AS (
         |  SELECT source, text,

@@ -388,6 +388,71 @@ object Curation {
     df.filter(cond)
   }
 
+  // ------------------------------------------ importance-weighted selection
+
+  /** DSIR importance weights (Xie 2023, "Data Selection for Language
+    * Models via Importance Resampling"), hashed-feature variant: score
+    * every corpus document by how target-like its hashed bag-of-words
+    * is, `w(doc) = Σ_b k_b · (ln p̂_target(b) − ln p̂_raw(b))`, where
+    * `b` ranges over 256 feature buckets (first two lowercase-hex md5
+    * chars of each lowercased whitespace token — the same
+    * string-rendered md5 contract as [[md5Hex]], replayable on any
+    * engine), `k_b` is the doc's bucket count, and both distributions
+    * are add-one smoothed bucket frequencies (target corpus vs the raw
+    * corpus itself). High weight = looks like the target distribution;
+    * resampling by `w` is the standard pretraining-data selection move
+    * when the target (e.g. curated reference text) is far smaller than
+    * the raw pool. Returns every corpus row as `(id, n_toks, dsir_w)`
+    * with `dsir_w` rounded to `roundDp` (the cross-engine float
+    * recipe); tokenless docs score 0.
+    *
+    * Scale shape: the two distributions are 256-row aggregates; the
+    * log-likelihood-ratio table built from them is broadcast onto the
+    * corpus's doc-keyed bucket counts, so scoring is one exploded-token
+    * aggregate + one broadcast join + one doc-keyed sum — two corpus
+    * scans (raw + its doc features are one scan each), zero
+    * corpus-sized shuffles beyond the doc-keyed aggregates. The
+    * windowed totals below run on ≤256-row tables (single-partition by
+    * construction, never data-sized). */
+  def dsirWeights(
+      corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, roundDp: Int = 6): DataFrame = {
+    val nB = 256
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .select(col(idCol),
+        substring(md5(col("__t").cast("binary")), 1, 2).as("__b"))
+    // per-doc bucket counts of the raw corpus — reused (via re-agg) for
+    // the raw distribution, so the corpus text is exploded exactly once
+    val docK = bucketed(corpus)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__k"))
+    val rawB = docK.groupBy(col("__b")).agg(sum(col("__k")).as("__cr"))
+    val tgtB = bucketed(target)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    // totals as windows over the bucket tables: ≤256 rows each, so the
+    // single-partition window is catalog-sized, not a scale hazard
+    val llr = rawB
+      .join(tgtB, Seq("__b"), "left")
+      .withColumn("__r", sum(col("__cr")).over(Window.partitionBy()))
+      .withColumn("__tt",
+        sum(coalesce(col("__ct"), lit(0L))).over(Window.partitionBy()))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
+            (col("__tt") + nB).cast("double")) -
+          log((col("__cr") + 1L).cast("double") /
+            (col("__r") + nB).cast("double"))).as("__llr"))
+    val scored = docK.join(broadcast(llr), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("__n"),
+        round(sum(col("__k") * col("__llr")), roundDp).as("__w"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_toks"),
+        coalesce(col("__w"), lit(0.0)).as("dsir_w"))
+  }
+
   // ------------------------------------------- temperature-balanced mixing
 
   /** Temperature-sampled mixture weights over a stratum column — the

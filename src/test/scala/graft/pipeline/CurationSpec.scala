@@ -398,4 +398,27 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(got.toSet == again.toSet, "sample must not depend on layout")
   }
+
+  test("dsirWeights: target-like docs outweigh off-target docs") {
+    // target speaks "alpha beta"; raw pool mixes that with "zork" noise
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha"),
+      (2L, "zork zork zork zork zork"),
+      (3L, "alpha beta zork"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val out = Curation.dsirWeights(raw, tgt, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "every raw row kept")
+    val w = out.map(r => r._1 -> r._3).toMap
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 5L, 2L -> 5L, 3L -> 3L, 4L -> 0L))
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"target-vocab docs must rank above noise: $w")
+    assert(w(4L) == 0.0, "tokenless doc scores exactly 0")
+    // layout-independent
+    val again = Curation.dsirWeights(raw.repartition(5), tgt, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "weights must not depend on layout")
+  }
 }
