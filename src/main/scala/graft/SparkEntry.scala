@@ -1713,6 +1713,18 @@ object SparkEntry {
           Dedup.sharedSpanPairs(nearDupFixture(s, dir), "doc_id", "text",
             spanTokens = 8, minShared = 3))
         .orderBy("id")),
+    "dedup_keep_best" -> ((s, dir) => {
+      // quality-aware canonical: within each near-dup cluster keep the
+      // LONGEST member (the planted copies are truncated originals, so
+      // the original wins its cluster); singletons survive untouched
+      val fx = nearDupFixture(s, dir)
+      Dedup.keepBestPerCluster(
+          fx.withColumn("q", length(col("text")).cast("long")),
+          Dedup.sharedSpanPairs(fx, "doc_id", "text",
+            spanTokens = 8, minShared = 3),
+          "doc_id", "q")
+        .orderBy("id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.withSimHash(documents(s, dir), "text")
         .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
@@ -4341,6 +4353,48 @@ object SparkEntry {
         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      string_split_regex(trim(text), '\s+')
+        |        [1:greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id < 50),
+        |u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM u),
+        |sp AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM tok, UNNEST(range(1, len(t) - 6)) AS r(i)),
+        |capped AS (
+        |  SELECT * FROM sp QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.s) >= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT u.doc_id AS id,
+        |    coalesce(cl.cluster, u.doc_id) AS cluster,
+        |    len(u.text) AS q
+        |  FROM u LEFT JOIN cl ON u.doc_id = cl.id)
+        |SELECT id, cluster,
+        |  CAST(CASE WHEN row_number() OVER (
+        |      PARTITION BY cluster ORDER BY q DESC, id) = 1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM lab ORDER BY id""".stripMargin,
     "sim_topk_q8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -575,4 +575,35 @@ object Dedup {
         "(component diameter exceeds maxIters)")
     labels
   }
+
+  /** Quality-aware canonical selection: given near-dup `pairs` over
+    * `docs`, keep the BEST member of every duplicate cluster instead
+    * of the arbitrary min-id one — the production dedup move (a crawl
+    * usually wants the longest / highest-quality copy, which min-id
+    * picks only by luck). `qualityCol` decides the winner (ties: the
+    * smaller id, so selection is total and deterministic); docs in no
+    * pair are their own singleton cluster and always survive.
+    *
+    * Returns every doc as `(id, cluster, keep)` — the keep set plus
+    * the audit trail of what each dropped doc lost to.
+    *
+    * Scale shape: [[nearDupClusters]]' label propagation on the pair
+    * graph (edge-sized, tiny diameter), one left join to attach
+    * labels, and a per-cluster `row_number` window — partitioned by
+    * cluster id, so the sort is per-cluster-sized, never global. */
+  def keepBestPerCluster(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      qualityCol: String, maxIters: Int = 25): DataFrame = {
+    val cl = nearDupClusters(pairs, maxIters)
+    val labeled = docs
+      .select(col(idCol).as("id"), col(qualityCol).as("__q"))
+      .join(cl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"),
+        col("__q"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__q").desc, col("id"))
+    labeled
+      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+      .select(col("id"), col("cluster"), col("keep"))
+  }
 }

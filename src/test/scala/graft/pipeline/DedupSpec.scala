@@ -260,4 +260,22 @@ class DedupSpec extends SparkSpec {
     assert(loose == Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)),
       s"got $loose")
   }
+
+  test("keepBestPerCluster: highest quality wins, singletons survive") {
+    // cluster {1,2,3} (chained pairs), singleton 9; quality favors 2
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBestPerCluster(docs, pairs, "doc_id", "q")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // cluster label = min id (1); q-tie between 2 and 3 -> smaller id 2
+    assert(got == Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L), (9L, 9L, 1L)),
+      s"got $got")
+    // exactly one keeper per cluster regardless of layout
+    val again = Dedup.keepBestPerCluster(
+      docs.repartition(4), pairs, "doc_id", "q")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(again == got, "selection must not depend on layout")
+  }
 }
