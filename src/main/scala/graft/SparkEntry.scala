@@ -1017,6 +1017,46 @@ object SparkEntry {
         .agg(min(col("cnt")).as("cms_est"))
         .orderBy("win_start_s", "event_type")
     }),
+    "stream_psi" -> ((s, dir) => {
+      // PSI drift as a STREAMING monitor: per-day value-histogram
+      // counts ride the watermarked windowed agg (state ≤ nBins+2
+      // rows per window — a sketch, like stream_cms); each drained
+      // day is scored against the full-history baseline with the
+      // Sketch.psiDrift smoothing. The model-monitoring loop (alert
+      // when a day drifts past 0.2) as one bounded-state stream.
+      val nBins = 20
+      val b = (v: Column) => width_bucket(v, lit(0.0), lit(200.0), lit(nBins))
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "48 hours")
+        .filter(col("value").isNotNull)
+        .groupBy(window(col("ts"), "24 hours").as("win"),
+          b(col("value")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val winB = drainToTable(s, agg, "complete", "stream_psi")
+        .select(unix_timestamp(col("win.start")).as("win_start_s"),
+          col("bucket"), col("cnt"))
+      val refB = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(b(col("value")).as("bucket"))
+        .agg(count(lit(1)).as("ref_cnt"))
+      // post-drain arithmetic on (days × ≤22 buckets): the grid gives
+      // every drained day every baseline bucket, so bins empty on
+      // either side keep their eps floor exactly like psiDrift
+      val grid = winB.select(col("win_start_s")).distinct()
+        .crossJoin(broadcast(refB))
+      val wWin = Window.partitionBy(col("win_start_s"))
+      val denom = lit(0.5 * (nBins + 2))
+      val j = grid.join(winB, Seq("win_start_s", "bucket"), "full_outer")
+        .select(col("win_start_s"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"))
+      val pw = (col("cnt") + lit(0.5)) / (sum(col("cnt")).over(wWin) + denom)
+      val pr = (col("ref_cnt") + lit(0.5)) /
+        (sum(col("ref_cnt")).over(wWin) + denom)
+      j.withColumn("__term", (pw - pr) * log(pw / pr))
+        .groupBy(col("win_start_s"))
+        .agg(round(sum(col("__term")), 6).as("psi"))
+        .orderBy("win_start_s")
+    }),
     "stream_ohlc" -> ((s, dir) => {
       // the streaming face of Resample.ohlc: per event-time window,
       // open/close via min_by/max_by on the total (ts, event_id)
@@ -3562,6 +3602,36 @@ object SparkEntry {
         |SELECT win_start_s, event_type, min(coalesce(cnt, 0)) AS cms_est
         |FROM keypos LEFT JOIN cells USING (win_start_s, row, pos)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-day histogram vs full-history baseline, drift_psi's explicit
+    // floor bucketing and eps smoothing (grid = day × baseline bucket)
+    "stream_psi" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+        |      AS win_start_s,
+        |    CASE WHEN value < 0.0 THEN 0 WHEN value >= 200.0 THEN 21
+        |         ELSE CAST(floor(value / 10.0) + 1 AS BIGINT) END AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT win_start_s, bucket, count(*) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |r AS (SELECT bucket, count(*) AS ref_cnt FROM b GROUP BY 1),
+        |g AS (
+        |  SELECT d.win_start_s, r.bucket
+        |  FROM (SELECT DISTINCT win_start_s FROM w) d CROSS JOIN r
+        |  UNION SELECT win_start_s, bucket FROM w),
+        |j AS (
+        |  SELECT g.win_start_s, coalesce(w.cnt, 0) AS cnt,
+        |    coalesce(r.ref_cnt, 0) AS ref_cnt
+        |  FROM g LEFT JOIN w USING (win_start_s, bucket)
+        |         LEFT JOIN r USING (bucket)),
+        |t AS (
+        |  SELECT *, sum(cnt) OVER (PARTITION BY win_start_s) AS tw,
+        |    sum(ref_cnt) OVER (PARTITION BY win_start_s) AS tr
+        |  FROM j)
+        |SELECT win_start_s,
+        |  round(sum(((cnt + 0.5) / (tw + 11.0) - (ref_cnt + 0.5) / (tr + 11.0))
+        |    * ln(((cnt + 0.5) / (tw + 11.0)) /
+        |         ((ref_cnt + 0.5) / (tr + 11.0)))), 6) AS psi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // batch replay of the streaming register pipeline — same md5 hash
     // family, same exact-integer harmonic sum as sketch_hll, per day
     "stream_hll" ->
