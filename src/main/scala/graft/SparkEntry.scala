@@ -1765,6 +1765,22 @@ object SparkEntry {
           "doc_id", "q")
         .orderBy("id")
     }),
+    "er_match" -> ((s, dir) => {
+      // entity resolution: every %7==1 customer re-appears with two
+      // middle name chars swapped; blocking on the (unchanged) last-4
+      // suffix pairs each typo with its original (edit distance ≤ 2)
+      // without ever comparing across blocks
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val typo = cust.filter(col("id") % 7 === 1)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 11),
+            substring(col("name"), 13, 1), substring(col("name"), 12, 1),
+            substring(col("name"), 14, 5)).as("name"))
+      Dedup.blockedFuzzyPairs(cust.unionByName(typo), "id", "name",
+          substring(col("name"), 15, 4), maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.withSimHash(documents(s, dir), "text")
         .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
@@ -4465,6 +4481,23 @@ object SparkEntry {
         |      PARTITION BY cluster ORDER BY q DESC, id) = 1
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM lab ORDER BY id""".stripMargin,
+    "er_match" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS id,
+        |    substring(c_name, 1, 11) || substring(c_name, 13, 1) ||
+        |    substring(c_name, 12, 1) || substring(c_name, 14, 5) AS name
+        |  FROM customer WHERE c_custkey % 7 = 1),
+        |k AS (
+        |  SELECT id, name, substring(name, 15, 4) AS blk FROM u
+        |  QUALIFY count(*) OVER (PARTITION BY substring(name, 15, 4))
+        |    <= 1000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "sim_topk_q8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -576,6 +576,43 @@ object Dedup {
     labels
   }
 
+  /** Entity-resolution matching (record linkage): candidate pairs by
+    * BLOCKING, confirmed by exact edit distance — the standard
+    * two-phase shape (Fellegi–Sunter blocking; Levenshtein verify)
+    * for "are these two records the same real-world entity".
+    * `blockKey` is the user's blocking rule (phonetic code, name
+    * suffix, zip, …): only records sharing a block are compared, so
+    * the self-join is block-local — never all-pairs — and `maxBlock`
+    * drops degenerate blocks (the empty-string / "UNKNOWN" floods)
+    * exactly like [[lshCandidatePairs]]' bucket cap. Returns
+    * `(id_a, id_b, dist)` for pairs with distance ≤ `maxDist`.
+    *
+    * Scale shape: one shuffle on the block key, per-block self-join
+    * bounded by `maxBlock`², codegen'd `levenshtein` on the
+    * candidate stream only. Block-key quality decides recall, the
+    * cap bounds the worst block — both are the knobs a 100 TB run
+    * tunes, neither changes the plan shape. */
+  def blockedFuzzyPairs(
+      df: DataFrame, idCol: String, strCol: String, blockKey: Column,
+      maxDist: Int, maxBlock: Int = 1000): DataFrame = {
+    require(maxDist >= 0, "blockedFuzzyPairs: maxDist must be >= 0")
+    require(maxBlock >= 2, "blockedFuzzyPairs: maxBlock must be >= 2")
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("__s"),
+        blockKey.as("__blk"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__blk")))
+      .filter(col("__bn") <= maxBlock).drop("__bn")
+    val a = keyed.select(col("__blk"), col("id").as("id_a"),
+      col("__s").as("__sa"))
+    val b = keyed.select(col("__blk"), col("id").as("id_b"),
+      col("__s").as("__sb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Quality-aware canonical selection: given near-dup `pairs` over
     * `docs`, keep the BEST member of every duplicate cluster instead
     * of the arbitrary min-id one — the production dedup move (a crawl

@@ -261,6 +261,26 @@ class DedupSpec extends SparkSpec {
       s"got $loose")
   }
 
+  test("blockedFuzzyPairs: block-local comparisons, distance gate, cap") {
+    import org.apache.spark.sql.functions.substring
+    val recs = Seq(
+      (1L, "smith-01"), (2L, "smyth-01"),   // same block "h-01", dist 1
+      (3L, "jones-01"),                     // different block, never compared
+      (4L, "abcdzz01"), (5L, "vwxyzz01")    // same block, dist > 2 -> dropped
+    ).toDF("id", "name")
+    val got = Dedup.blockedFuzzyPairs(recs, "id", "name",
+        substring(col("name"), 5, 4), maxDist = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"got $got")
+    // a flooded block (maxBlock = 2 with 3 members) is dropped whole
+    val flood = Seq(
+      (1L, "aa-x"), (2L, "ab-x"), (3L, "ac-x")).toDF("id", "name")
+    val capped = Dedup.blockedFuzzyPairs(flood, "id", "name",
+        substring(col("name"), 3, 2), maxDist = 2, maxBlock = 2)
+      .collect()
+    assert(capped.isEmpty, "flooded block must be dropped, not joined")
+  }
+
   test("keepBestPerCluster: highest quality wins, singletons survive") {
     // cluster {1,2,3} (chained pairs), singleton 9; quality favors 2
     val docs = Seq(
