@@ -2244,6 +2244,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tokens"), col("bin"))
         .orderBy("doc_id")
     }),
+    "cur_pack_spans" -> ((s, dir) => {
+      // sequence packing with the trainer-facing layout: each doc's
+      // half-open token span inside its (lang, bin) packed sequence —
+      // the offsets that drive cross-doc attention masking
+      val d = documents(s, dir)
+        .withColumn("tokens", TextAnalysis.nTokens(col("text")).cast("long"))
+      Curation.packSpans(d, "tokens", "lang", "doc_id", 512L)
+        .select(col("doc_id"), col("lang"), col("tokens"), col("bin"),
+          col("tok_start"), col("tok_end"))
+        .orderBy("doc_id")
+    }),
     "cur_sample" -> ((s, dir) =>
       Curation.deterministicSample(documents(s, dir), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"))
@@ -5503,6 +5514,24 @@ object SparkEntry {
         |  CAST((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id) - tokens)
         |    // 512 AS BIGINT) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
+    "cur_pack_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, tokens,
+        |    (sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id) - tokens)
+        |      // 512 AS bin
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(bin AS BIGINT) AS bin,
+        |  CAST(sum(tokens) OVER (PARTITION BY lang, bin ORDER BY doc_id)
+        |    - tokens AS BIGINT) AS tok_start,
+        |  CAST(sum(tokens) OVER (PARTITION BY lang, bin ORDER BY doc_id)
+        |    AS BIGINT) AS tok_end
+        |FROM b ORDER BY doc_id""".stripMargin,
     "cur_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'

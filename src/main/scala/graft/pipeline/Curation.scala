@@ -590,6 +590,32 @@ object Curation {
       floor((sum(col(tokCol)).over(w) - col(tokCol)) / lit(budget)))
   }
 
+  /** [[packByBudget]] plus the within-pack layout a trainer actually
+    * consumes: for every doc, its HALF-OPEN token span
+    * `[tok_start, tok_end)` inside the concatenated (shard, bin)
+    * training sequence — the offsets that drive per-doc attention
+    * masking and position-id resets when packed sequences must not
+    * attend across document boundaries.
+    *
+    * Scale shape: one more windowed prefix sum, partitioned by
+    * (shard, bin) — strictly finer than [[packByBudget]]'s per-shard
+    * window, so it re-sorts nothing larger and is never global. */
+  def packSpans(
+      df: DataFrame,
+      tokCol: String,
+      shardCol: String,
+      orderCol: String,
+      budget: Long,
+      binCol: String = "bin"): DataFrame = {
+    val binned = packByBudget(df, tokCol, shardCol, orderCol, budget, binCol)
+    val w = Window.partitionBy(col(shardCol), col(binCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("tok_start", sum(col(tokCol)).over(w) - col(tokCol))
+      .withColumn("tok_end", col("tok_start") + col(tokCol))
+  }
+
   /** Snapshot reconciliation: classify every key of two same-schema
     * tables as `added` (only in `b`), `removed` (only in `a`),
     * `changed` (payload md5 differs), or `same` — the data-diff

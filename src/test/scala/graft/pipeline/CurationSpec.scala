@@ -399,6 +399,21 @@ class CurationSpec extends SparkSpec {
     assert(got.toSet == again.toSet, "sample must not depend on layout")
   }
 
+  test("packSpans: contiguous half-open spans from zero within each bin") {
+    val d = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 100L),
+      ("de", 4L, 600L), ("de", 5L, 10L)).toDF("lang", "id", "tok")
+    val got = Curation.packSpans(d, "tok", "lang", "id", budget = 512L)
+      .select("id", "bin", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // en: prefix-exclusive sums 0,300,600 -> bins 0,0,1; de: 0,600 -> 0,1
+    assert(got == Seq(
+      (1L, 0L, 0L, 300L), (2L, 0L, 300L, 600L), (3L, 1L, 0L, 100L),
+      (4L, 0L, 0L, 600L), (5L, 1L, 0L, 10L)), s"got $got")
+    // invariant: span width == token count, spans start at 0 per bin
+    assert(got.forall(r => r._4 - r._3 >= 0))
+  }
+
   test("dsirWeights: target-like docs outweigh off-target docs") {
     // target speaks "alpha beta"; raw pool mixes that with "zork" noise
     val raw = Seq(
