@@ -1017,6 +1017,36 @@ object SparkEntry {
         .agg(min(col("cnt")).as("cms_est"))
         .orderBy("win_start_s", "event_type")
     }),
+    "stream_decontam" -> ((s, dir) => {
+      // the decontamination gate at INGESTION time: each arriving
+      // doc's distinct 5-grams join the static benchmark gram table
+      // (broadcast, stream-static), matched counts aggregate per
+      // (doc, bench) pair — leakage is caught before the doc ever
+      // lands in the lake. Same fixture as cur_decontam, so the
+      // stream must reproduce the batch gate exactly. Both gram sets
+      // are per-doc DISTINCT (wordShingles), so the join stream is
+      // already distinct per (doc, bench, gram) and plain count(*)
+      // equals the count(DISTINCT) streaming aggs can't run.
+      val stream = documentsStream(s, dir)
+      val toks = TextAnalysis.tokens(col("text"))
+      val planted = stream.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), lit(12))).as("text"))
+      val corpus = stream.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val bench = documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("bench_id"),
+          explode(Dedup.wordShingles(col("text"), 5)).as("__g"))
+      val cand = corpus
+        .select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 5)).as("__g"))
+        .join(broadcast(bench), "__g")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_matched"))
+      drainToTable(s, cand, "complete", "stream_decontam")
+        .orderBy("doc_id", "bench_id")
+    }),
     "stream_psi" -> ((s, dir) => {
       // PSI drift as a STREAMING monitor: per-day value-histogram
       // counts ride the watermarked windowed agg (state ≤ nBins+2
@@ -3629,6 +3659,36 @@ object SparkEntry {
         |SELECT win_start_s, event_type, min(coalesce(cnt, 0)) AS cms_est
         |FROM keypos LEFT JOIN cells USING (win_start_s, row, pos)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming gate must equal the batch gate: cur_decontam's
+    // oracle verbatim (same fixture, same 5-grams, same pair counts)
+    "stream_decontam" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |btok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM ctok, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        |bg AS (
+        |  SELECT DISTINCT doc_id AS bench_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM btok, UNNEST(range(1, len(t) - 3)) AS r(i))
+        |SELECT cg.doc_id, bg.bench_id, count(DISTINCT cg.g) AS n_matched
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
     // per-day histogram vs full-history baseline, drift_psi's explicit
     // floor bucketing and eps smoothing (grid = day × baseline bucket)
     "stream_psi" ->
