@@ -396,4 +396,30 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"wedge + closing joins must be equi-joins:\n$p")
   }
+
+  test("dsir: the 256-bucket LLR table broadcasts onto the doc stream") {
+    // the corpus-sized side is the per-doc bucket counts; the two
+    // distributions and their LLR table are ≤256 rows and must attach
+    // as a broadcast — a sort-merge would co-shuffle the whole corpus
+    // by bucket id (max 256 keys: catastrophic skew at 100 TB)
+    val p = plan("cur_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"LLR must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"doc buckets must not co-shuffle with the LLR table:\n$p")
+  }
+
+  test("er blocking: block-key equi-join only, no cross product") {
+    val p = plan("er_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked compare must be a block-key equi-join:\n$p")
+  }
+
+  test("keep-best canonical: per-cluster window, never a global sort") {
+    // the winner-pick window partitions by cluster id; a plan that
+    // sorted all docs in one partition would be the W1 scale-killer
+    val p = plan("dedup_keep_best")
+    assert(!p.contains("SinglePartition"),
+      s"per-cluster row_number must not gather to one partition:\n$p")
+  }
 }
