@@ -1301,6 +1301,14 @@ object SparkEntry {
             .filter(col("s_suppkey") % 100 === 1),
           "s_suppkey", maxHops = 3)
         .orderBy("node")),
+    "graph_cc" -> ((s, dir) =>
+      // connected components of the co-supplier graph — min-label
+      // propagation to fixpoint (the dedup-cluster routine on a real
+      // graph); supply-chain blast-radius analysis in one call
+      Dedup.nearDupClusters(
+          coSupplierEdges(s, dir)
+            .select(col("a").as("id_a"), col("b").as("id_b")))
+        .orderBy("id")),
     "graph_lpa" -> ((s, dir) =>
       // 3 synchronous label-propagation rounds, modal neighbor label,
       // ties to the smallest — deterministic community detection
@@ -2460,6 +2468,20 @@ object SparkEntry {
           col("vec_id"), round(col("adist"), 6).as("adist"))
         .orderBy("probe_id", "rank")
     }),
+    "sim_ivfpq" -> ((s, dir) => {
+      // IVF-PQ, the FAISS production ANN shape: the coarse quantizer
+      // (full-vector k-means = PQ with m=1) routes each probe to its
+      // 2 nearest of 8 cells; ADC then ranks only those cells' codes.
+      // Fully deterministic, so the oracle replays the whole index.
+      val probes = embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Vec.ivfPqTopK(embeddings(s, dir), probes, "vec_id", "embedding",
+          "probe_id", nlist = 8, nprobe = 2, m = 2, k = 4, iters = 2,
+          topK = 5)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("adist"), 6).as("adist"))
+        .orderBy("probe_id", "rank")
+    }),
     "embed_dispersion" -> ((s, dir) =>
       Vec.centroidCosines(embeddings(s, dir), "vec_id", "embedding", "label")
         .groupBy("label")
@@ -2671,8 +2693,15 @@ object SparkEntry {
     * 6-dp-rounded update → final assignment keeping the min distance.
     * Mirrors [[graft.pipeline.Vec.pqTrain]]+`pqEncodeWith` for m=2,
     * k=4, iters=2 over 64-dim embeddings. */
-  private def PqOracleSub(j: Int): String = {
-    val lo = j * 32 + 1; val hi = (j + 1) * 32
+  private def PqOracleSub(j: Int): String = PqSub(j.toString, j * 32 + 1, 32, 4)
+
+  /** One PQ-style k-means replay (seed = lowest-id vectors, one
+    * round-6-dp Lloyd round, (dist, cl) tie-break) over embedding
+    * slice [lo, lo+len) with `k` clusters; CTE names suffixed `tag`.
+    * `tag`="g", len=64 gives the full-vector COARSE quantizer of
+    * sim_ivfpq; numeric tags give sim_pq's subspace codebooks. */
+  private def PqSub(tag: String, lo: Int, len: Int, k: Int): String = {
+    val j = tag; val hi = lo + len - 1
     s"""x$j AS (
        |  SELECT vec_id,
        |    list_transform(list_slice(embedding, $lo, $hi),
@@ -2680,7 +2709,7 @@ object SparkEntry {
        |  FROM embeddings),
        |c0$j AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
-       |  FROM (SELECT vec_id, v FROM x$j ORDER BY vec_id LIMIT 4)),
+       |  FROM (SELECT vec_id, v FROM x$j ORDER BY vec_id LIMIT $k)),
        |d1$j AS (
        |  SELECT x$j.vec_id, c0$j.cl,
        |    list_reduce(list_transform(list_zip(x$j.v, c0$j.v),
@@ -3379,6 +3408,14 @@ object SparkEntry {
          |SELECT node, CAST(hops AS BIGINT) AS hops
          |FROM k3 ORDER BY node""".stripMargin
     },
+    "graph_cc" ->
+      s"""WITH RECURSIVE $CoSupplierCte,
+         |reach AS (
+         |  SELECT a AS id, a AS lab FROM und
+         |  UNION
+         |  SELECT und.a, r.lab FROM und JOIN reach r ON und.b = r.id)
+         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
     "graph_lpa" -> {
       def round(i: Int): String =
         s"""c$i AS (
@@ -4729,6 +4766,54 @@ object SparkEntry {
          |  JOIN lut0 l0 ON l0.cl = a20.cl
          |  JOIN lut1 l1 ON l1.cl = a21.cl AND l1.probe_id = l0.probe_id
          |  WHERE l0.probe_id <> a20.vec_id)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  round(adist, 6) AS adist
+         |FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adist, vec_id) AS rank
+         |  FROM ad) WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin
+    },
+    // sim_pq's replay plus the coarse full-vector quantizer ("g" CTEs):
+    // probes route to their 2 nearest of 8 cells, ADC ranks only the
+    // routed cells' codes — the whole IVF-PQ index replayed in SQL
+    "sim_ivfpq" -> {
+      s"""WITH ${PqSub("g", 1, 64, 8)},
+         |${PqOracleSub(0)},
+         |${PqOracleSub(1)},
+         |lutg AS (
+         |  SELECT p.vec_id AS probe_id, c.cl,
+         |    list_reduce(list_transform(list_zip(p.v, c.v),
+         |      q -> (q[1] - q[2]) * (q[1] - q[2])), (a, b) -> a + b) AS d2
+         |  FROM (SELECT vec_id, v FROM xg WHERE vec_id < 20) p
+         |  CROSS JOIN c1g c),
+         |pc AS (
+         |  SELECT probe_id, cl AS cell FROM (
+         |    SELECT probe_id, cl,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY d2, cl) AS rk
+         |    FROM lutg) WHERE rk <= 2),
+         |lut0 AS (
+         |  SELECT p.vec_id AS probe_id, c.cl,
+         |    list_reduce(list_transform(list_zip(p.v, c.v),
+         |      q -> (q[1] - q[2]) * (q[1] - q[2])), (a, b) -> a + b) AS d2
+         |  FROM (SELECT vec_id, v FROM x0 WHERE vec_id < 20) p
+         |  CROSS JOIN c10 c),
+         |lut1 AS (
+         |  SELECT p.vec_id AS probe_id, c.cl,
+         |    list_reduce(list_transform(list_zip(p.v, c.v),
+         |      q -> (q[1] - q[2]) * (q[1] - q[2])), (a, b) -> a + b) AS d2
+         |  FROM (SELECT vec_id, v FROM x1 WHERE vec_id < 20) p
+         |  CROSS JOIN c11 c),
+         |ad AS (
+         |  SELECT pc.probe_id, a2g.vec_id, l0.d2 + l1.d2 AS adist
+         |  FROM pc JOIN a2g ON a2g.cl = pc.cell
+         |  JOIN a20 ON a20.vec_id = a2g.vec_id
+         |  JOIN a21 ON a21.vec_id = a2g.vec_id
+         |  JOIN lut0 l0 ON l0.cl = a20.cl AND l0.probe_id = pc.probe_id
+         |  JOIN lut1 l1 ON l1.cl = a21.cl AND l1.probe_id = pc.probe_id
+         |  WHERE pc.probe_id <> a2g.vec_id)
          |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id,
          |  round(adist, 6) AS adist
          |FROM (

@@ -249,6 +249,34 @@ object Vec {
       m: Int, k: Int, iters: Int): org.apache.spark.sql.DataFrame =
     pqEncodeWith(df, idCol, vecCol, pqTrain(df, idCol, vecCol, m, k, iters))
 
+  /** Per-probe ADC lookup tables: `__lut{j}[c+1]` = squared L2 from
+    * the probe's j-th subvector to codebook j's centroid `c` — the
+    * m×k staging every ADC consumer shares ([[pqTopK]],
+    * [[ivfPqTopK]]). Slots of clusters dropped during training are
+    * never read (their id never appears as a code); they hold a
+    * MaxValue placeholder. */
+  private def pqLuts(
+      probes: org.apache.spark.sql.DataFrame,
+      probeIdCol: String, vecCol: String,
+      books: Seq[Array[(Int, Array[Double])]], k: Int,
+      prefix: String = "__lut"): org.apache.spark.sql.DataFrame = {
+    val sub = books.head.head._2.length
+    books.zipWithIndex.foldLeft(
+      probes.select(col(probeIdCol), d(col(vecCol)).as("__q"))) {
+      case (acc, (cents, j)) =>
+        val byId = cents.toMap // lut index c+1 must hold centroid c
+        acc.withColumn(s"$prefix$j", array((0 until k).map { c =>
+          byId.get(c) match {
+            case Some(cent) => aggregate(
+              zip_with(slice(col("__q"), j * sub + 1, sub),
+                lit(cent), (a, b) => (a - b) * (a - b)),
+              lit(0.0), _ + _)
+            case None => lit(Double.MaxValue)
+          }
+        }: _*))
+    }.drop("__q")
+  }
+
   /** PQ-ADC approximate top-`topK`: every probe ranks the WHOLE corpus
     * by asymmetric distance — the probe's exact subvector against each
     * corpus vector's reproduction value, i.e. `Σⱼ d²(qⱼ, centⱼ[codeⱼ])`.
@@ -273,29 +301,73 @@ object Vec {
     require(probeIdCol != idCol,
       "pqTopK: probe id column must be named differently from the corpus id")
     val books = pqTrain(corpus, idCol, vecCol, m, k, iters)
-    val sub = books.head.head._2.length
     val codes = pqEncodeWith(corpus, idCol, vecCol, books)
       .select(col(idCol) +: (0 until m).map(j => col(s"code_$j")): _*)
-    val luts = books.zipWithIndex.foldLeft(
-      probes.select(col(probeIdCol), d(col(vecCol)).as("__q"))) {
-      case (acc, (cents, j)) =>
-        val byId = cents.toMap // lut index c+1 must hold centroid c
-        acc.withColumn(s"__lut$j", array((0 until k).map { c =>
-          byId.get(c) match {
-            case Some(cent) => aggregate(
-              zip_with(slice(col("__q"), j * sub + 1, sub),
-                lit(cent), (a, b) => (a - b) * (a - b)),
-              lit(0.0), _ + _)
-            // a cluster dropped during training never appears as a
-            // code, so its slot is never read — placeholder only
-            case None => lit(Double.MaxValue)
-          }
-        }: _*))
-    }.drop("__q")
+    val luts = pqLuts(probes, probeIdCol, vecCol, books, k)
     val approx = (0 until m)
       .map(j => element_at(col(s"__lut$j"), col(s"code_$j") + 1))
       .reduce(_ + _)
     codes.crossJoin(broadcast(luts))
+      .filter(col(probeIdCol) =!= col(idCol))
+      .withColumn("__ad", approx)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(probeIdCol))
+          .orderBy(col("__ad"), col(idCol))))
+      .filter(col("rank") <= topK)
+      .select(col(probeIdCol), col("rank"), col(idCol), col("__ad").as("adist"))
+  }
+
+  /** IVF-PQ (Jégou 2011 §V, the FAISS production ANN shape): a coarse
+    * quantizer prunes the corpus to each probe's `nprobe` nearest
+    * cells, then [[pqTopK]]'s ADC ranks ONLY those cells' vectors.
+    * The coarse quantizer is the PQ machinery itself with `m = 1` —
+    * a full-vector k-means under the same bit-stable Lloyd contract —
+    * so the whole index (cells, codebooks, codes, probe routing,
+    * ADC scores) is deterministic and SQL-replayable. (Classic IVF-PQ
+    * encodes residuals v − centroid(cell); this variant encodes raw
+    * vectors — one shared codebook, same pruning structure.)
+    *
+    * Scale shape: the corpus is touched by three scan-bound encode
+    * passes (cell + codes ride literals); search joins the code table
+    * against a BROADCAST (probe, cell) routing × LUT table keyed on
+    * the cell id, so each probe scores ~`nprobe/nlist` of the corpus
+    * instead of all of it — candidate volume, not corpus volume, is
+    * what moves. At 100 TB: write codes `partitionBy(cell)` as in
+    * [[Similarity.ivfWriteIndex]] and the probed cells become
+    * partition-pruned reads of m-byte codes. */
+  def ivfPqTopK(
+      corpus: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String,
+      nlist: Int, nprobe: Int,
+      m: Int, k: Int, iters: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIdCol != idCol,
+      "ivfPqTopK: probe id column must be named differently from the corpus id")
+    require(nprobe >= 1 && nprobe <= nlist,
+      "ivfPqTopK: need 1 <= nprobe <= nlist")
+    val coarse = pqTrain(corpus, idCol, vecCol, 1, nlist, iters)
+    val cellOf = pqEncodeWith(corpus, idCol, vecCol, coarse)
+      .select(col(idCol), col("code_0").as("__cell"))
+    val books = pqTrain(corpus, idCol, vecCol, m, k, iters)
+    val codes = pqEncodeWith(corpus, idCol, vecCol, books)
+      .select(col(idCol) +: (0 until m).map(j => col(s"code_$j")): _*)
+      .join(cellOf, idCol)
+    // probe routing: distance to every coarse centroid via the same
+    // LUT staging, nprobe smallest (dist, cell) kept — deterministic
+    val routed = pqLuts(probes, probeIdCol, vecCol, coarse, nlist, "__clut")
+      .select(col(probeIdCol),
+        posexplode(col("__clut0")).as(Seq("__cell", "__cd")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(probeIdCol))
+          .orderBy(col("__cd"), col("__cell"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col(probeIdCol), col("__cell"))
+      .join(pqLuts(probes, probeIdCol, vecCol, books, k), probeIdCol)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"__lut$j"), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    codes.join(broadcast(routed), "__cell")
       .filter(col(probeIdCol) =!= col(idCol))
       .withColumn("__ad", approx)
       .withColumn("rank", row_number().over(

@@ -307,6 +307,32 @@ class SimilaritySpec extends SparkSpec {
       s"neighbors must stay in-cluster, self excluded: ${out.toSeq}")
   }
 
+  test("ivfPqTopK: routed cells prune the corpus, ADC stays in-cluster") {
+    val mk = (base: Double, i: Int) => Seq(
+      (base + i * 0.1).toFloat, (base - i * 0.1).toFloat,
+      (base + i * 0.2).toFloat, (base).toFloat)
+    // two well-separated blobs; nlist=2 must split them into the two
+    // cells, nprobe=1 must route each probe to its OWN blob only
+    val corpus = ((1 to 4).map(i => (i.toLong, mk(0.0, i))) ++
+      (5 to 8).map(i => (i.toLong, mk(50.0, i)))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id").isin(1L, 5L))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val out = Vec.ivfPqTopK(corpus, probes, "vec_id", "embedding",
+        "probe_id", nlist = 2, nprobe = 1, m = 2, k = 2, iters = 2,
+        topK = 10)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+    // topK 10 >> blob size: with nprobe=1 each probe can only ever see
+    // its own cell's 3 non-self members — pruning, not ranking, caps it
+    assert(out.length == 6, s"cell pruning must cap candidates: ${out.toSeq}")
+    assert(out.forall { case (p, v) => (p <= 4) == (v <= 4) && p != v },
+      s"neighbors must come from the probe's own cell: ${out.toSeq}")
+    // nprobe = nlist degrades to whole-corpus ADC = pqTopK's candidates
+    val full = Vec.ivfPqTopK(corpus, probes, "vec_id", "embedding",
+        "probe_id", nlist = 2, nprobe = 2, m = 2, k = 2, iters = 2,
+        topK = 10).count()
+    assert(full == 14, s"nprobe=nlist must see all 7 non-self per probe: $full")
+  }
+
   test("radiusSearch returns exactly the pairs at or above tau") {
     // orthogonal + parallel fixture: 1∥2 (cos 1), 1⊥3 (cos 0),
     // 4 at 45° to 1 and 2 (cos ≈ 0.707107 after 6-dp rounding)
