@@ -2318,6 +2318,20 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "cur_dsir_sample" -> ((s, dir) => {
+      // DSIR's selection step: keep the 100 most target-like docs by
+      // weight (derandomized — rounded weight desc, id tiebreak, so
+      // the kept set replays on any engine; the paper's Gumbel top-k
+      // is this with noise added to the key). orderBy+limit plans as
+      // TakeOrderedAndProject: each partition keeps 100 rows, no
+      // global sort ever materializes (the heavy-hitters shape)
+      val docs = documents(s, dir)
+      Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(col("dsir_w").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("dsir_w"))
+        .orderBy("doc_id")
+    }),
     "cur_source_report" -> ((s, dir) =>
       // per-source curation telemetry: the go/no-go dashboard a corpus
       // build reads before mixing sources
@@ -5728,6 +5742,37 @@ object SparkEntry {
         |  coalesce(w, 0.0) AS dsir_w
         |FROM documents d LEFT JOIN w USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "cur_dsir_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE len(trim(lower(text))) > 0),
+        |bk AS (SELECT doc_id, substring(md5(t), 1, 2) AS b FROM tok),
+        |k AS (SELECT doc_id, b, count(*) AS k FROM bk GROUP BY 1, 2),
+        |cb AS (SELECT b, sum(k) AS cr FROM k GROUP BY 1),
+        |tb AS (
+        |  SELECT b, count(*) AS ct
+        |  FROM bk JOIN documents USING (doc_id) WHERE lang = 'en'
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cr) FROM cb) AS r,
+        |               (SELECT coalesce(sum(ct), 0) FROM tb) AS tt),
+        |llr AS (
+        |  SELECT cb.b,
+        |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+        |       CAST(tt + 256 AS DOUBLE)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / CAST(r + 256 AS DOUBLE)) AS llr
+        |  FROM cb LEFT JOIN tb USING (b) CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, round(sum(k * llr), 6) AS w
+        |  FROM k JOIN llr USING (b) GROUP BY 1),
+        |allw AS (
+        |  SELECT d.doc_id, coalesce(w, 0.0) AS dsir_w
+        |  FROM documents d LEFT JOIN w USING (doc_id))
+        |SELECT doc_id, dsir_w FROM (
+        |  SELECT doc_id, dsir_w,
+        |    row_number() OVER (ORDER BY dsir_w DESC, doc_id) AS rk
+        |  FROM allw) WHERE rk <= 100
+        |ORDER BY doc_id""".stripMargin,
     "cur_source_report" ->
       """WITH t AS (
         |  SELECT source, text,
