@@ -38,7 +38,9 @@ object Stress {
     "grouped_topk", "cdc_apply", "sketch_cms", "sketch_quantile",
     "layout_zorder", "text_bpe_encode", "ts_retention",
     "graph_pagerank", "text_bm25", "text_inverted_index",
-    "cur_table_diff", "ivm_merge", "sketch_quantile_grouped", "q4_semi")
+    "cur_table_diff", "ivm_merge", "sketch_quantile_grouped", "q4_semi",
+    "cur_dsir", "dedup_keep_best", "er_match", "sim_ivfpq", "graph_cc",
+    "cur_pack_spans")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
