@@ -1505,6 +1505,16 @@ object SparkEntry {
           round(col("roll_avg"), 6).as("roll_avg"),
           col("roll_min"), col("roll_max"))
         .orderBy("event_id")),
+    "ts_decompose" -> ((s, dir) =>
+      // classical additive decomposition per event type: ±12 h centered
+      // trend, hour-of-day seasonal profile, residual anomaly channel
+      graft.timeseries.TimeSeriesOps.decompose(
+          events(s, dir).filter(col("value").isNotNull),
+          keys = Seq("event_type"), t = "ts", v = "value",
+          halfWindowSecs = 43200L)
+        .select(col("event_id"), col("trend"), col("seasonal"),
+          col("residual"))
+        .orderBy("event_id")),
     "ts_sessionize" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.sessionize(
           events(s, dir), keys = Seq("user_id"), t = "ts",
@@ -4033,6 +4043,30 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tms
         |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // trend = ratio of EXACT integers (cents sum / 100n): immune to
+    // engine summation order and to the small-integer-ratio round ties
+    // a rounded float mean of 2-dp values hits constantly
+    "ts_decompose" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS ticks,
+        |    epoch_ms(ts) AS tms
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT event_id, event_type, value, tms,
+        |    CAST(sum(ticks) OVER w AS DOUBLE) /
+        |      (100.0::DOUBLE * count(ticks) OVER w) AS trend,
+        |    CAST(floor((tms % 86400000) / 3600000) AS BIGINT) AS phase
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tms
+        |    RANGE BETWEEN 43200000 PRECEDING AND 43200000 FOLLOWING)),
+        |s AS (
+        |  SELECT event_type, phase, round(avg(value - trend), 6) AS seasonal
+        |  FROM t GROUP BY 1, 2)
+        |SELECT event_id, trend, seasonal,
+        |  value - trend - seasonal AS residual
+        |FROM t JOIN s USING (event_type, phase)
         |ORDER BY event_id""".stripMargin,
     "ts_sessionize" ->
       """WITH c AS (

@@ -419,4 +419,71 @@ object TimeSeriesOps {
       .select(keys.map(col) ++
         payload.filterNot(_ == opCol).map(c => col(s"__last.$c").as(c)): _*)
   }
+
+  /** Classical additive decomposition (STL-lite):
+    * `value = trend + seasonal + residual` per key —
+    *  - `trend`: centered time-RANGE moving average, ±`halfWindowSecs`
+    *    (e.g. ±12 h turns a diurnal cycle into its local mean);
+    *  - `seasonal`: the mean detrended value of the row's phase
+    *    (`floor(ms mod period / bucket)` — hour-of-day for
+    *    period=24 h, bucket=1 h), per key;
+    *  - `residual`: what's left — the anomaly channel [[graft.qc.QcAuto]]'s
+    *    seasonal detector thresholds.
+    * The trend is EXACT: fixed-precision inputs (`valueDecimals`
+    * decimals) are scaled to integers, so the sliding mean is a ratio
+    * of exact integers and one double division — bit-identical on any
+    * engine, immune to both summation order (engines disagree: Spark
+    * accumulates running frames, DuckDB aggregates segment trees) and
+    * to round-half ties (a mean of fixed-precision values lands
+    * EXACTLY on 6-dp boundaries whenever the frame count divides the
+    * scale — the small-integer-ratio trap, so the trend must not be
+    * rounded at all). Seasonal/residual then carry full double
+    * entropy and take the ordinary round-6 recipe safely.
+    *
+    * Scale shape: one keyed exchange + in-partition sort for the
+    * centered frame (the [[rollingStats]] profile), one
+    * (key, phase)-keyed aggregate whose result is phase-catalog-sized
+    * and BROADCAST back — the corpus is never self-joined and never
+    * globally sorted. */
+  def decompose(
+      df: DataFrame,
+      keys: Seq[String],
+      t: String,
+      v: String,
+      halfWindowSecs: Long,
+      periodSecs: Long = 86400L,
+      bucketSecs: Long = 3600L,
+      valueDecimals: Int = 2): DataFrame = {
+    require(halfWindowSecs > 0, "decompose: halfWindowSecs must be > 0")
+    require(periodSecs > 0 && bucketSecs > 0 && periodSecs % bucketSecs == 0,
+      "decompose: periodSecs must be a multiple of bucketSecs")
+    require(valueDecimals >= 0 && valueDecimals <= 6,
+      "decompose: valueDecimals in [0, 6]")
+    val scale = math.pow(10, valueDecimals)
+    val tms = floor(unix_micros(col(t)) / lit(1000.0)).cast("long")
+    val ticks = round(col(v) * lit(scale)).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tms)
+      .rangeBetween(-halfWindowSecs * 1000L, halfWindowSecs * 1000L)
+    val trended = df
+      .withColumn("__tms", tms)
+      .withColumn("trend",
+        sum(ticks).over(w).cast("double") /
+          (lit(scale) * count(ticks).over(w)))
+      .withColumn("phase",
+        floor(pmod(col("__tms"), lit(periodSecs * 1000L)) /
+          lit(bucketSecs * 1000L)).cast("long"))
+    val seasonal = trended
+      .groupBy(keys.map(col) :+ col("phase"): _*)
+      .agg(round(avg(col(v) - col("trend")), 6).as("seasonal"))
+    trended
+      .join(broadcast(seasonal), keys :+ "phase")
+      // residual stays UNROUNDED: value, the exact-integer trend, and
+      // the rounded seasonal are all bit-identical across engines, so
+      // the left-to-right subtraction is too — while rounding it would
+      // re-enter the tie trap (value−trend−seasonal is an exact
+      // ≤7-decimal rational that can land ON the 6-dp boundary).
+      .withColumn("residual", col(v) - col("trend") - col("seasonal"))
+      .drop("__tms")
+  }
 }

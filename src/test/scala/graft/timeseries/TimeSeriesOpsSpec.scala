@@ -317,4 +317,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 11L, 2.0), (3L, 31L, 4.0), (4L, 41L, 6.0)),
       s"got $got")
   }
+
+  test("decompose: value = trend + seasonal + residual, trend exact") {
+    // one series, 1 h cadence over 2 days: constant 10 plus a +2 bump
+    // at hour 6 of each day (the seasonal signal)
+    val rows = (0 until 48).map { h =>
+      val bump = if (h % 24 == 6) 2.0 else 0.0
+      (h.toLong, "s",
+        ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:00:00"), 10.0 + bump)
+    }
+    val df = rows.toDF("id", "key", "t", "v")
+    val out = TimeSeriesOps.decompose(df, Seq("key"), "t", "v",
+        halfWindowSecs = 43200L)
+      .select("id", "v", "trend", "seasonal", "residual")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(out.length == 48)
+    // identity holds to rounding everywhere
+    assert(out.forall(r => math.abs(r._2 - (r._3 + r._4 + r._5)) < 1e-6),
+      "additive identity must hold")
+    // the hour-6 phase carries the positive seasonal, others negative-ish
+    val byId = out.map(r => r._1 -> r._4).toMap
+    assert(byId(6L) > byId(7L) && byId(30L) > byId(29L),
+      s"bump hour must have the largest seasonal: $byId")
+    // layout-free
+    val again = TimeSeriesOps.decompose(df.repartition(7), Seq("key"),
+        "t", "v", halfWindowSecs = 43200L)
+      .select("id", "v", "trend", "seasonal", "residual")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
