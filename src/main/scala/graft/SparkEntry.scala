@@ -1301,6 +1301,25 @@ object SparkEntry {
             .filter(col("s_suppkey") % 100 === 1),
           "s_suppkey", maxHops = 3)
         .orderBy("node")),
+    "graph_jaccard" -> ((s, dir) => {
+      // neighborhood Jaccard (the classic link-prediction score) on
+      // the co-supplier graph: |N(a)∩N(b)| / |N(a)∪N(b)| for every
+      // pair sharing ≥2 neighbors — common counts via the generic
+      // fingerprint-bucket join (fp = neighbor id, hub caps included),
+      // the score an exact-integer IEEE division (never rounded:
+      // small-integer ratios sit ON round-6 tie boundaries)
+      val e0 = coSupplierEdges(s, dir)
+      val und = e0.select(col("a").as("id"), col("b").as("fp"))
+        .unionByName(e0.select(col("b").as("id"), col("a").as("fp")))
+      val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      Dedup.sharedFingerprintPairs(und, "id", "fp", minShared = 2)
+        .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")), "id_a")
+        .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          (col("n_shared") /
+            (col("deg_a") + col("deg_b") - col("n_shared"))).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "graph_cc" -> ((s, dir) =>
       // connected components of the co-supplier graph — min-label
       // propagation to fixpoint (the dedup-cluster routine on a real
@@ -3432,6 +3451,22 @@ object SparkEntry {
          |SELECT node, CAST(hops AS BIGINT) AS hops
          |FROM k3 ORDER BY node""".stripMargin
     },
+    "graph_jaccard" ->
+      s"""WITH $CoSupplierCte,
+         |capped AS (
+         |  SELECT a AS id, b AS fp FROM und
+         |  QUALIFY count(*) OVER (PARTITION BY b) <= 1000),
+         |pairs AS (
+         |  SELECT x.id AS id_a, y.id AS id_b,
+         |    count(DISTINCT x.fp) AS n_shared
+         |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.id < y.id
+         |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2)
+         |SELECT id_a, id_b, n_shared,
+         |  n_shared / (da.deg + db.deg - n_shared) AS jaccard
+         |FROM pairs
+         |JOIN deg da ON da.node = id_a
+         |JOIN deg db ON db.node = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
     "graph_cc" ->
       s"""WITH RECURSIVE $CoSupplierCte,
          |reach AS (
