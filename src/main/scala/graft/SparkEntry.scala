@@ -1017,6 +1017,41 @@ object SparkEntry {
         .agg(min(col("cnt")).as("cms_est"))
         .orderBy("win_start_s", "event_type")
     }),
+    "stream_anomaly" -> ((s, dir) => {
+      // streaming z-score monitor: per-type mean/std baselines come
+      // from history as EXACT integer sums (2-dp values → tick longs;
+      // one IEEE division each, bit-identical on any engine — a float
+      // avg/stddev would drift with summation order), broadcast onto
+      // the stream; each day's windowed agg counts |z| > 3 outliers.
+      // State: one counter row per (window, type).
+      val ticks = round(col("value") * 100d).cast("long")
+      val base = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), ticks.as("__tk"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__tk")).as("__st"),
+          sum(col("__tk") * col("__tk")).as("__ssq"),
+          count(lit(1)).as("__n"))
+        .select(col("event_type"),
+          (col("__st").cast("double") / (lit(100.0) * col("__n")))
+            .as("__mean"),
+          sqrt(col("__ssq").cast("double") / (lit(10000.0) * col("__n")) -
+            (col("__st").cast("double") / (lit(100.0) * col("__n"))) *
+              (col("__st").cast("double") / (lit(100.0) * col("__n"))))
+            .as("__std"))
+      val agg = eventsStream(s, dir)
+        .filter(col("value").isNotNull)
+        .join(broadcast(base), "event_type")
+        .withColumn("__anom",
+          (abs(col("value") - col("__mean")) >
+            lit(3.0) * col("__std")).cast("long"))
+        .withWatermark("ts", "48 hours")
+        .groupBy(window(col("ts"), "24 hours").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("__anom")).as("n_anom"))
+      drainToTable(s, agg, "complete", "stream_anomaly")
+        .select(unix_timestamp(col("win.start")).as("win_start_s"),
+          col("event_type"), col("n"), col("n_anom"))
+        .orderBy("win_start_s", "event_type")
+    }),
     "stream_decontam" -> ((s, dir) => {
       // the decontamination gate at INGESTION time: each arriving
       // doc's distinct 5-grams join the static benchmark gram table
@@ -3754,6 +3789,29 @@ object SparkEntry {
         |keypos AS (SELECT DISTINCT win_start_s, event_type, row, pos FROM pos)
         |SELECT win_start_s, event_type, min(coalesce(cnt, 0)) AS cms_est
         |FROM keypos LEFT JOIN cells USING (win_start_s, row, pos)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact-integer baseline replay: same tick sums, same two IEEE
+    // divisions, same strict |z| > 3 compare on identical doubles
+    "stream_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS tk,
+        |    CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_start_s
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(sum(tk) AS DOUBLE) / (100.0::DOUBLE * count(*)) AS mean,
+        |    sqrt(CAST(sum(tk * tk) AS DOUBLE)
+        |        / (10000.0::DOUBLE * count(*)) -
+        |      (CAST(sum(tk) AS DOUBLE) / (100.0::DOUBLE * count(*))) *
+        |      (CAST(sum(tk) AS DOUBLE) / (100.0::DOUBLE * count(*))))
+        |      AS std
+        |  FROM e GROUP BY 1)
+        |SELECT win_start_s, e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN abs(value - mean) > 3.0::DOUBLE * std
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+        |FROM e JOIN b ON e.event_type = b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streaming gate must equal the batch gate: cur_decontam's
     // oracle verbatim (same fixture, same 5-grams, same pair counts)
