@@ -1337,19 +1337,28 @@ object SparkEntry {
           "s_suppkey", maxHops = 3)
         .orderBy("node")),
     "graph_jaccard" -> ((s, dir) => {
-      // neighborhood Jaccard (the classic link-prediction score) on
-      // the co-supplier graph: |N(a)∩N(b)| / |N(a)∪N(b)| for every
-      // pair sharing ≥2 neighbors — common counts via the generic
-      // fingerprint-bucket join (fp = neighbor id, hub caps included),
-      // the score an exact-integer IEEE division (never rounded:
-      // small-integer ratios sit ON round-6 tie boundaries)
-      val e0 = coSupplierEdges(s, dir)
-      val und = e0.select(col("a").as("id"), col("b").as("fp"))
-        .unionByName(e0.select(col("b").as("id"), col("a").as("fp")))
-      val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      Dedup.sharedFingerprintPairs(und, "id", "fp", minShared = 2)
-        .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")), "id_a")
-        .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")), "id_b")
+      // neighborhood Jaccard between suppliers over the
+      // customer-supplier BIPARTITE graph (who serves the same
+      // customers — the collaborative-filtering item-similarity
+      // shape): |C(a)∩C(b)| / |C(a)∪C(b)| for pairs sharing ≥2
+      // customers. Wedge fan-out per customer is (suppliers per
+      // customer)², bounded by purchase behavior, NOT graph size —
+      // the co-supplier PROJECTION is near-complete at sf0.1+ and
+      // its Σdeg² wedge count explodes (measured 419 s; this shape
+      // is seconds). Common counts via the generic fingerprint-
+      // bucket join (flood cap included); the score is an
+      // exact-integer IEEE division (never rounded: small-integer
+      // ratios sit ON round-6 tie boundaries).
+      val nbrs = s.read.parquet(s"$dir/orders.parquet")
+        .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("id"), col("o_custkey").as("fp"))
+        .distinct()
+      val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      Dedup.sharedFingerprintPairs(nbrs, "id", "fp", minShared = 2)
+        .join(broadcast(deg.select(col("id").as("id_a"),
+          col("deg").as("deg_a"))), "id_a")
+        .join(broadcast(deg.select(col("id").as("id_b"),
+          col("deg").as("deg_b"))), "id_b")
         .select(col("id_a"), col("id_b"), col("n_shared"),
           (col("n_shared") /
             (col("deg_a") + col("deg_b") - col("n_shared"))).as("jaccard"))
@@ -3487,21 +3496,24 @@ object SparkEntry {
          |FROM k3 ORDER BY node""".stripMargin
     },
     "graph_jaccard" ->
-      s"""WITH $CoSupplierCte,
-         |capped AS (
-         |  SELECT a AS id, b AS fp FROM und
-         |  QUALIFY count(*) OVER (PARTITION BY b) <= 1000),
-         |pairs AS (
-         |  SELECT x.id AS id_a, y.id AS id_b,
-         |    count(DISTINCT x.fp) AS n_shared
-         |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.id < y.id
-         |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2)
-         |SELECT id_a, id_b, n_shared,
-         |  n_shared / (da.deg + db.deg - n_shared) AS jaccard
-         |FROM pairs
-         |JOIN deg da ON da.node = id_a
-         |JOIN deg db ON db.node = id_b
-         |ORDER BY id_a, id_b""".stripMargin,
+      """WITH nb AS (
+        |  SELECT DISTINCT l_suppkey AS id, o_custkey AS fp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |capped AS (
+        |  SELECT id, fp FROM nb
+        |  QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+        |deg AS (SELECT id, count(*) AS deg FROM nb GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.id AS id_a, y.id AS id_b,
+        |    count(DISTINCT x.fp) AS n_shared
+        |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.id < y.id
+        |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2)
+        |SELECT id_a, id_b, n_shared,
+        |  n_shared / (da.deg + db.deg - n_shared) AS jaccard
+        |FROM pairs
+        |JOIN deg da ON da.id = id_a
+        |JOIN deg db ON db.id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
     "graph_cc" ->
       s"""WITH RECURSIVE $CoSupplierCte,
          |reach AS (
