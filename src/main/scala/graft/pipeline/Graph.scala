@@ -225,6 +225,101 @@ object Graph {
     known
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * — the standard "dense backbone" extraction (spam-farm detection,
+    * community cores, graph sparsification before expensive
+    * analytics). Computed by synchronous peeling: each round drops
+    * every node whose degree IN THE CURRENT SUBGRAPH is < k, until
+    * fixpoint. Peeling is run for a FIXED `rounds` count (no
+    * driver-side convergence poll), which keeps the computation
+    * engine-replayable round for round; convergence at a given scale
+    * is a testable property (round r+1 output == round r), not a
+    * runtime branch.
+    *
+    * Scale shape: each round is one keyed degree count + two
+    * left-semi joins against the (only ever shrinking) edge set —
+    * O(|edges|) shuffled bytes per round, no windows, nothing
+    * driver-sized; lineage capped like [[pageRank]].
+    *
+    * Returns `(node, deg)`: the surviving nodes with their degree
+    * inside the surviving subgraph (≥ k at fixpoint). */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1, "kCore: k >= 1")
+    require(rounds >= 1, "kCore: rounds >= 1")
+    // canonical undirected simple edges: unordered pair once, no loops
+    var canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def und(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    for (i <- 1 to rounds) {
+      val keep = und(canon).groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("node"))
+      canon = canon
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      if (i % checkpointEvery == 0 && i < rounds)
+        canon = canon.localCheckpoint(true)
+    }
+    und(canon).groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** HITS hubs & authorities over a DIRECTED edge list (Kleinberg),
+    * sum-normalized and deterministic the way [[pageRank]] is: every
+    * iteration computes raw mutual-reinforcement sums, L1-normalizes
+    * (divide by the score total — no sqrt, so the arithmetic is
+    * exactly replayable in ANSI SQL), and rounds to `roundDp` to kill
+    * cross-engine ulp drift in the sum order. On a bipartite
+    * src→dst graph (customers → suppliers) hubs score the left side
+    * and authorities the right — the classic co-click/co-purchase
+    * importance split.
+    *
+    * Scale shape: per iteration two keyed join+sum passes over the
+    * edge list plus a one-row total broadcast — O(|edges|) shuffled
+    * bytes, nothing driver-sized; lineage capped like [[pageRank]].
+    *
+    * Returns `(node, side, score)` with side ∈ {'hub','auth'}. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      roundDp: Int = 6, checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, "hits: iters >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    def l1(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(col(c)).as("__tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(col(c) / col("__tot"), roundDp).as(c))
+    }
+    var hubs = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("h"))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      auths = l1(
+        e.join(hubs, e("src") === hubs("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
+        "a")
+      hubs = l1(
+        e.join(auths, e("dst") === auths("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+        "h")
+      if (i % checkpointEvery == 0 && i < iters) {
+        hubs = hubs.localCheckpoint(true)
+        auths = auths.localCheckpoint(true)
+      }
+    }
+    hubs.select(col("node"), lit("hub").as("side"), col("h").as("score"))
+      .union(auths.select(col("node"), lit("auth").as("side"),
+        col("a").as("score")))
+  }
+
   /** Synchronous label propagation (community detection), fully
     * deterministic: labels start as the node's own id; each iteration
     * every node adopts its neighbors' modal label, ties broken by the
