@@ -193,14 +193,27 @@ object Dedup {
     //   length filter: J(a,b) ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|);
     //   positional filter: a pair sharing prefix token at ranks
     //   (ra, rb) has overlap ≤ 1 + min(|a|−ra, |b|−rb), and J ≥ t
-    //   needs overlap ≥ t/(1+t)·(|a|+|b|).
+    //   needs overlap ≥ t/(1+t)·(|a|+|b|);
+    //   index-prefix filter: any J ≥ t pair shares a token inside the
+    //   SMALLER record's index prefix |s| − ⌈2t/(1+t)·|s|⌉ + 1 (shorter
+    //   than the probing prefix — at t=0.8 it is 11% of the doc vs
+    //   20%), so candidate rows where the smaller side's match sits
+    //   past its index prefix are redundant copies of a pair some
+    //   other token already generates — dropping them cuts the
+    //   near-identical-pair amplification ~2× with zero recall loss.
     val sa = col("pa.__sz"); val sb = col("pb.__sz")
+    val idxFrac = 2.0 * threshold / (1.0 + threshold)
+    def idxPrefixOk(r: Column, sz: Column): Column =
+      r <= sz - ceil(lit(idxFrac) * sz - lit(1e-9)) + 1
     val cand = prefix.as("pa")
       .join(prefix.as("pb"), col("pa.__tok") === col("pb.__tok") &&
         pairCond("pa", "pb") &&
         least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb) - lit(1e-9) &&
         (lit(1) + least(sa - col("pa.__r"), sb - col("pb.__r"))).cast("double") >=
-          lit(threshold / (1.0 + threshold)) * (sa + sb) - lit(1e-9))
+          lit(threshold / (1.0 + threshold)) * (sa + sb) - lit(1e-9) &&
+        when(sa < sb || (sa === sb && col(s"pa.$idCol") < col(s"pb.$idCol")),
+          idxPrefixOk(col("pa.__r"), sa))
+          .otherwise(idxPrefixOk(col("pb.__r"), sb)))
       .select(col(s"pa.$idCol").as("id_a"), col(s"pb.$idCol").as("id_b"))
       .distinct()
     val sets = docs.select(col(idCol),

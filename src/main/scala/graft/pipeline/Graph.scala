@@ -248,6 +248,7 @@ object Graph {
       rounds: Int, checkpointEvery: Int = 5): DataFrame = {
     require(k >= 1, "kCore: k >= 1")
     require(rounds >= 1, "kCore: rounds >= 1")
+    require(checkpointEvery >= 1, "kCore: checkpointEvery >= 1")
     // canonical undirected simple edges: unordered pair once, no loops
     var canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -281,6 +282,18 @@ object Graph {
     * and authorities the right — the classic co-click/co-purchase
     * importance split.
     *
+    * Edge multiplicity is IGNORED: parallel edges collapse via
+    * `distinct()` (unlike [[pageRank]], where they act as weights) —
+    * mutual reinforcement counts distinct endorsements once.
+    *
+    * `roundDp` ceiling: rounding AFTER the L1 divide means a side
+    * with ≳ 10^roundDp nodes of near-uniform score rounds everything
+    * to 0 and the next total would be 0. The division is guarded
+    * (`__tot = 0` keeps the pre-normalization sums for that round
+    * rather than emitting NaN), and `require` documents the ceiling:
+    * at web scale raise roundDp (1e9 nodes → roundDp ≥ 12) exactly as
+    * you'd size any fixed-point precision to the population.
+    *
     * Scale shape: per iteration two keyed join+sum passes over the
     * edge list plus a one-row total broadcast — O(|edges|) shuffled
     * bytes, nothing driver-sized; lineage capped like [[pageRank]].
@@ -290,13 +303,17 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       roundDp: Int = 6, checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, "hits: iters >= 1")
+    require(checkpointEvery >= 1, "hits: checkpointEvery >= 1")
+    require(roundDp >= 1 && roundDp <= 15, "hits: roundDp in [1,15]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     def l1(df: DataFrame, c: String): DataFrame = {
       val tot = df.agg(sum(col(c)).as("__tot"))
       df.crossJoin(broadcast(tot))
         .select(col("node"),
-          round(col(c) / col("__tot"), roundDp).as(c))
+          when(col("__tot") =!= 0.0,
+            round(col(c) / col("__tot"), roundDp))
+            .otherwise(col(c)).as(c))
     }
     var hubs = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("h"))

@@ -388,12 +388,40 @@ object Vec {
     *
     * Scale shape: one hash shuffle on `cell`, then a cell-local
     * self-join — pair work is Σ(cellsize²) instead of n², and cells
-    * shrink as k grows; no all-pairs stage anywhere. */
+    * shrink as k grows; no all-pairs stage anywhere. A FIXED k is the
+    * scale trap (measured: 10× corpus, k=16 ⇒ 4.09× vs linear —
+    * within-cell pair work grows quadratically when cell population
+    * grows with the corpus), so k GROWS with the corpus:
+    * `k_eff = max(k, ⌈n / targetCellSize⌉)` keeps expected cell
+    * population — and with it per-row pair work — constant, the same
+    * discipline as [[graft.pipeline.Dedup.capBuckets]]. Pass
+    * `targetCellSize = 0` to pin k exactly (oracle-replay mode). The
+    * one extra `count()` is a metadata-cheap aggregate. */
   def semDedupPairs(
       df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String,
-      k: Int, iters: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
-    val assigned = kmeansAssign(df, idCol, vecCol, k, iters)
+      k: Int, iters: Int, threshold: Double,
+      targetCellSize: Int = 64): org.apache.spark.sql.DataFrame = {
+    val kEff =
+      if (targetCellSize <= 0) k
+      else {
+        val n = df.count()
+        math.max(k, ((n + targetCellSize - 1) / targetCellSize).toInt)
+      }
+    val assignedAll = kmeansAssign(df, idCol, vecCol, kEff, iters)
+    // runaway-cell guard, the capBuckets discipline: a cell Lloyd
+    // could not split (an identical-vector flood) would mint m²/2
+    // pairs no matter how k scales — drop cells past 16× the target
+    // population (identical rows belong to exact dedup). The cap is
+    // deliberately ABOVE any plausible skewed-but-real cell, and the
+    // window rides the same `cell` hash partitioning the pair join
+    // shuffles on anyway.
+    val assigned =
+      if (targetCellSize <= 0) assignedAll
+      else assignedAll
+        .withColumn("__cn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+        .filter(col("__cn") <= 16L * targetCellSize).drop("__cn")
     val a = assigned.select(col("cell"), col(idCol).as("id_a"),
       col("__v").as("__va"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"),

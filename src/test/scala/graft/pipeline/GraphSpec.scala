@@ -150,4 +150,83 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again == got)
   }
+
+  test("kCore: k=2 keeps the triangle, peels the pendant chain") {
+    // triangle 1-2-3 with a pendant path 3-4-5: round 1 drops 5
+    // (deg 1), round 2 drops the now-pendant 4 — only the triangle
+    // has a 2-core, every survivor at degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    // fixpoint: one more round changes nothing (the docstring's
+    // testable convergence property)
+    val more = Graph.kCore(edges, "src", "dst", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got, s"not converged: $more vs $got")
+    // k above the max core empties the graph
+    assert(Graph.kCore(edges, "src", "dst", k = 3, rounds = 3).count() == 0L)
+  }
+
+  test("kCore ignores edge direction, duplicates and self-loops") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+  }
+
+  /** Driver-side replica of hits' exact arithmetic (same L1 + 6dp
+    * HALF_UP rounding per step). */
+  private def hitsRef(
+      edges: Seq[(String, String)], iters: Int)
+      : (Map[String, Double], Map[String, Double]) = {
+    val e = edges.distinct
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l1(m: Map[String, Double]) = {
+      val tot = m.values.sum
+      if (tot == 0.0) m else m.view.mapValues(v => rnd(v / tot)).toMap
+    }
+    var h = e.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to iters) {
+      a = l1(e.flatMap { case (s, d) => h.get(s).map(d -> _) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+      h = l1(e.flatMap { case (s, d) => a.get(d).map(s -> _) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+    }
+    (h, a)
+  }
+
+  test("hits on a small bipartite graph matches the exact reference") {
+    // u1 endorses {x,y}, u2 endorses {y}, u3 endorses {y,z}: y is the
+    // top authority, u1/u3 the top (equal) hubs; duplicate edge u2→y
+    // must not double-count (multiplicity is ignored by contract)
+    val edges = Seq(("u1", "x"), ("u1", "y"), ("u2", "y"), ("u2", "y"),
+      ("u3", "y"), ("u3", "z"))
+    val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", 3)
+      .as[(String, String, Double)].collect()
+    val hubs = got.collect { case (n, "hub", s) => n -> s }.toMap
+    val auths = got.collect { case (n, "auth", s) => n -> s }.toMap
+    val (wantH, wantA) = hitsRef(edges, 3)
+    assert(hubs == wantH, s"hubs $hubs want $wantH")
+    assert(auths == wantA, s"auths $auths want $wantA")
+    assert(auths("y") > auths("x") && auths("y") > auths("z"), s"$auths")
+    assert(hubs("u1") == hubs("u3") && hubs("u1") > hubs("u2"), s"$hubs")
+    // L1: each side's mass ~1 after rounding
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-3)
+    assert(math.abs(auths.values.sum - 1.0) < 1e-3)
+  }
+
+  test("kCore/hits argument guards reject checkpointEvery < 1") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.kCore(e, "src", "dst", k = 1, rounds = 1, checkpointEvery = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(e, "src", "dst", iters = 1, checkpointEvery = 0)
+    }
+  }
 }
