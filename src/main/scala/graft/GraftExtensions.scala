@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharNgramsExpr, DotProductExpr, HashFeaturesExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr, WordNgramsExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, HashFeaturesExpr, L2SqExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr, WordNgramsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -61,6 +61,9 @@ object GraftExtensions {
     ("dot_product", classOf[DotProductExpr].getName,
       exprs => { arity("dot_product", exprs, 2, 2)
         DotProductExpr(exprs.head, exprs(1)) }),
+    ("l2_sq", classOf[L2SqExpr].getName,
+      exprs => { arity("l2_sq", exprs, 2, 2)
+        L2SqExpr(exprs.head, exprs(1)) }),
     ("token_set", classOf[TokenSetExpr].getName,
       exprs => { arity("token_set", exprs, 1, 1); TokenSetExpr(exprs.head) }),
     ("sorted_intersect_count", classOf[SortedIntersectCountExpr].getName,

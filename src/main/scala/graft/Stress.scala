@@ -37,7 +37,7 @@ object Stress {
     "embed_kmeans", "dedup_semdedup", "mm_phash", "mm_audio_stats",
     "grouped_topk", "cdc_apply", "sketch_cms", "sketch_quantile",
     "layout_zorder", "text_bpe_encode", "ts_retention",
-    "graph_pagerank", "text_bm25", "text_inverted_index",
+    "graph_pagerank", "graph_kcore", "text_bm25", "text_inverted_index",
     "cur_table_diff", "ivm_merge", "sketch_quantile_grouped", "q4_semi",
     "cur_dsir", "dedup_keep_best", "er_match", "sim_ivfpq", "graph_cc",
     "cur_pack_spans")
@@ -86,10 +86,28 @@ object Stress {
 
     // scaling ratio vs the recorded sf0.1 bench: stress / (bench × factor)
     val bench = readBench("/root/repo/BENCH_local.json")
+    // base-scale OUTPUT rows: several exact-threshold operators are
+    // output-sensitive (near-dup pair joins emit every qualifying pair,
+    // and the replica corpus grows dup groups, so output grows ~factor²
+    // by construction). For those, time-vs-linear must be read against
+    // output-vs-linear: `per_row_x` = (sec/row at stress) / (sec/row at
+    // base) — the per-output-pair cost ratio, the number that actually
+    // says whether the PLAN degrades with scale. Counting base rows
+    // costs one cheap base-scale run per query.
+    val baseRows: Map[String, Long] = results.map { case (name, _) =>
+      name -> (try all(name)(spark, srcDir).count()
+               catch { case _: Throwable => -1L })
+    }.toMap
     val qs = results.map { case (k, (v, rows)) =>
       val ratio = bench.get(k).filter(_ > 0).map(b => v / (b * factor))
+      val perRow = for {
+        b <- bench.get(k) if b > 0
+        br <- baseRows.get(k) if br > 0 && rows > 0
+      } yield (v / rows) / (b / br)
       "\"" + k + "\":{\"sec\":" + v + ",\"rows\":" + rows +
-        ratio.map(r => ",\"x_vs_linear\":" + f"$r%.3f").getOrElse("") + "}"
+        ",\"rows_base\":" + baseRows.getOrElse(k, -1L) +
+        ratio.map(r => ",\"x_vs_linear\":" + f"$r%.3f").getOrElse("") +
+        perRow.map(r => ",\"per_row_x\":" + f"$r%.3f").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs}"""

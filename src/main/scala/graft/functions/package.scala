@@ -22,6 +22,12 @@ package object functions {
     GraftColumnBridge.column(DotProductExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Double-precision SQUARED L2 distance of two numeric-array columns
+    * (native expression, whole-stage-codegen'd — see [[L2SqExpr]]). */
+  def l2Sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2SqExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Sorted distinct 64-bit hash set of a string-array column (native
     * expression — see [[TokenSetExpr]]); pairs with
     * [[sortedIntersectCount]] for O(n+m) pairwise set similarity. */

@@ -27,9 +27,12 @@ object Vec {
     when(den > 0, dot(a, b) / den).otherwise(lit(0.0))
   }
 
+  /** Backed by the native codegen'd [[graft.functions.L2SqExpr]] —
+    * same left-to-right Σ(a_i−b_i)² doubles as the interpreted fold it
+    * replaces (per-element exact widening), so oracle replays are
+    * unchanged. */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    sqrt(graft.functions.l2Sq(a, b))
 
   /** Signed-projection bit against a fixed (driver-side) hyperplane:
     * 1 if v · h > 0 else 0. Used by the random-hyperplane LSH. */
@@ -101,16 +104,31 @@ object Vec {
     df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
 
   /** Squared-L2 nearest-centroid min-struct (dist, cid) for a vector
-    * column; centroids ride as plan literals, so this is a scan-bound
-    * map. */
+    * column; centroids ride as a FLAT matrix literal inside ONE native
+    * expression ([[graft.functions.NearestCentroidExpr]]), so this is
+    * a scan-bound, allocation-free map. The earlier
+    * `array_min(array(struct(...), …))` composition materialized k
+    * structs + a k-array per row — with an adaptive cluster count
+    * (k ∝ corpus size, see [[semDedupPairs]]) that made CLUSTERING the
+    * superlinear stage it was supposed to prevent (k=313 on the 10×
+    * stress corpus: 10.6 s → sub-second). Same left-to-right Σ(x−c)²
+    * doubles, same lexicographic (dist, cid) min — assignments, and
+    * therefore oracle replays, are bit-identical. */
   private def nearestCentroid(v: Column,
-      cents: Array[(Int, Array[Double])]): Column =
-    array_min(array(cents.map { case (cid, c) =>
-      struct(
-        aggregate(zip_with(v, lit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), _ + _).as("dist"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*))
+      cents: Array[(Int, Array[Double])]): Column = {
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      "nearestCentroid: ragged centroid dims")
+    val flat = new Array[Double](cents.length * dim)
+    val ids = new Array[Int](cents.length)
+    cents.zipWithIndex.foreach { case ((cid, c), j) =>
+      ids(j) = cid
+      System.arraycopy(c, 0, flat, j * dim, dim)
+    }
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NearestCentroidExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), flat, ids, dim))
+  }
 
   private def kmeansAssignPass(x: org.apache.spark.sql.DataFrame,
       cents: Array[(Int, Array[Double])]): org.apache.spark.sql.DataFrame =
@@ -267,10 +285,8 @@ object Vec {
         val byId = cents.toMap // lut index c+1 must hold centroid c
         acc.withColumn(s"$prefix$j", array((0 until k).map { c =>
           byId.get(c) match {
-            case Some(cent) => aggregate(
-              zip_with(slice(col("__q"), j * sub + 1, sub),
-                lit(cent), (a, b) => (a - b) * (a - b)),
-              lit(0.0), _ + _)
+            case Some(cent) => graft.functions.l2Sq(
+              slice(col("__q"), j * sub + 1, sub), lit(cent))
             case None => lit(Double.MaxValue)
           }
         }: _*))

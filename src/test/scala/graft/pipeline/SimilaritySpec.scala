@@ -272,6 +272,48 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
   }
 
+  test("semDedupPairs: k grows with the corpus (target cell size), pinned-k mode unchanged") {
+    // 120 vectors in 6 well-separated directions; targetCellSize=10
+    // forces k_eff = ceil(120/10) = 12 >= the passed k=2, so cells
+    // stay small; the planted near-identical pair must still emerge
+    val base = (0 until 120).map { i =>
+      val g = i % 6
+      val v = Array.fill(4)(0.001f * i)
+      v(g % 4) = if (g < 4) 1.0f else -1.0f
+      (i.toLong, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val adaptive = Vec.semDedupPairs(df, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.999, targetCellSize = 10)
+    // same directions pair within their cell; output is bounded well
+    // below the all-pairs 120*119/2 (the k=2 cells would be ~60 rows)
+    val n = adaptive.count()
+    assert(n > 0, "adaptive clustering lost all near-dup pairs")
+    assert(n < 1500, s"cells did not shrink with k_eff: $n pairs")
+    // pinned-k mode (targetCellSize = 0) is the oracle-replay path:
+    // identical to the historical fixed-k behavior
+    val pinned = Vec.semDedupPairs(df, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.999, targetCellSize = 0)
+    assert(pinned.count() >= n,
+      "coarser fixed-k cells must superset the finer adaptive pair set here")
+  }
+
+  test("semDedupPairs: an identical-vector flood cell is dropped, not paired quadratically") {
+    // 200 bit-identical vectors: Lloyd cannot split them, every one
+    // lands in a single cell of 200 > 16 x targetCellSize(10) = 160 —
+    // the capBuckets-style guard drops the runaway cell (identical
+    // rows belong to exact dedup), so NO m^2/2 pair explosion
+    val flood = (0 until 200).map(i => (i.toLong, Seq(1.0f, 0.0f)))
+    val distinctPair = Seq(
+      (500L, Seq(0.0f, 1.0f)), (501L, Seq(0.0f, 0.999f)))
+    val df = (flood ++ distinctPair).toDF("vec_id", "embedding")
+    val pairs = Vec.semDedupPairs(df, "vec_id", "embedding",
+        k = 2, iters = 1, threshold = 0.99, targetCellSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 < 200 && p._2 < 200),
+      s"flood cell must be dropped: ${pairs.size} pairs")
+  }
+
   test("pqEncode: per-subspace codes recover the planted block structure") {
     // subspace 0 (dims 1-2) separates {1,2} from {3,4}; subspace 1
     // (dims 3-4) separates them the other way — codes must disagree
