@@ -2556,6 +2556,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_containment" -> ((s, dir) => {
+      // quote/snippet detection: the first 20 words of every 9th doc,
+      // re-id'd as probes, found INSIDE their source (containment 1.0
+      // — a token-subset by construction) and any other doc covering
+      // ≥90% of the snippet's distinct tokens; Jaccard would score
+      // snippet-in-page near zero, which is exactly why the
+      // asymmetric join exists
+      val d = documents(s, dir)
+      val probes = d.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 20), " ")
+            .as("text"))
+      Dedup.containmentPairs(probes,
+          d.select(col("doc_id"), col("text")),
+          "doc_id", "text", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_semdedup" -> ((s, dir) => {
       // SemDeDup: k-means cells + within-cell exact cosine. Same
       // planted +0.01-shift duplicates as dedup_embed; the oracle
@@ -4948,6 +4965,33 @@ object SparkEntry {
         |       0.8 * greatest(len(a.toks), len(b.toks)))
         |SELECT id_a, id_b, CAST(ic AS DOUBLE) / (sa + sb - ic) AS jaccard
         |FROM p WHERE CAST(ic AS DOUBLE) / (sa + sb - ic) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force probes×corpus truth (the containment prefix filter
+    // is exact, so the engine must equal the unfiltered cross check);
+    // containment = |T(p)∩T(c)| / |T(p)|, exact-int IEEE division
+    "dedup_containment" ->
+      """WITH probes AS (
+        |  SELECT doc_id + 7000000 AS doc_id,
+        |    array_to_string(
+        |      list_slice(string_split_regex(trim(text), '\s+'), 1, 20),
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |ta AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM probes),
+        |tb AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks)) AS ic, len(a.toks) AS sa
+        |  FROM ta a CROSS JOIN tb b)
+        |SELECT id_a, id_b, CAST(ic AS DOUBLE) / sa AS containment
+        |FROM p WHERE sa > 0 AND CAST(ic AS DOUBLE) / sa >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     // replays the engine's exact clustering (same fold, same 6-dp
     // centroid rounding) on the planted union, then pairs within cells

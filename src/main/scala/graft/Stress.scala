@@ -63,15 +63,21 @@ object Stress {
     spark.read.parquet(s"$outDir/lineitem.parquet").count()
 
     val all = SparkEntry.queries
+    // min-of-reps like Bench: a single-shot measurement charges one
+    // query with codegen compilation + page-cache warmup, and at stress
+    // scale that first-run tax reached 2-6× on unlucky queries —
+    // x_vs_linear then flags plans that are perfectly linear. The min
+    // is the steady-state number a long-lived cluster actually sees.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "2").toInt)
     val results = StressQueries.map { name =>
-      val t0 = System.nanoTime()
-      // record output ROWS too: several operators (exact-threshold
-      // near-dup joins above all) are output-sensitive — dup groups
-      // grow with the replica factor, so their output grows ~factor²
-      // by construction and time-vs-linear ratios must be read against
-      // rows-vs-linear (measured 10×: dedup_prefix output ×29.9 for
-      // input ×10, per-output-pair cost flat)
-      val (t, rows) =
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        // record output ROWS too: several operators (exact-threshold
+        // near-dup joins above all) are output-sensitive — dup groups
+        // grow with the replica factor, so their output grows ~factor²
+        // by construction and time-vs-linear ratios must be read
+        // against rows-vs-linear (per_row_x below)
         try {
           val n = all(name)(spark, outDir).count()
           ((System.nanoTime() - t0) / 1e9, n)
@@ -80,6 +86,10 @@ object Stress {
             System.err.println(s"[stress] $name FAILED: ${e.getMessage}")
             (-math.max((System.nanoTime() - t0) / 1e9, 0.001), -1L)
         }
+      }
+      val runs = Seq.fill(reps)(once())
+      spark.catalog.clearCache()
+      val (t, rows) = runs.find(_._1 < 0).getOrElse(runs.minBy(_._1))
       println(f"[stress] $name%-22s $t%8.2f s  ($rows%d rows)")
       name -> ((t, rows))
     }

@@ -160,6 +160,74 @@ object Dedup {
       carryCols = Seq("__side"))
   }
 
+  /** Exact containment-threshold join — quote/snippet detection, the
+    * ASYMMETRIC cousin of [[prefixJaccardPairs]]: every (probe, corpus)
+    * pair with `|T(p) ∩ T(c)| / |T(p)| ≥ threshold` (the probe's
+    * distinct tokens mostly inside the corpus doc). The training-data
+    * use is finding which corpus documents CONTAIN a benchmark prompt,
+    * a quoted passage, or a snippet — Jaccard misses these because a
+    * short quote inside a long page has near-zero Jaccard but
+    * containment 1.0.
+    *
+    * Exactness: probe tokens are ranked rarest-first by CORPUS
+    * document frequency (absent tokens rank rarest — they cannot match
+    * and burn prefix slots for free); by pigeonhole, an overlap of
+    * `⌈t·|p|⌉` tokens cannot hide entirely in the last `⌈t·|p|⌉ − 1`
+    * ranks, so any qualifying pair shares a token inside the probe's
+    * `|p| − ⌈t·|p|⌉ + 1` prefix — a theorem for ANY fixed order, df
+    * order just minimizes candidates. The corpus side is indexed on
+    * FULL token lists (no prefix shortening is sound there: the
+    * matching token can sit anywhere in the corpus doc's own order).
+    *
+    * Scale shape: corpus tokens are one exploded projection + one
+    * grouped count (df); candidates come from a token-keyed equi-join
+    * of the (short) probe prefixes against it — never probes × corpus;
+    * verification is the O(n+m) sorted-merge intersect per surviving
+    * pair. Token-group fan-out is bounded by the probe prefixes being
+    * the corpus-RAREST tokens, the same flood profile as the Jaccard
+    * prefix join. Output: (id_a = probe id, id_b = corpus id,
+    * containment), exact IEEE division of two ints — never rounded. */
+  def containmentPairs(
+      probes: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "containmentPairs: threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val ctoks = corpus.select(col(idCol).as("__cid"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+    val dfreq = ctoks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val ptoks = probes.select(col(idCol).as("__pid"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+    val wDoc = Window.partitionBy(col("__pid"))
+    val ranked = ptoks.join(dfreq, Seq("__tok"), "left")
+      .withColumn("__r", row_number().over(
+        wDoc.orderBy(coalesce(col("__df"), lit(0L)), col("__tok"))))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+    // -1e-9 ceil guard as in prefixPairsImpl: a longer prefix is always
+    // safe, a shorter one can miss boundary pairs and break exactness
+    val prefix = ranked.filter(
+      col("__r") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+      .select(col("__pid"), col("__tok"))
+    val cand = prefix.join(ctoks, Seq("__tok"))
+      .select(col("__pid"), col("__cid")).distinct()
+    val psets = probes.select(col(idCol).as("__pid"),
+      graft.functions.tokenSet(TextAnalysis.tokens(col(textCol))).as("__ps"))
+    val csets = corpus.select(col(idCol).as("__cid"),
+      graft.functions.tokenSet(TextAnalysis.tokens(col(textCol))).as("__cs"))
+    cand
+      .join(psets, Seq("__pid"))
+      .join(csets, Seq("__cid"))
+      .withColumn("containment",
+        when(size(col("__ps")) > 0,
+          graft.functions.sortedIntersectCount(col("__ps"), col("__cs"))
+            .cast("double") / size(col("__ps")))
+          .otherwise(lit(0.0)))
+      .filter(col("containment") >= threshold)
+      .select(col("__pid").as("id_a"), col("__cid").as("id_b"),
+        col("containment"))
+  }
+
   private def prefixPairsImpl(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,

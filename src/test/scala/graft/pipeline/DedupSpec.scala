@@ -213,6 +213,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: exact vs brute force; asymmetric where Jaccard fails") {
+    val words = ('a' to 'z').map(_.toString)
+    def doc(seed: Int, n: Int) =
+      (0 until n).map(i => words((seed * 31 + i * 17) % 26)).mkString(" ")
+    // long corpus pages; probes: a verbatim snippet of page 0's first
+    // 8 words (containment 1.0, Jaccard tiny), a partial snippet, a
+    // probe with a token the corpus has never seen, an empty probe
+    val corpus = (0 until 20).map(i => (i.toLong, doc(i, 22)))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (1000L, doc(0, 8)),                    // pure subset of page 0
+      (1001L, doc(3, 8) + " zzz qq vv"),     // partly covered
+      (1002L, "qxj wvk zzz"),                // nothing in corpus
+      (1003L, "  ")                          // empty after trim
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.9, 1.0)) {
+      val fast = Dedup.containmentPairs(probes, corpus, "doc_id", "text", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val toks = (c: org.apache.spark.sql.Column) =>
+        graft.functions.tokenSet(TextAnalysis.tokens(c))
+      val a = probes.select(col("doc_id").as("id_a"), toks(col("text")).as("sa"))
+      val b = corpus.select(col("doc_id").as("id_b"), toks(col("text")).as("sb"))
+      val brute = a.join(b)
+        .withColumn("c", when(size(col("sa")) > 0,
+          graft.functions.sortedIntersectCount(col("sa"), col("sb"))
+            .cast("double") / size(col("sa"))).otherwise(lit(0.0)))
+        .filter(col("c") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"threshold $t: containment prefix must be exact")
+    }
+    // the signature asymmetric case: snippet ⊂ page pairs at t = 1.0
+    val strict = Dedup.containmentPairs(probes, corpus, "doc_id", "text", 1.0)
+      .as[(Long, Long, Double)].collect()
+    assert(strict.exists(r => r._1 == 1000L && r._2 == 0L && r._3 == 1.0),
+      s"verbatim snippet must hit its source page: ${strict.mkString(",")}")
+    assert(!strict.exists(_._1 == 1002L), "unmatchable probe must not pair")
+    assert(!strict.exists(_._1 == 1003L), "empty probe must not pair")
+  }
+
   test("prefixJaccardPairsCollapsed: an exact-dup flood folds to one rep") {
     // 6 byte-identical copies of doc 1, one near-dup (doc 50), one
     // unrelated doc: the flood must contribute a group size of 7,
