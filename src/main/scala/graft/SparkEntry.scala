@@ -1396,11 +1396,12 @@ object SparkEntry {
       // node ids, even = customer / odd = supplier, like pagerank):
       // 4 fixed peeling rounds at k=20 — drops casual customers and
       // the suppliers only they touch, the densest-activity core
+      // no .distinct() here: kCore canonicalizes + distincts the edge
+      // set itself — an outer distinct would be a second full shuffle
       val edges = s.read.parquet(s"$dir/orders.parquet")
         .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
       Graph.kCore(edges, "src", "dst", k = 20, rounds = 4)
         .select(concat(
             when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("s")),
@@ -1413,11 +1414,12 @@ object SparkEntry {
       // bipartite (same long-id encoding): hubs score customers by
       // the authority of the suppliers they buy from and vice versa —
       // 3 L1-normalized iterations, 6dp-rounded for exact replay
+      // no .distinct() here: hits distincts the edge list itself — an
+      // outer distinct would be a second full shuffle of the same set
       val edges = s.read.parquet(s"$dir/orders.parquet")
         .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
       Graph.hits(edges, "src", "dst", iters = 3)
         .select(concat(
             when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("s")),

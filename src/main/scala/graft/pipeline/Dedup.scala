@@ -192,22 +192,13 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "containmentPairs: threshold must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val ctoks = corpus.select(col(idCol).as("__cid"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = ctoks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val ptoks = probes.select(col(idCol).as("__pid"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
-    val wDoc = Window.partitionBy(col("__pid"))
-    val ranked = ptoks.join(dfreq, Seq("__tok"), "left")
-      .withColumn("__r", row_number().over(
-        wDoc.orderBy(coalesce(col("__df"), lit(0L)), col("__tok"))))
-      .withColumn("__sz", count(lit(1)).over(wDoc))
-    // -1e-9 ceil guard as in prefixPairsImpl: a longer prefix is always
-    // safe, a shorter one can miss boundary pairs and break exactness
-    val prefix = ranked.filter(
-      col("__r") <=
-        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+    // left join: probe tokens ABSENT from the corpus rank first (df 0)
+    val prefix = rankedPrefix(ptoks, "__pid", dfreq, threshold, "left")
       .select(col("__pid"), col("__tok"))
     val cand = prefix.join(ctoks, Seq("__tok"))
       .select(col("__pid"), col("__cid")).distinct()
@@ -228,6 +219,30 @@ object Dedup {
         col("containment"))
   }
 
+  /** Shared pigeonhole-prefix stage for the exact set-similarity
+    * joins: rank each document's distinct tokens rarest-first by
+    * `dfreq` (ties on the token, so replays are deterministic) and
+    * keep only the `|T| − ⌈t·|T|⌉ + 1` prefix. The -1e-9 guards ceil
+    * against FP overshoot when t·sz is exactly an integer (a longer
+    * prefix is always safe; a shorter one can miss boundary pairs and
+    * break exactness). `dfJoinType = "left"` ranks tokens ABSENT from
+    * `dfreq` first (df coalesced to 0) — the containment join's case,
+    * where probe tokens the corpus has never seen burn prefix slots
+    * for free. All of `toks`' columns survive, plus `__r`/`__sz`
+    * (and `__df`). */
+  private def rankedPrefix(
+      toks: DataFrame, idCol: String, dfreq: DataFrame,
+      threshold: Double, dfJoinType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col(idCol))
+    toks.join(dfreq, Seq("__tok"), dfJoinType)
+      .withColumn("__r", row_number().over(
+        wDoc.orderBy(coalesce(col("__df"), lit(0L)), col("__tok"))))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+      .filter(col("__r") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+  }
+
   private def prefixPairsImpl(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
@@ -235,22 +250,11 @@ object Dedup {
       carryCols: Seq[String] = Nil): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "prefixJaccardPairs: threshold must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       (col(idCol) +: carryCols.map(col)) :+
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"): _*)
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val wDoc = Window.partitionBy(col(idCol))
-    val ranked = toks.join(dfreq, Seq("__tok"))
-      .withColumn("__r", row_number().over(
-        wDoc.orderBy(col("__df"), col("__tok"))))
-      .withColumn("__sz", count(lit(1)).over(wDoc))
-    // the -1e-9 guards ceil against FP overshoot when t·sz is exactly
-    // an integer (a longer prefix is always safe; a shorter one can
-    // miss boundary pairs and break exactness)
-    val prefix = ranked.filter(
-      col("__r") <=
-        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+    val prefix = rankedPrefix(toks, idCol, dfreq, threshold, "inner")
       .select(col(idCol) +: col("__tok") +: col("__r") +: col("__sz") +:
         carryCols.map(col): _*)
     // Candidate pruning inside the join condition, BEFORE the distinct

@@ -245,19 +245,19 @@ object Graph {
     * degree count plus two semi joins), so an unmaterialized chain
     * re-executes the whole upstream derivation ~3^rounds times —
     * measured 49 s → ~2 s at sf0.1 on the orders⋈lineitem bipartite.
-    * `checkpointEvery` is validated for API symmetry with
-    * [[pageRank]] but every round materializes regardless (the
-    * per-round write is the edge set itself — the state a peel round
-    * fundamentally produces).
+    * There is deliberately NO `checkpointEvery` knob (unlike
+    * [[pageRank]], whose per-iteration state is node-sized and cheap
+    * to carry): the per-round write here IS the edge set a peel round
+    * fundamentally produces, so skipping it buys nothing but the
+    * exponential recompute back.
     *
     * Returns `(node, deg)`: the surviving nodes with their degree
     * inside the surviving subgraph (≥ k at fixpoint). */
   def kCore(
       edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+      rounds: Int): DataFrame = {
     require(k >= 1, "kCore: k >= 1")
     require(rounds >= 1, "kCore: rounds >= 1")
-    require(checkpointEvery >= 1, "kCore: checkpointEvery >= 1")
     // canonical undirected simple edges: unordered pair once, no loops
     var canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -312,15 +312,14 @@ object Graph {
     * divide), so an unmaterialized hubs→auths→hubs chain re-executes
     * upstream ~4^iters times — measured 12 s → ~1.5 s at sf0.1. The
     * per-iteration write is node-sized, the cheapest thing in the
-    * loop. `checkpointEvery` is validated for API symmetry but every
-    * iteration materializes regardless.
+    * loop — which is why there is deliberately no `checkpointEvery`
+    * knob here.
     *
     * Returns `(node, side, score)` with side ∈ {'hub','auth'}. */
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      roundDp: Int = 6, checkpointEvery: Int = 5): DataFrame = {
+      roundDp: Int = 6): DataFrame = {
     require(iters >= 1, "hits: iters >= 1")
-    require(checkpointEvery >= 1, "hits: checkpointEvery >= 1")
     require(roundDp >= 1 && roundDp <= 15, "hits: roundDp in [1,15]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()

@@ -408,11 +408,27 @@ object Vec {
     * scale trap (measured: 10× corpus, k=16 ⇒ 4.09× vs linear —
     * within-cell pair work grows quadratically when cell population
     * grows with the corpus), so k GROWS with the corpus:
-    * `k_eff = max(k, ⌈n / targetCellSize⌉)` keeps expected cell
-    * population — and with it per-row pair work — constant, the same
-    * discipline as [[graft.pipeline.Dedup.capBuckets]]. Pass
-    * `targetCellSize = 0` to pin k exactly (oracle-replay mode). The
-    * one extra `count()` is a metadata-cheap aggregate. */
+    * `k_eff = max(k, min(⌈n / targetCellSize⌉, 4096))` keeps expected
+    * cell population — and with it per-row pair work — constant. The
+    * 4096 ceiling is the flat-Lloyd practical limit: assignment work
+    * is n·k·dim and the collected centroid table is k×dim, so an
+    * UNBOUNDED k ∝ n would make clustering itself quadratic and the
+    * driver table corpus-sized — at the corpus size where the ceiling
+    * binds (n > 4096·targetCellSize ≈ 260k with the defaults),
+    * pre-shard by an IVF index cell ([[Similarity.ivfWriteIndex]])
+    * and run semantic dedup per shard; that hierarchical composition
+    * is the published SemDeDup recipe at web scale. Cells that still
+    * exceed 16× the target (Lloyd cannot split an identical-vector
+    * flood, and a dense semantic cluster may simply be big) are
+    * SUBDIVIDED deterministically by id hash into target-sized
+    * sub-cells rather than dropped: pair work stays linear in the
+    * cell's population, recall inside the oversized cell degrades
+    * gracefully (cross-sub-cell pairs are the price), and nothing is
+    * silently zeroed — the failure mode of a drop-the-cell cap, which
+    * would erase exactly the densest near-dup regions the operator
+    * exists to find. Pass `targetCellSize = 0` to pin k exactly
+    * (oracle-replay mode; no subdivision). The one extra `count()` is
+    * a metadata-cheap aggregate. */
   def semDedupPairs(
       df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String,
@@ -422,22 +438,26 @@ object Vec {
       if (targetCellSize <= 0) k
       else {
         val n = df.count()
-        math.max(k, ((n + targetCellSize - 1) / targetCellSize).toInt)
+        val grown = (n + targetCellSize - 1) / targetCellSize // Long math
+        math.max(k, math.min(grown, 4096L).toInt)
       }
     val assignedAll = kmeansAssign(df, idCol, vecCol, kEff, iters)
-    // runaway-cell guard, the capBuckets discipline: a cell Lloyd
-    // could not split (an identical-vector flood) would mint m²/2
-    // pairs no matter how k scales — drop cells past 16× the target
-    // population (identical rows belong to exact dedup). The cap is
-    // deliberately ABOVE any plausible skewed-but-real cell, and the
-    // window rides the same `cell` hash partitioning the pair join
-    // shuffles on anyway.
+    // sub-cell id spacing: kEff ≤ 4096 cells, so cell*2^40 + sub is
+    // collision-free for any sub count below 2^40 rows per cell
     val assigned =
-      if (targetCellSize <= 0) assignedAll
-      else assignedAll
-        .withColumn("__cn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("cell")))
-        .filter(col("__cn") <= 16L * targetCellSize).drop("__cn")
+      if (targetCellSize <= 0) assignedAll.withColumn("cell", col("cell").cast("long"))
+      else {
+        val cap = 16L * targetCellSize
+        assignedAll
+          .withColumn("__cn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+          .withColumn("cell",
+            when(col("__cn") <= cap, col("cell").cast("long") * (1L << 40))
+              .otherwise(col("cell").cast("long") * (1L << 40) +
+                pmod(xxhash64(col(idCol)),
+                  ceil(col("__cn") / targetCellSize).cast("long"))))
+          .drop("__cn")
+      }
     val a = assigned.select(col("cell"), col(idCol).as("id_a"),
       col("__v").as("__va"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"),

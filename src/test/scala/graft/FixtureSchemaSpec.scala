@@ -34,8 +34,21 @@ class FixtureSchemaSpec extends SparkSpec {
       s"adaptTs produced $adaptedType, expected a timestamp")
     // the adapted column must survive analysis + execution (r4's failure mode
     // was an AnalysisException on first use, not a schema read)
-    val row = adapted.agg(min(unix_micros(col("ts"))), count(lit(1))).head()
+    val row = adapted.agg(min(unix_micros(col("ts"))), count(lit(1)),
+      max(unix_micros(col("ts")))).head()
     assert(!row.isNullAt(0) && row.getLong(1) > 0L)
+    // UNIT guard, not just type: adaptTs assumes a LongType ts is
+    // NANOseconds. If a future fixture generation stores raw INT64
+    // MICROS, the DIV 1000 would silently compress every timestamp
+    // 1000× (everything lands near 1970) while the type checks above
+    // still pass — pin the adapted values to a sane epoch window so a
+    // unit drift flips THIS test instead of silently diverging 100+
+    // time-window queries from the oracle.
+    val y2000Micros = 946684800000000L  // 2000-01-01T00:00Z
+    val y2100Micros = 4102444800000000L // 2100-01-01T00:00Z
+    assert(row.getLong(0) > y2000Micros && row.getLong(2) < y2100Micros,
+      s"adapted ts outside [2000, 2100): [${row.getLong(0)}, ${row.getLong(2)}] " +
+        "— fixture ts UNIT likely changed; fix adaptTs, not the call sites")
   }
 
   test("events: full column contract") {

@@ -220,13 +220,19 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(auths.values.sum - 1.0) < 1e-3)
   }
 
-  test("kCore/hits argument guards reject checkpointEvery < 1") {
+  test("kCore/hits argument guards reject degenerate parameters") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException] {
-      Graph.kCore(e, "src", "dst", k = 1, rounds = 1, checkpointEvery = 0)
+      Graph.kCore(e, "src", "dst", k = 0, rounds = 1)
     }
     intercept[IllegalArgumentException] {
-      Graph.hits(e, "src", "dst", iters = 1, checkpointEvery = 0)
+      Graph.kCore(e, "src", "dst", k = 1, rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(e, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(e, "src", "dst", iters = 1, roundDp = 0)
     }
   }
 }

@@ -298,11 +298,13 @@ class SimilaritySpec extends SparkSpec {
       "coarser fixed-k cells must superset the finer adaptive pair set here")
   }
 
-  test("semDedupPairs: an identical-vector flood cell is dropped, not paired quadratically") {
+  test("semDedupPairs: an oversized cell subdivides — bounded pairs, not m²/2") {
     // 200 bit-identical vectors: Lloyd cannot split them, every one
-    // lands in a single cell of 200 > 16 x targetCellSize(10) = 160 —
-    // the capBuckets-style guard drops the runaway cell (identical
-    // rows belong to exact dedup), so NO m^2/2 pair explosion
+    // lands in one cell of ~202 > 16 × targetCellSize(10) = 160 — the
+    // guard subdivides by id hash into ~target-sized sub-cells, so
+    // pair work is linear in the cell population (each row pairs only
+    // within its ~10-row sub-cell), never the 200·199/2 ≈ 19 900
+    // quadratic explosion a naive within-cell join would mint
     val flood = (0 until 200).map(i => (i.toLong, Seq(1.0f, 0.0f)))
     val distinctPair = Seq(
       (500L, Seq(0.0f, 1.0f)), (501L, Seq(0.0f, 0.999f)))
@@ -310,8 +312,15 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Vec.semDedupPairs(df, "vec_id", "embedding",
         k = 2, iters = 1, threshold = 0.99, targetCellSize = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(!pairs.exists(p => p._1 < 200 && p._2 < 200),
-      s"flood cell must be dropped: ${pairs.size} pairs")
+    val floodPairs = pairs.count(p => p._1 < 200 && p._2 < 200)
+    assert(floodPairs > 0, "subdivision must keep SOME within-flood pairs")
+    assert(floodPairs < 3000,
+      s"pair work must stay ~linear in cell population: $floodPairs")
+    // deterministic replay (hash subdivision, no RNG)
+    val again = Vec.semDedupPairs(df, "vec_id", "embedding",
+        k = 2, iters = 1, threshold = 0.99, targetCellSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
   }
 
   test("pqEncode: per-subspace codes recover the planted block structure") {
