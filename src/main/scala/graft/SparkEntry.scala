@@ -1600,14 +1600,21 @@ object SparkEntry {
         .orderBy("lag")
     }),
     "ts_gap_stats" -> ((s, dir) =>
+      // 4-dp rounding happens in exact INTEGER micro space — double
+      // round() hits half-ulp ties the two engines split differently
+      // (71.91035 s → 71.9104 vs 71.9103 at sf0.1); `(us+50) DIV 100`
+      // is the same half-up integer on both. avg folds the division
+      // into one integer expression: ⌊sum/(100n) + ½⌋ =
+      // (2·sum + 100·n) DIV (200·n).
       graft.timeseries.TimeSeriesOps.gapStats(
           events(s, dir), keys = Seq("user_id"), t = "ts",
           orderCols = Seq("event_id"))
         .select(col("user_id"), col("n_gaps"),
-          round(col("sum_gap_s"), 4).as("sum_gap_s"),
-          round(col("avg_gap_s"), 4).as("avg_gap_s"),
-          round(col("min_gap_s"), 4).as("min_gap_s"),
-          round(col("max_gap_s"), 4).as("max_gap_s"))
+          (expr("(sum_gap_us + 50) DIV 100") / lit(10000.0)).as("sum_gap_s"),
+          (expr("(2 * sum_gap_us + 100 * n_gaps) DIV (200 * n_gaps)")
+            / lit(10000.0)).as("avg_gap_s"),
+          (expr("(min_gap_us + 50) DIV 100") / lit(10000.0)).as("min_gap_s"),
+          (expr("(max_gap_us + 50) DIV 100") / lit(10000.0)).as("max_gap_s"))
         .orderBy("user_id")),
     "ts_rolling" -> ((s, dir) =>
       graft.timeseries.TimeSeriesOps.rollingStats(
@@ -3610,20 +3617,25 @@ object SparkEntry {
     },
     "graph_kcore" -> {
       // 4 peeling rounds: keep_i = nodes with current-subgraph degree
-      // >= 20; edges survive only when BOTH endpoints stay
+      // >= 20; edges survive only when BOTH endpoints stay. Every
+      // round CTE is MATERIALIZED: each c_i is referenced three times
+      // (the union + both semi joins), and an inlining planner would
+      // re-evaluate the chain ~3^rounds times — the exact blowup the
+      // Spark side prevents with per-round localCheckpoint (at sf0.1
+      // the inlined form exhausted DuckDB's temp spill)
       def peel(i: Int): String =
-        s"""u${i - 1} AS (SELECT a, b FROM c${i - 1}
+        s"""u${i - 1} AS MATERIALIZED (SELECT a, b FROM c${i - 1}
            |  UNION ALL SELECT b AS a, a AS b FROM c${i - 1}),
-           |k$i AS (SELECT a AS node FROM u${i - 1}
+           |k$i AS MATERIALIZED (SELECT a AS node FROM u${i - 1}
            |  GROUP BY 1 HAVING count(*) >= 20),
-           |c$i AS (
+           |c$i AS MATERIALIZED (
            |  SELECT c.a, c.b FROM c${i - 1} c
            |  JOIN k$i x ON c.a = x.node
            |  JOIN k$i y ON c.b = y.node),""".stripMargin
-      s"""WITH e0 AS (
+      s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |c0 AS (
+         |c0 AS MATERIALIZED (
          |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
          |  FROM e0 WHERE s <> d),
          |${(1 to 4).map(peel).mkString("\n")}
@@ -3640,23 +3652,26 @@ object SparkEntry {
       // 3 HITS iterations, L1-normalized + 6dp-rounded per step (the
       // per-iteration round kills cross-engine sum-order ulp drift,
       // same trick as graph_pagerank)
+      // MATERIALIZED for the same reason as graph_kcore: ar_i/hr_i
+      // are each read twice (total + divide) and the chain would
+      // otherwise re-inline ~4^iters times
       def iter(i: Int): String =
-        s"""ar$i AS (
+        s"""ar$i AS MATERIALIZED (
            |  SELECT e.dst AS node, sum(h${i - 1}.h) AS a
            |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY 1),
-           |a$i AS (
+           |a$i AS MATERIALIZED (
            |  SELECT node, round(a / t.tot, 6) AS a
            |  FROM ar$i CROSS JOIN (SELECT sum(a) AS tot FROM ar$i) t),
-           |hr$i AS (
+           |hr$i AS MATERIALIZED (
            |  SELECT e.src AS node, sum(a$i.a) AS h
            |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
-           |h$i AS (
+           |h$i AS MATERIALIZED (
            |  SELECT node, round(h / t.tot, 6) AS h
            |  FROM hr$i CROSS JOIN (SELECT sum(h) AS tot FROM hr$i) t),""".stripMargin
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |h0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h FROM e),
+         |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h FROM e),
          |${(1 to 3).map(iter).mkString("\n")}
          |z AS (SELECT 1)
          |SELECT
@@ -4253,6 +4268,9 @@ object SparkEntry {
         |  count(*) AS n_hours
         |FROM l CROSS JOIN e JOIN p ON e.h + l.lag = p.h2
         |GROUP BY lag ORDER BY lag""".stripMargin,
+    // integer-space 4-dp rounding, mirroring the engine: (us+50)//100
+    // is the identical half-up integer in both engines; double round()
+    // would split half-ulp ties differently
     "ts_gap_stats" ->
       """WITH g AS (
         |  SELECT user_id,
@@ -4260,10 +4278,11 @@ object SparkEntry {
         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |SELECT user_id, count(gap_us) AS n_gaps,
-        |  round(sum(gap_us) / 1e6, 4) AS sum_gap_s,
-        |  round(avg(gap_us) / 1e6, 4) AS avg_gap_s,
-        |  round(min(gap_us) / 1e6, 4) AS min_gap_s,
-        |  round(max(gap_us) / 1e6, 4) AS max_gap_s
+        |  ((sum(gap_us) + 50) // 100) / 10000.0 AS sum_gap_s,
+        |  ((2 * sum(gap_us) + 100 * count(gap_us))
+        |    // (200 * count(gap_us))) / 10000.0 AS avg_gap_s,
+        |  ((min(gap_us) + 50) // 100) / 10000.0 AS min_gap_s,
+        |  ((max(gap_us) + 50) // 100) / 10000.0 AS max_gap_s
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_rolling" ->

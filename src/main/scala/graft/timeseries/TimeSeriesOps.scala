@@ -274,8 +274,14 @@ object TimeSeriesOps {
     * first thing to check before trusting a watermark. Gap arithmetic
     * runs on exact integer MICROSECONDS (the lag difference) and is
     * divided out to seconds only at the end, so both engines aggregate
-    * identical integers. One keyed shuffle: lag + aggregate share the
-    * same hash exchange. */
+    * identical integers. The raw `*_gap_us` longs ride along: a caller
+    * that needs DECIMAL-ROUNDED seconds must round in integer micro
+    * space (`(us + 50) DIV 100 / 1e4`), because `round(us/1e6, 4)` on
+    * the double hits half-ulp ties that Spark (BigDecimal HALF_UP on
+    * the printed decimal) and SQL engines (binary-double half-away)
+    * split differently — a gap of exactly 71.91035 s surfaced as
+    * 71.9104 vs 71.9103 at sf0.1. One keyed shuffle: lag + aggregate
+    * share the same hash exchange. */
   def gapStats(
       df: DataFrame,
       keys: Seq[String],
@@ -289,6 +295,9 @@ object TimeSeriesOps {
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_gaps"),
+        sum(col("__gap_us")).as("sum_gap_us"),
+        min(col("__gap_us")).as("min_gap_us"),
+        max(col("__gap_us")).as("max_gap_us"),
         (sum(col("__gap_us")) / lit(1e6)).as("sum_gap_s"),
         (avg(col("__gap_us")) / lit(1e6)).as("avg_gap_s"),
         (min(col("__gap_us")) / lit(1e6)).as("min_gap_s"),
