@@ -2586,9 +2586,12 @@ object SparkEntry {
       // SemDeDup: k-means cells + within-cell exact cosine. Same
       // planted +0.01-shift duplicates as dedup_embed; the oracle
       // replays the identical bit-stable clustering, so the
-      // within-cell pair set matches exactly. k adapts to corpus size
-      // (target cell ≈ 64 rows — k_eff stays 16 at the sf0.01 oracle
-      // gate, grows at bench/stress scale so pair work stays linear).
+      // within-cell pair set matches exactly. PINNED k=16
+      // (targetCellSize = 0, oracle-replay mode): the adaptive-k path
+      // would silently diverge from the k=16 oracle beyond ~1024 rows
+      // (k_eff = ⌈n/64⌉ > 16), so the SQL-gated query pins k and the
+      // adaptive/scale behavior is exercised by `dedup_semdedup_sharded`
+      // (count-derived per-shard k, oracled) plus the 10× stress run.
       val dbl = (c: Column) => c.cast("array<double>")
       val e = embeddings(s, dir)
         .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
@@ -2596,7 +2599,31 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(dbl(col("embedding")), x => x + lit(0.01)).as("embedding"))
       Vec.semDedupPairs(e.unionByName(planted), "vec_id", "embedding",
-          k = 16, iters = 2, threshold = 0.99)
+          k = 16, iters = 2, threshold = 0.99, targetCellSize = 0)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_semdedup_sharded" -> ((s, dir) => {
+      // Hierarchical SemDeDup — the 100 TB composition: tier 1 routes
+      // every vector to one of `nlist` IVF shards (md5-sampled
+      // deterministic centroids, broadcast-literal assignment); tier 2
+      // runs a per-shard JOINED Lloyd (centroids live in a DataFrame
+      // keyed by shard — never collected, so the per-shard cluster
+      // count k = ⌈shard/64⌉ is unbounded: nothing model-sized caps
+      // corpus size, which was the flat path's 4096-cell ceiling);
+      // pairs are enumerated within (shard, cell) only. Fully
+      // deterministic: the oracle replays shard sample, shard
+      // assignment, count-derived k, seed ranks, one 6-dp-rounded
+      // Lloyd update, and the final cosine threshold.
+      val dbl = (c: Column) => c.cast("array<double>")
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+      val planted = embeddings(s, dir).filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(dbl(col("embedding")), x => x + lit(0.01)).as("embedding"))
+      Vec.semDedupSharded(e.unionByName(planted), "vec_id", "embedding",
+          nlist = 4, iters = 2, threshold = 0.99, targetCellSize = 64,
+          kMin = 2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -2902,10 +2929,67 @@ object SparkEntry {
        |    FROM d2$j) WHERE rk = 1)""".stripMargin
   }
 
+  /** Full IVF-flat index replayed in SQL (shared by `sim_ivf` and
+    * `sim_ivf_pruned` — the persisted layout changes the PLAN, not the
+    * answer, so both oracles are the same text): the md5-keyed centroid
+    * sample (`Similarity.ivfCentroids`), the cosine-distance cell
+    * assignment with its zero-norm → 2.0 guard, the probes' 4-of-16
+    * cell routing, and the within-cell exact rank. Every float fold is
+    * the engine's left-to-right double sum (list_reduce seeds with the
+    * first element; 0.0 + t ≡ t) and every product keeps the engine's
+    * operand order (nv·nc), so distances — and with them cell
+    * boundaries and ranks — are bit-identical. */
+  private val IvfFlatOracle: String =
+    """WITH xn AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, e -> e * e),
+      |      (a, b) -> a + b)) AS nv
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+      |cents AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+      |      AS cid, v AS cv,
+      |    sqrt(list_reduce(list_transform(v, e -> e * e),
+      |      (a, b) -> a + b)) AS nc
+      |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v
+      |        FROM xn ORDER BY h, vec_id LIMIT 16)),
+      |cdist AS (
+      |  SELECT xn.vec_id, cents.cid,
+      |    CASE WHEN xn.nv * cents.nc > 0 THEN
+      |      1.0 - list_reduce(list_transform(list_zip(xn.v, cents.cv),
+      |        p -> p[1] * p[2]), (a, b) -> a + b) / (xn.nv * cents.nc)
+      |    ELSE 2.0 END AS dist
+      |  FROM xn CROSS JOIN cents),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |    FROM cdist) WHERE rk = 1),
+      |pc AS (
+      |  SELECT vec_id AS probe_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |    FROM cdist WHERE vec_id < 10) WHERE rk <= 4),
+      |scored AS (
+      |  SELECT pc.probe_id, a.vec_id AS nbr_id,
+      |    CASE WHEN p.nv * n.nv > 0 THEN
+      |      list_reduce(list_transform(list_zip(p.v, n.v),
+      |        q -> q[1] * q[2]), (s, t) -> s + t) / (p.nv * n.nv)
+      |    ELSE 0.0 END AS cosine
+      |  FROM pc JOIN assigned a ON a.cell = pc.cell
+      |  JOIN xn p ON p.vec_id = pc.probe_id
+      |  JOIN xn n ON n.vec_id = a.vec_id
+      |  WHERE a.vec_id <> pc.probe_id)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id FROM (
+      |  SELECT probe_id, nbr_id,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, nbr_id) AS rank
+      |  FROM scored) WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash-family-dependent /
     * approximate operators (dedup_minhash, dedup_simhash, sim_ann,
-    * sim_ivf, text_fingerprint, mm_features) → driver records a rows-only
+    * text_fingerprint, mm_features) → driver records a rows-only
     * check; those are locked down by the scalatest suite instead
     * (recall vs brute force, cross-impl equality). */
   def oracleSql: Map[String, String] = Map(
@@ -3649,9 +3733,11 @@ object SparkEntry {
          |ORDER BY 1""".stripMargin
     },
     "graph_hits" -> {
-      // 3 HITS iterations, L1-normalized + 6dp-rounded per step (the
-      // per-iteration round kills cross-engine sum-order ulp drift,
-      // same trick as graph_pagerank)
+      // 3 HITS iterations in INTEGER micro-units (×1e6): raw sums are
+      // exact integers in any order, and the only quantization is the
+      // shared-double HALF_UP floor(q·1e6 + 0.5) after each L1 divide
+      // — no round(double, dp) tie class anywhere (the ts_gap_stats
+      // integer-space recipe).
       // MATERIALIZED for the same reason as graph_kcore: ar_i/hr_i
       // are each read twice (total + divide) and the chain would
       // otherwise re-inline ~4^iters times
@@ -3660,18 +3746,19 @@ object SparkEntry {
            |  SELECT e.dst AS node, sum(h${i - 1}.h) AS a
            |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY 1),
            |a$i AS MATERIALIZED (
-           |  SELECT node, round(a / t.tot, 6) AS a
+           |  SELECT node, floor(a / t.tot * 1000000 + 0.5) AS a
            |  FROM ar$i CROSS JOIN (SELECT sum(a) AS tot FROM ar$i) t),
            |hr$i AS MATERIALIZED (
            |  SELECT e.src AS node, sum(a$i.a) AS h
            |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
            |h$i AS MATERIALIZED (
-           |  SELECT node, round(h / t.tot, 6) AS h
+           |  SELECT node, floor(h / t.tot * 1000000 + 0.5) AS h
            |  FROM hr$i CROSS JOIN (SELECT sum(h) AS tot FROM hr$i) t),""".stripMargin
       s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h FROM e),
+         |h0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, 1000000::BIGINT AS h FROM e),
          |${(1 to 3).map(iter).mkString("\n")}
          |z AS (SELECT 1)
          |SELECT
@@ -3679,9 +3766,9 @@ object SparkEntry {
          |    || CAST(node // 2 AS VARCHAR) AS node,
          |  side, score
          |FROM (
-         |  SELECT node, 'hub' AS side, h AS score FROM h3
+         |  SELECT node, 'hub' AS side, h / 1000000.0 AS score FROM h3
          |  UNION ALL
-         |  SELECT node, 'auth' AS side, a AS score FROM a3)
+         |  SELECT node, 'auth' AS side, a / 1000000.0 AS score FROM a3)
          |ORDER BY side, node""".stripMargin
     },
     // the IVM law: the incrementally-merged view must equal the
@@ -4792,6 +4879,8 @@ object SparkEntry {
         |FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(DISTINCT a.s) >= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "sim_ivf" -> IvfFlatOracle,
+    "sim_ivf_pruned" -> IvfFlatOracle,
     "sim_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
@@ -5058,6 +5147,88 @@ object SparkEntry {
         |  FROM a2 aa JOIN a2 ab ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
         |  JOIN x xa ON xa.vec_id = aa.vec_id
         |  JOIN x xb ON xb.vec_id = ab.vec_id)
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM p
+        |WHERE cos_raw >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the full hierarchical replay: md5 shard sample → cosine shard
+    // routing (2.0 zero-norm guard) → count-derived per-shard k
+    // (integer floor division) → lowest-id seeds → one 6-dp-rounded
+    // joined-Lloyd update → (shard, cell)-local cosine pairs. Every
+    // float fold is the engines' shared left-to-right double sum.
+    "dedup_semdedup_sharded" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+        |  FROM e WHERE vec_id < 25),
+        |x0 AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+        |xn AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, el -> el * el),
+        |      (a, b) -> a + b)) AS nv
+        |  FROM x0),
+        |sc AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+        |      AS sid, v AS sv,
+        |    sqrt(list_reduce(list_transform(v, el -> el * el),
+        |      (a, b) -> a + b)) AS ns
+        |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v
+        |        FROM xn ORDER BY h, vec_id LIMIT 4)),
+        |sd AS (
+        |  SELECT xn.vec_id, sc.sid,
+        |    CASE WHEN xn.nv * sc.ns > 0 THEN
+        |      1.0 - list_reduce(list_transform(list_zip(xn.v, sc.sv),
+        |        p -> p[1] * p[2]), (a, b) -> a + b) / (xn.nv * sc.ns)
+        |    ELSE 2.0 END AS dist
+        |  FROM xn CROSS JOIN sc),
+        |shard AS (
+        |  SELECT vec_id, sid AS sh FROM (
+        |    SELECT vec_id, sid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rk
+        |    FROM sd) WHERE rk = 1),
+        |xs AS (
+        |  SELECT s.sh, x.vec_id, x.v,
+        |    greatest(2, CAST((count(1) OVER (PARTITION BY s.sh) + 63) // 64
+        |      AS INTEGER)) AS k,
+        |    row_number() OVER (PARTITION BY s.sh ORDER BY x.vec_id) AS rn
+        |  FROM shard s JOIN x0 x USING (vec_id)),
+        |c0 AS (
+        |  SELECT sh, CAST(rn - 1 AS INTEGER) AS cl, v AS cv
+        |  FROM xs WHERE rn <= k),
+        |d1 AS (
+        |  SELECT xs.sh, xs.vec_id, c0.cl,
+        |    list_reduce(list_transform(list_zip(xs.v, c0.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+        |  FROM xs JOIN c0 ON c0.sh = xs.sh),
+        |a1 AS (
+        |  SELECT sh, vec_id, cl FROM (
+        |    SELECT sh, vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |u AS (SELECT vec_id, unnest(v) AS el, generate_subscripts(v, 1) AS i
+        |  FROM x0),
+        |m1 AS (
+        |  SELECT a1.sh, a1.cl, u.i, round(avg(u.el), 6) AS c
+        |  FROM a1 JOIN u USING (vec_id) GROUP BY a1.sh, a1.cl, u.i),
+        |c1 AS (SELECT sh, cl, list(c ORDER BY i) AS cv FROM m1 GROUP BY sh, cl),
+        |d2 AS (
+        |  SELECT xs.sh, xs.vec_id, c1.cl,
+        |    list_reduce(list_transform(list_zip(xs.v, c1.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+        |  FROM xs JOIN c1 ON c1.sh = xs.sh),
+        |a2 AS (
+        |  SELECT sh, vec_id, cl FROM (
+        |    SELECT sh, vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d2) WHERE rk = 1),
+        |p AS (
+        |  SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
+        |    list_dot_product(xa.v, xb.v) /
+        |      (sqrt(list_dot_product(xa.v, xa.v)) *
+        |       sqrt(list_dot_product(xb.v, xb.v))) AS cos_raw
+        |  FROM a2 aa JOIN a2 ab ON aa.sh = ab.sh AND aa.cl = ab.cl
+        |    AND aa.vec_id < ab.vec_id
+        |  JOIN x0 xa ON xa.vec_id = aa.vec_id
+        |  JOIN x0 xb ON xb.vec_id = ab.vec_id)
         |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM p
         |WHERE cos_raw >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,

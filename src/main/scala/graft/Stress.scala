@@ -34,7 +34,9 @@ object Stress {
     "ts_scd2", "ts_cusum", "ts_ohlc", "text_heavy_hitters",
     "w1_rowid", "m5_approve_unflagged", "a1_progress", "plot_m4", "u1_union",
     "text_perplexity", "text_chunks", "text_quality_clf",
-    "embed_kmeans", "dedup_semdedup", "mm_phash", "mm_audio_stats",
+    // dedup_semdedup_sharded (not the pinned-k flat query) is the
+    // scale-bearing SemDeDup: per-shard k derives from shard counts
+    "embed_kmeans", "dedup_semdedup_sharded", "mm_phash", "mm_audio_stats",
     "grouped_topk", "cdc_apply", "sketch_cms", "sketch_quantile",
     "layout_zorder", "text_bpe_encode", "ts_retention",
     "graph_pagerank", "graph_kcore", "text_bm25", "text_inverted_index",

@@ -56,6 +56,23 @@ case class NearestCentroidExpr(
   override def nullable: Boolean = false
   override def prettyName: String = "nearest_centroid"
 
+  // The synthesized case-class equals compares the Array fields by
+  // REFERENCE, so two structurally identical instances were never
+  // semanticEquals — defeating common-subexpression elimination and
+  // plan-fragment reuse (correctness was unaffected; the struct is
+  // consumed via a single getField). Compare/hash contents instead.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidExpr =>
+      dim == o.dim && child == o.child &&
+        java.util.Arrays.equals(cents, o.cents) &&
+        java.util.Arrays.equals(ids, o.ids)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(dim),
+    Integer.valueOf(java.util.Arrays.hashCode(cents)),
+    Integer.valueOf(java.util.Arrays.hashCode(ids)))
+
   override def eval(input: InternalRow): Any =
     NearestCentroidExpr.compute(
       child.eval(input).asInstanceOf[ArrayData], cents, ids, dim)

@@ -282,35 +282,34 @@ object Graph {
   }
 
   /** HITS hubs & authorities over a DIRECTED edge list (Kleinberg),
-    * sum-normalized and deterministic the way [[pageRank]] is: every
-    * iteration computes raw mutual-reinforcement sums, L1-normalizes
-    * (divide by the score total — no sqrt, so the arithmetic is
-    * exactly replayable in ANSI SQL), and rounds to `roundDp` to kill
-    * cross-engine ulp drift in the sum order. On a bipartite
-    * src→dst graph (customers → suppliers) hubs score the left side
-    * and authorities the right — the classic co-click/co-purchase
-    * importance split.
+    * sum-normalized and deterministic one notch PAST [[pageRank]]:
+    * scores live as INTEGER micro-units (×10^roundDp longs), so the
+    * mutual-reinforcement sums are exact in any order and the L1
+    * normalization `floor(raw/total · 10^roundDp + 0.5)` is the only
+    * quantization — both engines compute it on the same double, so
+    * there is no round(double, dp) half-ulp tie class at all. On a
+    * bipartite src→dst graph (customers → suppliers) hubs score the
+    * left side and authorities the right — the classic
+    * co-click/co-purchase importance split.
     *
     * Edge multiplicity is IGNORED: parallel edges collapse via
     * `distinct()` (unlike [[pageRank]], where they act as weights) —
     * mutual reinforcement counts distinct endorsements once.
     *
-    * `roundDp` ceiling: rounding AFTER the L1 divide means a side
-    * with ≳ 10^roundDp nodes of near-uniform score rounds everything
-    * to 0 and the next total would be 0. The division is guarded
-    * (`__tot = 0` keeps the pre-normalization sums for that round
-    * rather than emitting NaN), and `require` documents the ceiling:
-    * at web scale raise roundDp (1e9 nodes → roundDp ≥ 12) exactly as
-    * you'd size any fixed-point precision to the population.
+    * `roundDp` sizing: quantizing AFTER the L1 divide means a side
+    * with ≳ 10^roundDp nodes of near-uniform score quantizes to 0 and
+    * the next total would be 0; the division is guarded (`__tot = 0`
+    * keeps the raw sums for that round rather than emitting NaN). At
+    * web scale raise roundDp with the population (1e9 nodes →
+    * roundDp ≥ 12) — ANSI overflow headroom allows it up to
+    * |edges|·10^roundDp < 2^63.
     *
-    * Scale shape: per iteration two keyed join+sum passes over the
-    * edge list plus a one-row total broadcast — O(|edges|) shuffled
-    * bytes, nothing driver-sized. The edge list is cached for the
-    * loop's lifetime (the [[pageRank]] pattern — it is read twice per
-    * iteration) and each raw score table is eagerly materialized
-    * before normalizing: the L1 step reads its input twice (total +
-    * divide), so an unmaterialized hubs→auths→hubs chain re-executes
-    * upstream ~4^iters times — measured 12 s → ~1.5 s at sf0.1. The
+    * Scale shape: per iteration two broadcast-join+sum passes over
+    * the CACHED edge list — the node-sized score table broadcasts, so
+    * the edge list never shuffles; partial sums combine map-side.
+    * Each raw score table is eagerly materialized before normalizing
+    * (the L1 step reads it twice: total + divide), so the
+    * hubs→auths→hubs chain never re-executes upstream. The
     * per-iteration write is node-sized, the cheapest thing in the
     * loop — which is why there is deliberately no `checkpointEvery`
     * knob here.
@@ -321,37 +320,66 @@ object Graph {
       roundDp: Int = 6): DataFrame = {
     require(iters >= 1, "hits: iters >= 1")
     require(roundDp >= 1 && roundDp <= 15, "hits: roundDp in [1,15]")
+    // Scores are INTEGER micro-units (×10^roundDp, carried as longs):
+    // integer adds are exact in any summation order, so the raw sums
+    // — and with them every normalization quotient — are bit-identical
+    // across engines and partitionings; the only quantization is the
+    // explicit HALF_UP `floor(q·scale + 0.5)`, which both engines
+    // compute on the SAME double. This retires the round(double, dp)
+    // half-ulp tie class outright (the ts_gap_stats integer-space
+    // recipe). Overflow headroom under ANSI: Σ ≤ |edges|·10^roundDp,
+    // so dp=6 is safe to ~9×10^12 edges — lower roundDp past that.
+    val scale = math.pow(10, roundDp).toLong
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     try {
       def l1(df: DataFrame, c: String): DataFrame = {
         // node-sized eager cut BEFORE the double read (total + divide)
         val mat = df.localCheckpoint(true)
-        val tot = mat.agg(sum(col(c)).as("__tot"))
-        mat.crossJoin(broadcast(tot))
-          .select(col("node"),
-            when(col("__tot") =!= 0.0,
-              round(col(c) / col("__tot"), roundDp))
-              .otherwise(col(c)).as(c))
+        // driver-sized by construction: ONE long (the L1 total).
+        // Collected as a scalar and folded in as a literal — as an
+        // in-plan broadcast subquery it added a broadcast exchange +
+        // an extra job to every half-iteration (the pageRank N
+        // pattern); the literal is the same exact integer.
+        val tot = mat.agg(sum(col(c))).head.getLong(0)
+        if (tot == 0L) mat
+        else mat.select(col("node"),
+          floor(col(c) / lit(tot) * scale + 0.5).as(c))
       }
-      var hubs = e.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(1.0).as("h"))
+      var hubs: DataFrame = null
       var auths: DataFrame = null
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
+        // the score table is node-sized (≤ a few bytes per node) and
+        // BROADCAST: each half-iteration is then a scan of the cached
+        // edge list + broadcast hash join + map-side-combined sum —
+        // no edge shuffle at all. Without the hint the checkpointed
+        // score table has no stats and Spark sort-merge-joins the
+        // full edge list twice per iteration (measured 10.3 s → ~5 s
+        // on the 6M-edge bipartite at sf0.1). At ≥10^8-node graphs
+        // the broadcast would bind first — drop the hint there.
         auths = l1(
-          e.join(hubs, e("src") === hubs("node"))
-            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
+          if (i == 1)
+            // first pass: Σ over a CONSTANT init score is exactly
+            // scale·indegree in integer space — a plain count agg, no
+            // init table, no join, bit-identical to the join form
+            e.groupBy(col("dst").as("node"))
+              .agg((count(lit(1)) * scale).as("a"))
+          else
+            e.join(broadcast(hubs), e("src") === hubs("node"))
+              .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
           "a")
         hubs = l1(
-          e.join(auths, e("dst") === auths("node"))
+          e.join(broadcast(auths), e("dst") === auths("node"))
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
           "h")
       }
+      // micro-units → score doubles only at the edge of the loop
       // eager: materializes the node-sized result so the edge cache
       // can be released before the caller ever runs an action
-      hubs.select(col("node"), lit("hub").as("side"), col("h").as("score"))
+      hubs.select(col("node"), lit("hub").as("side"),
+          (col("h") / scale.toDouble).as("score"))
         .union(auths.select(col("node"), lit("auth").as("side"),
-          col("a").as("score")))
+          (col("a") / scale.toDouble).as("score")))
         .localCheckpoint(true)
     } finally e.unpersist()
   }

@@ -184,13 +184,18 @@ object Similarity {
   }
 
   /** Deterministic IVF centroids: a pseudo-random corpus sample by id
-    * hash (no RNG, stable runs), optionally Lloyd-refined. */
+    * hash (no RNG, stable runs), optionally Lloyd-refined. The sample
+    * key is `md5(id :: string)` — hex-string ordered, with the id as
+    * tiebreak — specifically so an external engine can REPLAY the
+    * sample (DuckDB's `md5(CAST(id AS VARCHAR))` yields the identical
+    * hex string; `xxhash64` had no cross-engine twin, which kept every
+    * IVF query rows-only). */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, refineIters: Int = 0): Array[(Int, Array[Double])] = {
     val sampled: Array[(Int, Array[Double])] = corpus
       .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nlist)
       // driver-sized by construction: limit(nlist) sample vectors
       .collect()

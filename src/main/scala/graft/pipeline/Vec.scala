@@ -414,10 +414,11 @@ object Vec {
     * is n·k·dim and the collected centroid table is k×dim, so an
     * UNBOUNDED k ∝ n would make clustering itself quadratic and the
     * driver table corpus-sized — at the corpus size where the ceiling
-    * binds (n > 4096·targetCellSize ≈ 260k with the defaults),
-    * pre-shard by an IVF index cell ([[Similarity.ivfWriteIndex]])
-    * and run semantic dedup per shard; that hierarchical composition
-    * is the published SemDeDup recipe at web scale. Cells that still
+    * binds (n > 4096·targetCellSize ≈ 260k with the defaults), use
+    * [[semDedupSharded]]: IVF shard routing + a per-shard joined
+    * Lloyd whose centroid table never reaches the driver, the
+    * published SemDeDup recipe at web scale with no k ceiling at all.
+    * Cells that still
     * exceed 16× the target (Lloyd cannot split an identical-vector
     * flood, and a dense semantic cluster may simply be big) are
     * SUBDIVIDED deterministically by id hash into target-sized
@@ -463,6 +464,101 @@ object Vec {
     val b = assigned.select(col("cell"), col(idCol).as("id_b"),
       col("__v").as("__vb"))
     a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Hierarchical SemDeDup — the composition [[semDedupPairs]]'s
+    * Scaladoc names as the web-scale path, implemented so NOTHING is
+    * model-sized in the corpus dimension:
+    *
+    *  - **Tier 1 (routing)**: every vector goes to one of `nlist` IVF
+    *    shards ([[Similarity.ivfCentroids]]' md5-sampled deterministic
+    *    centroids, inlined as literals — a scan-bound map; `nlist` is
+    *    an index-config constant, not corpus-derived).
+    *  - **Tier 2 (per-shard clustering)**: a JOINED Lloyd loop. The
+    *    centroids live in a `(shard, cl, centroid)` DataFrame that is
+    *    NEVER collected — assignment is a shuffle join on the shard
+    *    key, the update a (shard, cl, dim)-keyed mean with map-side
+    *    combine. The per-shard cluster count
+    *    `k = max(kMin, ⌈shard_rows / targetCellSize⌉)` therefore has
+    *    no ceiling: total cluster count grows with the corpus while
+    *    expected CELL population — and with it per-row pair work —
+    *    stays constant. This removes the flat path's 4096-cell
+    *    flat-Lloyd limit (driver centroid table k×dim, assignment
+    *    n·k·dim against literals); the joined assignment costs
+    *    n·k_shard·dim but distributed and shard-local.
+    *  - **Tier 3 (pairs)**: exact cosine within (shard, cell) only.
+    *
+    * Deterministic end to end and SQL-replayable: md5 shard sample,
+    * cosine shard routing with the 2.0 zero-norm guard, per-shard k
+    * from an integer floor-division of the shard count, lowest-id
+    * seeds ranked per shard, 6-dp-rounded means between Lloyd rounds,
+    * lexicographic (dist, cl) assignment ties, left-to-right float
+    * folds throughout. Recall price vs flat: a near-dup pair whose
+    * members route to different shards is missed — the same
+    * cross-cell miss SemDeDup itself accepts, applied one level up.
+    *
+    * Iteration materialization: only the Σk-row centroid table is
+    * localCheckpoint'd per round (lineage cap — it is aggregate-sized,
+    * `corpus / targetCellSize` rows at worst, never corpus-width). */
+  def semDedupSharded(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      nlist: Int, iters: Int, threshold: Double,
+      targetCellSize: Int = 64, kMin: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(nlist >= 1 && iters >= 1 && targetCellSize >= 1 && kMin >= 1,
+      "semDedupSharded: nlist/iters/targetCellSize/kMin >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val x0 = df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
+    // tier 1: IVF shard routing (deterministic, literal centroids)
+    val shardCents = Similarity.ivfCentroids(x0, "__id", "__v", nlist)
+    val sharded = Similarity.ivfAssign(x0, "__v", shardCents)
+      .withColumnRenamed("cell", "__sh")
+    // per-shard k and seed ranks — both windows share one hash
+    // partitioning on the shard key (a single exchange)
+    val xs = sharded
+      .withColumn("__k", expr(
+        s"greatest($kMin, CAST((count(1) OVER (PARTITION BY __sh) + " +
+          s"${targetCellSize - 1}) DIV $targetCellSize AS INT))"))
+      .withColumn("__rn",
+        row_number().over(W.partitionBy("__sh").orderBy("__id")))
+    // joined assignment: x ⋈ centroids on shard, lexicographic
+    // (dist, cl) min per row via a map-side-combining struct-min agg
+    def assign(cs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      xs.select(col("__sh"), col("__id"), col("__v"))
+        .join(cs, Seq("__sh"))
+        .withColumn("__dist", graft.functions.l2Sq(col("__v"), col("__cv")))
+        .groupBy(col("__sh"), col("__id"))
+        .agg(min(struct(col("__dist"), col("__cl"))).as("__m"),
+          // deterministic: __v is functionally dependent on the group key
+          first(col("__v")).as("__v"))
+        .select(col("__sh"), col("__id"), col("__v"),
+          col("__m.__cl").as("__cl"))
+    var cents: org.apache.spark.sql.DataFrame = xs
+      .filter(col("__rn") <= col("__k"))
+      .select(col("__sh"), (col("__rn") - 1).cast("int").as("__cl"),
+        col("__v").as("__cv"))
+    for (_ <- 0 until iters - 1)
+      cents = assign(cents)
+        .select(col("__sh"), col("__cl"),
+          posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy(col("__sh"), col("__cl"), col("__i"))
+        .agg(round(avg(col("__x")), 6).as("__c"))
+        .groupBy(col("__sh"), col("__cl"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("__i"), col("__c")))),
+          _.getField("__c")).as("__cv"))
+        // aggregate-sized (Σk rows): lineage cap, not a data spill
+        .localCheckpoint(true)
+    val fin = assign(cents)
+    val a = fin.select(col("__sh"), col("__cl"), col("__id").as("id_a"),
+      col("__v").as("__va"))
+    val b = fin.select(col("__sh"), col("__cl"), col("__id").as("id_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__sh", "__cl"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)

@@ -102,4 +102,17 @@ class NearestCentroidExprSpec extends SparkSpec {
       .select(nc(col("v"), cents).getField("dist")).as[Double].head()
     assert(got == 1.0 + 4.0 + 1.0, s"got $got")
   }
+
+  test("structurally identical instances are equal (semanticEquals / CSE)") {
+    // same child (as in a resolved plan, where equal attrs compare
+    // equal); fresh Arrays each call — the synthesized case-class
+    // equals compared them by reference, so plan-fragment dedup never
+    // fired; the override compares contents
+    val ch = GraftColumnBridge.expression(col("v"))
+    def mk(c0: Double) = graft.functions.NearestCentroidExpr(
+      ch, Array(c0, 2.0, 3.0, 4.0), Array(0, 1), 2)
+    assert(mk(1.0) == mk(1.0))
+    assert(mk(1.0).hashCode == mk(1.0).hashCode)
+    assert(mk(1.0) != mk(9.0))
+  }
 }

@@ -177,27 +177,28 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
   }
 
-  /** Driver-side replica of hits' exact arithmetic (same L1 + 6dp
-    * HALF_UP rounding per step). */
+  /** Driver-side replica of hits' exact arithmetic: integer
+    * micro-unit scores (×1e6 longs), L1 quantized per step with the
+    * shared-double HALF_UP `floor(q·1e6 + 0.5)`. */
   private def hitsRef(
       edges: Seq[(String, String)], iters: Int)
       : (Map[String, Double], Map[String, Double]) = {
     val e = edges.distinct
-    def rnd(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def l1(m: Map[String, Double]) = {
+    def l1(m: Map[String, Long]) = {
       val tot = m.values.sum
-      if (tot == 0.0) m else m.view.mapValues(v => rnd(v / tot)).toMap
+      if (tot == 0L) m
+      else m.view.mapValues(v =>
+        math.floor(v.toDouble / tot * 1000000L + 0.5).toLong).toMap
     }
-    var h = e.map(_._1).distinct.map(_ -> 1.0).toMap
-    var a = Map.empty[String, Double]
+    var h = e.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a = Map.empty[String, Long]
     for (_ <- 1 to iters) {
       a = l1(e.flatMap { case (s, d) => h.get(s).map(d -> _) }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
       h = l1(e.flatMap { case (s, d) => a.get(d).map(s -> _) }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
     }
-    (h, a)
+    (h.view.mapValues(_ / 1e6).toMap, a.view.mapValues(_ / 1e6).toMap)
   }
 
   test("hits on a small bipartite graph matches the exact reference") {

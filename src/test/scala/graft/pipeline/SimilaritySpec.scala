@@ -323,6 +323,56 @@ class SimilaritySpec extends SparkSpec {
     assert(again == pairs)
   }
 
+  test("semDedupSharded: planted near-dups recovered through the shard hierarchy") {
+    // 4 well-separated directions × 30 vectors each, plus a planted
+    // near-identical twin per direction: shard routing groups same
+    // direction, joined Lloyd subdivides, twins pair within their cell
+    val base = (0 until 120).map { i =>
+      val g = i % 4
+      val v = Array.fill(4)(0.0005f * (i / 4))
+      v(g) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val twins = (0 until 4).map { g =>
+      val v = Array.fill(4)(0.0f); v(g) = 0.9995f; v((g + 1) % 4) = 0.001f
+      (1000L + g, v.toSeq)
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = Vec.semDedupSharded(df, "vec_id", "embedding",
+        nlist = 4, iters = 2, threshold = 0.999, targetCellSize = 8,
+        kMin = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted twin must find at least one same-direction partner
+    (0 until 4).foreach { g =>
+      assert(pairs.exists { case (a, b) => a == 1000L + g || b == 1000L + g },
+        s"twin $g lost: $pairs")
+    }
+    // pair volume stays cell-local, far below the 124·123/2 all-pairs
+    assert(pairs.size < 1000, s"cells did not localize pairs: ${pairs.size}")
+    // deterministic end to end (no RNG anywhere in the hierarchy)
+    val again = Vec.semDedupSharded(df, "vec_id", "embedding",
+        nlist = 4, iters = 2, threshold = 0.999, targetCellSize = 8,
+        kMin = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
+
+  test("semDedupSharded: per-shard k derives from the shard count — no global ceiling") {
+    // one dominant direction floods a single shard; its per-shard k
+    // must grow (count/target), keeping cells small, while the sparse
+    // shard keeps k = kMin. Output bounded ≪ flood²/2.
+    val flood = (0 until 300).map(i =>
+      (i.toLong, Seq(1.0f, 0.0001f * i, 0.0f)))
+    val sparse = (0 until 6).map(i => (900L + i, Seq(0.0f, 1.0f, 0.001f * i)))
+    val df = (flood ++ sparse).toDF("vec_id", "embedding")
+    val n = Vec.semDedupSharded(df, "vec_id", "embedding",
+        nlist = 2, iters = 2, threshold = 0.9999, targetCellSize = 10,
+        kMin = 2).count()
+    assert(n > 0, "flood near-dups lost")
+    assert(n < 15000,
+      s"per-shard k did not grow with the shard (quadratic blowup): $n")
+  }
+
   test("pqEncode: per-subspace codes recover the planted block structure") {
     // subspace 0 (dims 1-2) separates {1,2} from {3,4}; subspace 1
     // (dims 3-4) separates them the other way — codes must disagree
