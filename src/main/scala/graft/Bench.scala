@@ -66,13 +66,24 @@ object Bench {
     println(line)
     // Also persist to a file: the driver's stdout tail-capture truncates
     // the per-query map on long runs; the artifact keeps the full record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_local.json: ${e.getMessage}")
     }
     spark.stop()
+    // LAST stdout line: a compact record sized to survive the driver's
+    // 2000-char stdout tail capture (the full 230-query line above is
+    // ~15 KB, so the tail sliced it mid-JSON and the driver recorded
+    // "parsed": null every round). Headline totals + the slowest 40
+    // queries at 3 dp fit with room for the trailing sbt chatter;
+    // the full per-query map lives in the artifact file.
+    val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(40)
+      .map { case (k, _, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_truncated":true,"full":"$outPath"}""")
   }
 }

@@ -134,6 +134,19 @@ object SparkEntry {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** dedup_prefix's corpus (every 7th doc + mirrors of every 14th with
+    * the first word dropped) — shared with the stress harness so it
+    * can audit candidate volume against the SAME input the timed query
+    * ran on. */
+  private[graft] def prefixCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    d.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(14)) === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\s*\\S+\\s*", "").as("text")))
+  }
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
@@ -1972,13 +1985,8 @@ object SparkEntry {
       // EXACT jaccard-threshold self-join over the whole (reduced)
       // corpus — no probe restriction: prefix filtering generates the
       // candidates. Mirrors planted with the first word dropped.
-      val d = documents(s, dir)
-      val corpus = d.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select(col("doc_id"), col("text"))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(14)) === 0)
-          .select((col("doc_id") + 5000000L).as("doc_id"),
-            regexp_replace(col("text"), "^\\s*\\S+\\s*", "").as("text")))
-      Dedup.prefixJaccardPairs(corpus, "doc_id", "text", threshold = 0.9)
+      Dedup.prefixJaccardPairs(prefixCorpus(s, dir), "doc_id", "text",
+          threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
     "dedup_prefix_collapsed" -> ((s, dir) => {

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
 
 /** sf1.0-shaped stress check: synthesize a `factor`× (default 10×)
   * replica of the scale-bearing tables from an existing sf dir, run
@@ -65,6 +66,13 @@ object Stress {
     spark.read.parquet(s"$outDir/lineitem.parquet").count()
 
     val all = SparkEntry.queries
+    // optional regex filter (unanchored find) for targeted iteration;
+    // output stays in the STRESS_local.json format but only covers the
+    // matching subset — don't overwrite a full artifact with one
+    val stressNames = sys.env.get("SPARK_GRAFT_STRESS_FILTER") match {
+      case Some(re) => StressQueries.filter(re.r.findFirstIn(_).isDefined)
+      case None => StressQueries
+    }
     // min-of-reps like Bench: a single-shot measurement charges one
     // query with codegen compilation + page-cache warmup, and at stress
     // scale that first-run tax reached 2-6× on unlucky queries —
@@ -72,7 +80,7 @@ object Stress {
     // is the steady-state number a long-lived cluster actually sees.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "2").toInt)
-    val results = StressQueries.map { name =>
+    val results = stressNames.map { name =>
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         // record output ROWS too: several operators (exact-threshold
@@ -126,7 +134,24 @@ object Stress {
         perRow.map(r => ",\"per_row_x\":" + f"$r%.3f").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs}"""
+    // candidate-volume audit for the output-sensitive prefix join: the
+    // candidates/pairs ratio is the number that says whether the
+    // CANDIDATE JOIN (a plan property) or the irreducible output is
+    // the cost at scale — recorded at both scales so the claim in the
+    // artifact is checkable, not asserted
+    val aux =
+      if (!stressNames.contains("dedup_prefix")) ""
+      else try {
+        val cs = Dedup.prefixJaccardCandidatePairs(
+          SparkEntry.prefixCorpus(spark, outDir), "doc_id", "text", 0.9).count()
+        val cb = Dedup.prefixJaccardCandidatePairs(
+          SparkEntry.prefixCorpus(spark, srcDir), "doc_id", "text", 0.9).count()
+        s""","aux":{"dedup_prefix_candidates":$cs,"dedup_prefix_candidates_base":$cb}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[stress] candidate audit failed: ${e.getMessage}")
+        ""
+      }
+    val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/STRESS_local.json"),

@@ -132,9 +132,98 @@ object Dedup {
     */
   def prefixJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame =
-    prefixPairsImpl(docs, idCol, textCol, threshold,
-      pairCond = (pa, pb) => col(s"$pa.$idCol") < col(s"$pb.$idCol"))
+      threshold: Double): DataFrame = {
+    val cand = prefixJaccardCandidatePairs(docs, idCol, textCol, threshold)
+    val sets = docs.select(col(idCol),
+      graft.functions.tokenSet(TextAnalysis.tokens(col(textCol))).as("__set"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")),
+        Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")),
+        Seq("id_b"))
+      .withColumn("jaccard", jaccardSorted(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The candidate stage of [[prefixJaccardPairs]], exposed on its own
+    * so candidate volume is AUDITABLE (the stress harness records
+    * candidate counts next to pair counts — the number that says
+    * whether the join, or the irreducible output, is the cost) and
+    * usable as a recall-free blocking stage in its own right.
+    * Returns (id_a, id_b) with id_a < id_b — a superset of the
+    * qualifying pairs by the pigeonhole/PPJoin theorems. */
+  def prefixJaccardCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "prefixJaccardPairs: threshold must be in (0, 1]")
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val prefix = rankedPrefix(toks, idCol, dfreq, threshold, "inner")
+      .select(col(idCol), col("__tok"), col("__r"), col("__sz"))
+    // NEAR-IDENTICAL-PREFIX GROUPING — the template-flood guard the
+    // exact-dup collapse ([[prefixJaccardPairsCollapsed]]) cannot
+    // provide: replica corpora differ by a suffix token, so their full
+    // token sets differ but their (size, ranked-prefix set) is
+    // IDENTICAL — and every candidate filter (prefix share, length,
+    // positional, index-prefix) reads ONLY (prefix tokens, ranks,
+    // size). Members of a prefix-group are therefore interchangeable
+    // in the candidate join: run it on one representative per group
+    // and expand rep-pairs to member-pairs afterward. A flood of m
+    // near-identical templates costs the join ONE row instead of m —
+    // the measured 10× stress cost was exactly this join (7.2M
+    // candidate rows for 1.25M pairs); verification work stays
+    // per-pair, which is output-bound and irreducible for an exact
+    // join. Exactness: filters agree between a member pair and its
+    // rep pair (identical (r, sz) profiles); within-group pairs share
+    // their rank-1 prefix token, which passes every filter at any
+    // t ≤ 1, so emitting them unconditionally matches the ungrouped
+    // join. The group key is the 128-bit md5 of (size, sorted prefix
+    // tokens) — same birthday-bound argument as the exact collapse.
+    val sig = prefix.groupBy(col(idCol), col("__sz"))
+      .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
+      .select(col(idCol), md5(concat_ws(" ",
+        col("__sz").cast("string"), array_join(col("__pt"), " "))
+        .cast("binary")).as("__g"))
+    val memb = sig.join(
+      sig.groupBy(col("__g")).agg(min(col(idCol)).as("__rep")), Seq("__g"))
+      .select(col("__rep"), col(idCol))
+    val repPrefix = prefix.join(
+      memb.filter(col("__rep") === col(idCol)).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val sa = col("pa.__sz"); val sb = col("pb.__sz")
+    val idxFrac = 2.0 * threshold / (1.0 + threshold)
+    def idxPrefixOk(r: Column, sz: Column): Column =
+      r <= sz - ceil(lit(idxFrac) * sz - lit(1e-9)) + 1
+    val candRep = repPrefix.as("pa")
+      .join(repPrefix.as("pb"), col("pa.__tok") === col("pb.__tok") &&
+        col(s"pa.$idCol") < col(s"pb.$idCol") &&
+        least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb) - lit(1e-9) &&
+        (lit(1) + least(sa - col("pa.__r"), sb - col("pb.__r"))).cast("double") >=
+          lit(threshold / (1.0 + threshold)) * (sa + sb) - lit(1e-9) &&
+        when(sa < sb || (sa === sb && col(s"pa.$idCol") < col(s"pb.$idCol")),
+          idxPrefixOk(col("pa.__r"), sa))
+          .otherwise(idxPrefixOk(col("pb.__r"), sb)))
+      .select(col(s"pa.$idCol").as("__ra"), col(s"pb.$idCol").as("__rb"))
+      .distinct()
+    // rep-pairs → member-pairs (a member belongs to exactly one group,
+    // so the expansion cannot mint duplicates); within-group pairs are
+    // all candidates by the rank-1 shared-token argument above
+    val cross = candRep
+      .join(memb.select(col("__rep").as("__ra"), col(idCol).as("__ia")),
+        Seq("__ra"))
+      .join(memb.select(col("__rep").as("__rb"), col(idCol).as("__ib")),
+        Seq("__rb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+    val within = memb.as("ma")
+      .join(memb.as("mb"), col("ma.__rep") === col("mb.__rep") &&
+        col(s"ma.$idCol") < col(s"mb.$idCol"))
+      .select(col(s"ma.$idCol").as("id_a"), col(s"mb.$idCol").as("id_b"))
+    cross.unionByName(within)
+  }
 
   /** Incremental (batch-vs-corpus) exact jaccard-threshold join: every
     * (corpus doc, batch doc) pair with token-set jaccard ≥ `threshold`
