@@ -2635,6 +2635,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_semdedup_lsh" -> ((s, dir) => {
+      // the fully LINEAR SemDeDup: LSH hyperplane shard routing
+      // (bits = ⌈log2⌈n/shardTarget⌉⌉ from one count — O(bits) per
+      // row, vs IVF's n·nlist) + the same per-shard joined Lloyd.
+      // shardTarget 128 keeps several LSH bits live at the oracle
+      // gate scales so the routing is genuinely exercised
+      // cross-engine (sf0.01 → 3 bits, sf0.1 → 5).
+      val dbl = (c: Column) => c.cast("array<double>")
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+      val planted = embeddings(s, dir).filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(dbl(col("embedding")), x => x + lit(0.01)).as("embedding"))
+      Vec.semDedupLsh(e.unionByName(planted), "vec_id", "embedding",
+          dim = 64, iters = 2, threshold = 0.99, shardTarget = 128,
+          targetCellSize = 64, kMin = 2, kMax = 4096, seed = 7L)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "embed_kmeans" -> ((s, dir) =>
       // deterministic distributed Lloyd k-means (k=8, 2 update
       // rounds): the oracle unrolls both iterations in SQL with the
@@ -2935,6 +2954,90 @@ object SparkEntry {
        |    SELECT vec_id, cl, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
        |    FROM d2$j) WHERE rk = 1)""".stripMargin
+  }
+
+  /** `dedup_semdedup_lsh` replayed in SQL. The hyperplanes are the
+    * ENGINE'S OWN seeded constants rendered as literals (Double
+    * round-trips exactly through toString → SQL parse), inlined at a
+    * maximal 12 planes and masked by the count-derived bit count —
+    * sound because the plane stream is prefix-stable in `bits`
+    * (Similarity.hyperplanes). 12 planes cover corpora to
+    * 128·2^12 ≈ 524k rows, far past any oracle-gate scale. The sign
+    * test and every distance are the engines' shared left-to-right
+    * double folds; tier 2 is the same joined-Lloyd replay as
+    * `dedup_semdedup_sharded` plus the kMax=4096 clamp. */
+  private lazy val LshSemDedupOracle: String = {
+    val planes = graft.pipeline.Similarity.hyperplanes(64, 1, 12, 7L)(0)
+    val planeRows = planes.zipWithIndex.map { case (h, b) =>
+      s"  ($b, [${h.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+       |  FROM e WHERE vec_id < 25),
+       |x0 AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+       |nb AS (
+       |  SELECT CASE WHEN x <= 1 THEN 0
+       |         ELSE least(24, length(bin(x - 1))) END AS bits
+       |  FROM (SELECT (count(*) + 127) // 128 AS x FROM x0)),
+       |pl AS (SELECT * FROM (VALUES
+       |$planeRows) AS t(b, pv)),
+       |sh0 AS (
+       |  SELECT x0.vec_id,
+       |    sum(CASE WHEN pl.b < nb.bits AND
+       |      list_reduce(list_transform(list_zip(x0.v, pl.pv),
+       |        q -> q[1] * q[2]), (a, b2) -> a + b2) > 0
+       |      THEN (1::BIGINT << pl.b) ELSE 0 END) AS sh
+       |  FROM x0 CROSS JOIN pl CROSS JOIN nb
+       |  GROUP BY x0.vec_id),
+       |xs AS (
+       |  SELECT s.sh, x.vec_id, x.v,
+       |    least(4096, greatest(2,
+       |      CAST((count(1) OVER (PARTITION BY s.sh) + 63) // 64
+       |        AS INTEGER))) AS k,
+       |    row_number() OVER (PARTITION BY s.sh ORDER BY x.vec_id) AS rn
+       |  FROM sh0 s JOIN x0 x USING (vec_id)),
+       |c0 AS (
+       |  SELECT sh, CAST(rn - 1 AS INTEGER) AS cl, v AS cv
+       |  FROM xs WHERE rn <= k),
+       |d1 AS (
+       |  SELECT xs.sh, xs.vec_id, c0.cl,
+       |    list_reduce(list_transform(list_zip(xs.v, c0.cv),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+       |  FROM xs JOIN c0 ON c0.sh = xs.sh),
+       |a1 AS (
+       |  SELECT sh, vec_id, cl FROM (
+       |    SELECT sh, vec_id, cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+       |    FROM d1) WHERE rk = 1),
+       |u AS (SELECT vec_id, unnest(v) AS el, generate_subscripts(v, 1) AS i
+       |  FROM x0),
+       |m1 AS (
+       |  SELECT a1.sh, a1.cl, u.i, round(avg(u.el), 6) AS c
+       |  FROM a1 JOIN u USING (vec_id) GROUP BY a1.sh, a1.cl, u.i),
+       |c1 AS (SELECT sh, cl, list(c ORDER BY i) AS cv FROM m1 GROUP BY sh, cl),
+       |d2 AS (
+       |  SELECT xs.sh, xs.vec_id, c1.cl,
+       |    list_reduce(list_transform(list_zip(xs.v, c1.cv),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+       |  FROM xs JOIN c1 ON c1.sh = xs.sh),
+       |a2 AS (
+       |  SELECT sh, vec_id, cl FROM (
+       |    SELECT sh, vec_id, cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+       |    FROM d2) WHERE rk = 1),
+       |p AS (
+       |  SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
+       |    list_dot_product(xa.v, xb.v) /
+       |      (sqrt(list_dot_product(xa.v, xa.v)) *
+       |       sqrt(list_dot_product(xb.v, xb.v))) AS cos_raw
+       |  FROM a2 aa JOIN a2 ab ON aa.sh = ab.sh AND aa.cl = ab.cl
+       |    AND aa.vec_id < ab.vec_id
+       |  JOIN x0 xa ON xa.vec_id = aa.vec_id
+       |  JOIN x0 xb ON xb.vec_id = ab.vec_id)
+       |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM p
+       |WHERE cos_raw >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Full IVF-flat index replayed in SQL (shared by `sim_ivf` and
@@ -5163,6 +5266,7 @@ object SparkEntry {
     // (integer floor division) → lowest-id seeds → one 6-dp-rounded
     // joined-Lloyd update → (shard, cell)-local cosine pairs. Every
     // float fold is the engines' shared left-to-right double sum.
+    "dedup_semdedup_lsh" -> LshSemDedupOracle,
     "dedup_semdedup_sharded" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |planted AS (

@@ -151,7 +151,37 @@ object Stress {
         System.err.println(s"[stress] candidate audit failed: ${e.getMessage}")
         ""
       }
-    val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux}"""
+    // dedicated scaling check for LSH-sharded SemDeDup at corpus sizes
+    // BEYOND the flat path's 4096-cell ceiling (~260k rows) — the
+    // replica tables never reach that size, so this synthesizes its
+    // own deterministic corpus. SPARK_GRAFT_STRESS_SEMDEDUP="30000,
+    // 300000" times both sizes (min of 2 reps) and records the 10×
+    // time ratio vs linear. Vectors are id-hash pseudo-random (dim
+    // 32); with shardTarget 4096 the big corpus runs ~128 LSH shards
+    // of ~37 clusters each — every stage bounded per row by the
+    // (shardTarget, targetCellSize) constants, which is the claim
+    // under test.
+    val semAux = sys.env.get("SPARK_GRAFT_STRESS_SEMDEDUP").map { spec =>
+      val parts = spec.split(",").map(_.trim.toLong)
+      val (nSmall, nBig) = (parts(0), parts(1))
+      def synth(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(31)),
+          i => (pmod(xxhash64(col("id") * 32 + i), lit(2000L)) - 1000L) / 1000.0)
+          .as("embedding"))
+      def run(n: Long): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.pipeline.Vec.semDedupLsh(synth(n), "vec_id", "embedding",
+          dim = 32, iters = 2, threshold = 0.999, shardTarget = 4096).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val ts = run(nSmall); val tb = run(nBig)
+      val x = tb / (ts * (nBig.toDouble / nSmall))
+      println(f"[stress] semdedup_lsh scaling: $nSmall -> $ts%.2f s, " +
+        f"$nBig -> $tb%.2f s, x_vs_linear $x%.3f")
+      s""","aux_semdedup_lsh":{"n_small":$nSmall,"sec_small":$ts,"n_big":$nBig,"sec_big":$tb,"x_vs_linear":${f"$x%.3f"}}"""
+    }.getOrElse("")
+    val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/STRESS_local.json"),

@@ -116,8 +116,14 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `tables` × `bitsPerTable` unit
-    * gaussians of dimension `dim`, seeded. */
-  private[pipeline] def hyperplanes(
+    * gaussians of dimension `dim`, seeded. PREFIX-STABLE in
+    * `bitsPerTable` for a fixed (dim, seed): planes draw sequentially
+    * from the seeded stream, so the first b planes of a larger set
+    * equal the b-plane set — which lets an oracle inline a maximal
+    * plane matrix and mask by a data-derived bit count
+    * ([[Vec.semDedupLsh]]). Widened to `private[graft]` so the oracle
+    * generator can render the same literals. */
+  private[graft] def hyperplanes(
       dim: Int, tables: Int, bitsPerTable: Int, seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))

@@ -511,18 +511,96 @@ object Vec {
       targetCellSize: Int = 64, kMin: Int = 2): org.apache.spark.sql.DataFrame = {
     require(nlist >= 1 && iters >= 1 && targetCellSize >= 1 && kMin >= 1,
       "semDedupSharded: nlist/iters/targetCellSize/kMin >= 1")
-    val W = org.apache.spark.sql.expressions.Window
     val x0 = df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
     // tier 1: IVF shard routing (deterministic, literal centroids)
     val shardCents = Similarity.ivfCentroids(x0, "__id", "__v", nlist)
     val sharded = Similarity.ivfAssign(x0, "__v", shardCents)
-      .withColumnRenamed("cell", "__sh")
+      .select(col("cell").cast("long").as("__sh"), col("__id"), col("__v"))
+    shardedLloydPairs(sharded, iters, threshold, targetCellSize, kMin)
+  }
+
+  /** LSH-sharded SemDeDup — the fully LINEAR composition. The IVF
+    * routing of [[semDedupSharded]] costs n·nlist distance evaluations
+    * at tier 1: constant-factor at a fixed index config, but nlist
+    * must grow with the corpus to keep shards bounded, and n·nlist
+    * then bends superlinear. Here tier 1 is random-hyperplane LSH: the
+    * shard key is the sign pattern of `bits` fixed projections —
+    * O(bits·dim) per row with `bits = ⌈log2(⌈n/shardTarget⌉)⌉`
+    * derived from ONE count, so routing cost grows only
+    * logarithmically while expected shard population stays at
+    * `shardTarget`. With tier 2's count-derived per-shard k (capped at
+    * `kMax`, oversized cells subdivided), every stage is O(n·const):
+    * nothing in the whole composition is model-sized or superlinear in
+    * the corpus — this is the operator to reach for at 10^9+ rows.
+    *
+    * Recall price vs IVF routing: a near-dup pair split by some
+    * hyperplane is missed; for pairs at cosine ≥ 0.99 the per-plane
+    * split probability is θ/π ≤ 0.045, so at the bits this sizing
+    * yields (e.g. 16 shards → 4 bits → ≥ 0.83 pair-recall worst-case,
+    * far higher for the ≈1.0-cosine near-dups dedup targets). The
+    * planted-pair recall law is asserted in the test suite.
+    *
+    * Deterministic and SQL-replayable end to end: the hyperplanes are
+    * seeded constants (prefix-stable in `bits`, so an oracle can
+    * inline a maximal plane set and mask by the count-derived bits),
+    * the sign test is the shared left-to-right dot fold vs 0, and
+    * tier 2 is [[shardedLloydPairs]]' bit-stable loop. */
+  def semDedupLsh(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      iters: Int, threshold: Double,
+      shardTarget: Int = 4096, targetCellSize: Int = 64,
+      kMin: Int = 2, kMax: Int = 4096,
+      seed: Long = 7L): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1 && shardTarget >= 1 && targetCellSize >= 1 &&
+      kMin >= 1 && kMax >= kMin,
+      "semDedupLsh: iters/shardTarget/targetCellSize/kMin >= 1, kMax >= kMin")
+    val x0 = df.select(col(idCol).as("__id"), d(col(vecCol)).as("__v"))
+    // ONE metadata-cheap count sizes the shard space; 24 bits (16M
+    // shards) is far past any shardTarget-bounded need
+    val n = x0.count()
+    val groups = (n + shardTarget - 1) / shardTarget
+    val bits = math.min(24,
+      if (groups <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(groups - 1))
+    val sharded =
+      if (bits == 0) x0.select(lit(0L).as("__sh"), col("__id"), col("__v"))
+      else {
+        val planes = Similarity.hyperplanes(dim, 1, bits, seed)(0)
+        val key = planes.toIndexedSeq.zipWithIndex
+          .map { case (h, b) => signBit(col("__v"), h) * (1L << b) }
+          .reduce(_ + _)
+        x0.select(key.as("__sh"), col("__id"), col("__v"))
+      }
+    shardedLloydPairs(sharded, iters, threshold, targetCellSize, kMin, kMax)
+  }
+
+  /** Shared tier 2+3 of the sharded SemDeDup family: per-shard joined
+    * Lloyd (k from the shard count, capped at `kMax`), oversized-cell
+    * subdivision, within-cell cosine pairs. Input: (`__sh`, `__id`,
+    * `__v`). The centroid table lives in a DataFrame keyed by shard —
+    * never collected; each round's update is localCheckpoint'd
+    * (aggregate-sized: ≤ corpus/targetCellSize rows). The subdivision
+    * guard mirrors [[semDedupPairs]]': cells beyond 16× the target
+    * (an identical-vector flood Lloyd cannot split, or a kMax-capped
+    * dense shard) split deterministically by id hash into target-sized
+    * sub-cells — pair work stays linear, recall inside the cell
+    * degrades gracefully, nothing is dropped. Like the flat operator,
+    * the subdivision has no SQL twin (xxhash64) and cannot trigger at
+    * oracle-gate corpus sizes (it needs a >16·targetCellSize cell). */
+  private def shardedLloydPairs(
+      sharded: org.apache.spark.sql.DataFrame,
+      iters: Int, threshold: Double,
+      targetCellSize: Int, kMin: Int,
+      kMax: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     // per-shard k and seed ranks — both windows share one hash
     // partitioning on the shard key (a single exchange)
     val xs = sharded
       .withColumn("__k", expr(
-        s"greatest($kMin, CAST((count(1) OVER (PARTITION BY __sh) + " +
-          s"${targetCellSize - 1}) DIV $targetCellSize AS INT))"))
+        s"least($kMax, greatest($kMin, " +
+          s"CAST((count(1) OVER (PARTITION BY __sh) + " +
+          s"${targetCellSize - 1}) DIV $targetCellSize AS INT)))"))
       .withColumn("__rn",
         row_number().over(W.partitionBy("__sh").orderBy("__id")))
     // joined assignment: x ⋈ centroids on shard, lexicographic
@@ -553,7 +631,19 @@ object Vec {
           _.getField("__c")).as("__cv"))
         // aggregate-sized (Σk rows): lineage cap, not a data spill
         .localCheckpoint(true)
+    // oversized-cell subdivision (the semDedupPairs guard, one tier
+    // down): sub-cell id spacing 2^40 is collision-free below 2^40
+    // rows per cell; cells ≤ the 16× cap keep sub-key 0
+    val cap = 16L * targetCellSize
     val fin = assign(cents)
+      .withColumn("__cn", count(lit(1)).over(
+        W.partitionBy(col("__sh"), col("__cl"))))
+      .withColumn("__cl",
+        when(col("__cn") <= cap, col("__cl").cast("long") * (1L << 40))
+          .otherwise(col("__cl").cast("long") * (1L << 40) +
+            pmod(xxhash64(col("__id")),
+              ceil(col("__cn") / targetCellSize).cast("long"))))
+      .drop("__cn")
     val a = fin.select(col("__sh"), col("__cl"), col("__id").as("id_a"),
       col("__v").as("__va"))
     val b = fin.select(col("__sh"), col("__cl"), col("__id").as("id_b"),

@@ -373,6 +373,69 @@ class SimilaritySpec extends SparkSpec {
       s"per-shard k did not grow with the shard (quadratic blowup): $n")
   }
 
+  test("semDedupLsh: planted near-identical twins pair through the LSH hierarchy") {
+    // 600 vectors in 3 directions (forces bits = ceil(log2(600/128))
+    // = 3 → 8 live shards) + a near-identical twin per direction;
+    // same-direction vectors share every hyperplane sign with their
+    // twin at cosine ≈ 1, so twins co-shard and must pair
+    val base = (0 until 600).map { i =>
+      val g = i % 3
+      val v = Array.fill(8)(0.0002f * (i / 3))
+      v(g) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val twins = (0 until 3).map { g =>
+      val v = Array.fill(8)(0.0f); v(g) = 0.9999f; v(g + 3) = 0.0001f
+      (5000L + g, v.toSeq)
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = Vec.semDedupLsh(df, "vec_id", "embedding", dim = 8,
+        iters = 2, threshold = 0.999, shardTarget = 128,
+        targetCellSize = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 3).foreach { g =>
+      assert(pairs.exists { case (a, b) => a == 5000L + g || b == 5000L + g },
+        s"twin $g lost through LSH routing: ${pairs.size} pairs")
+    }
+    // same-direction base vectors are legitimately near-identical, so
+    // output is bounded by the 3 within-direction cliques (≤ 3·C(201,2)
+    // = 60 300) — NOT the 181k all-pairs; cross-direction pairs must
+    // never survive
+    assert(pairs.size <= 60300, s"pairs escaped their direction: ${pairs.size}")
+    assert(!pairs.exists { case (a, b) =>
+      a < 600 && b < 600 && a % 3 != b % 3 }, "cross-direction pair leaked")
+    // deterministic end to end (seeded planes, bit-stable Lloyd)
+    val again = Vec.semDedupLsh(df, "vec_id", "embedding", dim = 8,
+        iters = 2, threshold = 0.999, shardTarget = 128,
+        targetCellSize = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
+
+  test("semDedupLsh: a small corpus degenerates to one shard (bits = 0)") {
+    // n <= shardTarget → zero hyperplanes → single shard → identical
+    // semantics to the unsharded joined Lloyd; pairs must still emerge
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.001f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.001f, 0.999f))).toDF("vec_id", "embedding")
+    val pairs = Vec.semDedupLsh(df, "vec_id", "embedding", dim = 2,
+        iters = 2, threshold = 0.99, shardTarget = 4096)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+  }
+
+  test("semDedupLsh: identical-vector flood subdivides instead of exploding") {
+    // 2000 identical vectors land in ONE shard and ONE Lloyd cell
+    // (> 16×target): the id-hash subdivision must bound pair work to
+    // ~target-sized sub-cells — linear, not 2000²/2 ≈ 2M pairs
+    val flood = (0 until 2000).map(i => (i.toLong, Seq(1.0f, 0.0f, 0.0f)))
+    val n = Vec.semDedupLsh(flood.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 3, iters = 1, threshold = 0.99,
+        shardTarget = 4096, targetCellSize = 32).count()
+    assert(n > 0, "subdivision must keep within-sub-cell pairs")
+    assert(n < 200000, s"flood pair work must stay ~linear: $n")
+  }
+
   test("pqEncode: per-subspace codes recover the planted block structure") {
     // subspace 0 (dims 1-2) separates {1,2} from {3,4}; subspace 1
     // (dims 3-4) separates them the other way — codes must disagree
