@@ -58,20 +58,32 @@ object SparkEntry {
     p.toString
   }
 
+  /** The file-stream source wants a DIRECTORY of files. The driver
+    * fixture ships a single parquet FILE (exposed through a stable,
+    * re-pointed symlink dir); a Spark-written table (the stress
+    * replicas) is already a directory — symlinking the directory
+    * itself would list zero files (the source does not follow nested
+    * dirs), the bug that silently zeroed every streaming query on
+    * replica corpora. */
+  private def streamPath(dir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else {
+      val tmp = java.nio.file.Paths.get(scratch(s"stream_$table"))
+      val link = tmp.resolve(s"$table.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, src)
+      tmp.toString
+    }
+  }
+
   /** Streaming twin of [[events]]: the same table as a file-source
     * stream (schema from a batch peek; nanos→micros conversion
     * identical). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source wants a DIRECTORY; the fixture is a single
-    // file — expose it through a (stable, re-pointed) symlink dir
-    val tmp = java.nio.file.Paths.get(scratch("stream_events"))
-    val link = tmp.resolve("events.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    adaptTs(s.readStream.schema(schema).parquet(tmp.toString))
+    adaptTs(s.readStream.schema(schema).parquet(streamPath(dir, "events")))
   }
 
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -82,14 +94,9 @@ object SparkEntry {
     * drain-everything AvailableNow checks). */
   private def documentsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val tmp = java.nio.file.Paths.get(scratch("stream_documents"))
-    val link = tmp.resolve("documents.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
     // +1 day: a row AT epoch 0 sits exactly on the stream's initial
     // watermark and dropDuplicatesWithinWatermark expires it as late
-    s.readStream.schema(schema).parquet(tmp.toString)
+    s.readStream.schema(schema).parquet(streamPath(dir, "documents"))
       .withColumn("ts",
         timestamp_seconds(pmod(col("doc_id"), lit(3600)) + 86400L))
   }

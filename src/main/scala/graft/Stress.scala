@@ -22,9 +22,18 @@ import graft.pipeline.Dedup
 object Stress {
 
   /** Scale-critical subset: every family with a shuffle/join/window
-    * whose behavior could bend super-linearly. Streaming queries are
-    * excluded (micro-batch fixed cost dominates at toy scale). */
+    * whose behavior could bend super-linearly. The STATEFUL streaming
+    * queries are included (sessionization, PSI, anomaly, dedup,
+    * decontam, top-k): state-size bugs — state growing with stream
+    * length instead of with keys-per-watermark-window — only surface
+    * when the drained volume grows, and the 10× replica's denser
+    * event series is exactly that growth mode. Micro-batch fixed cost
+    * still dominates their small-scale numbers, which INFLATES
+    * x_vs_linear denominators' fairness (fixed cost amortizes at 10×),
+    * so a stateful leak would show as x_vs_linear ≫ 1, not hide. */
   private val StressQueries = Seq(
+    "stream_session_native", "stream_sessionize", "stream_psi",
+    "stream_anomaly", "stream_dedup", "stream_decontam", "stream_topk",
     "q1_agg", "q3_join", "q5_region_join", "q6_filter_agg", "q17_small_qty",
     "dedup_exact", "dedup_minhash", "dedup_prefix", "dedup_ngram",
     "dedup_clusters", "dedup_embed",
