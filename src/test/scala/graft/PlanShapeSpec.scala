@@ -279,6 +279,26 @@ class PlanShapeSpec extends SparkSpec {
       s"within-cell join must be an equi-join on cell:\n$p")
   }
 
+  test("sharded semdedup: assignment and pairs stay shard-keyed, never all-pairs") {
+    // the joined Lloyd's assignment is an equi-join on the shard key
+    // and the pair stage an equi-join on (shard, cell) — a cartesian
+    // anywhere here is the quadratic failure the hierarchy exists to
+    // prevent
+    Seq("dedup_semdedup_sharded", "dedup_semdedup_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay keyed:\n$p")
+    }
+  }
+
+  test("prefix join: candidate generation is token/group-keyed, never cartesian") {
+    val p = plan("dedup_prefix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidates must come from equi-joins:\n$p")
+  }
+
   test("pq encoding is one scan-bound projection: no shuffle but the oracle sort") {
     // all m codebooks are plan literals; codes + reconstruction error
     // must come out of a single pass with no exchange of the corpus
