@@ -2963,6 +2963,180 @@ object SparkEntry {
        |    FROM d2$j) WHERE rk = 1)""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.functions.Fnv64Expr]]: FNV-1a 64 of a
+    * string expression as a signed BIGINT, via a list_reduce fold in
+    * 128-bit arithmetic mod 2^64 (the xor rides on the low byte only,
+    * so BIGINT xor suffices). `ord`/`substr` walk CHARACTERS while the
+    * engine hashes UTF-8 BYTES — identical on the all-ASCII fixtures
+    * (asserted: zero multi-byte docs at both gate scales); the engine
+    * itself is byte-correct for any input. */
+  private def fnvSql(e: String): String =
+    s"""(SELECT CASE WHEN u_ >= 9223372036854775808::HUGEINT
+       |      THEN (u_ - 18446744073709551616::HUGEINT)::BIGINT
+       |      ELSE u_::BIGINT END
+       |   FROM (SELECT list_reduce(
+       |     list_prepend(14695981039346656037::HUGEINT,
+       |       list_transform(range(1, length($e) + 1),
+       |         i_ -> ord(substr($e, i_, 1))::HUGEINT)),
+       |     (h_, b_) -> ((h_ - (h_ % 256)) +
+       |        xor((h_ % 256)::BIGINT, b_::BIGINT)::HUGEINT)
+       |       * 1099511628211::HUGEINT
+       |       % 18446744073709551616::HUGEINT) AS u_))""".stripMargin
+
+  /** `text_fingerprint` replayed in SQL: per-token FNV reduced into
+    * the 2^57 prime field, then the order-sensitive polynomial fold —
+    * all BIGINT-safe by the 31·p < 2^63 design. */
+  private lazy val FingerprintOracle: String = {
+    val P = 144115188075855859L
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, r.i AS pos, ts[r.i] AS t
+       |  FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)),
+       |th AS (
+       |  SELECT doc_id, pos, ((${fnvSql("t")} % $P) + $P) % $P AS hp
+       |  FROM tf),
+       |agg AS (SELECT doc_id, list(hp ORDER BY pos) AS hs FROM th GROUP BY doc_id)
+       |SELECT t0.doc_id,
+       |  coalesce(list_reduce(list_prepend(0::BIGINT, a.hs),
+       |    (acc, v) -> (acc * 31 + v) % $P), 0) AS fp
+       |FROM tok t0 LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** `text_winnow` replayed in SQL: k-gram FNV hashes over the
+    * whitespace-collapsed lowercased text, the rightmost-minimum of
+    * every w-window (row_number ORDER BY hash ASC, pos DESC — exactly
+    * the kernel's `<=` update rule), distinct selected values counted.
+    * Window membership is a bounded range join (w = 4 grams). */
+  private lazy val WinnowOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |meta AS (
+       |  SELECT doc_id, norm, length(norm) AS n,
+       |    CASE WHEN length(norm) < 5 THEN 1 ELSE length(norm) - 5 + 1 END AS ng,
+       |    least(5, length(norm)) AS kk
+       |  FROM d WHERE length(norm) > 0),
+       |grams AS (
+       |  SELECT doc_id, r.i AS pos,
+       |    ${fnvSql("substr(norm, r.i + 1, kk)")} AS h
+       |  FROM meta, UNNEST(range(0, ng)) AS r(i)),
+       |wins AS (
+       |  SELECT doc_id, r.j AS j
+       |  FROM meta, UNNEST(range(0, greatest(ng - 4 + 1, 1))) AS r(j)),
+       |sel AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT g.doc_id, w.j, g.h,
+       |      row_number() OVER (PARTITION BY g.doc_id, w.j
+       |        ORDER BY g.h ASC, g.pos DESC) AS rk
+       |    FROM grams g JOIN wins w
+       |      ON w.doc_id = g.doc_id AND g.pos BETWEEN w.j AND w.j + 3)
+       |  WHERE rk = 1),
+       |cnt AS (
+       |  SELECT doc_id, count(DISTINCT h) AS n_fingerprints
+       |  FROM sel GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(c.n_fingerprints, 0) AS n_fingerprints
+       |FROM d LEFT JOIN cnt c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** `dedup_simhash` replayed in SQL: per-token FNV, per-bit majority
+    * vote (+1/−1 per token, bit set when the count is positive),
+    * reassembled in 128-bit arithmetic and converted to the signed
+    * 64-bit value. Token multiplicity counts, exactly as the kernel
+    * iterates the raw token array. */
+  private lazy val SimHashOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, ts[r.i] AS t
+       |  FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)),
+       |th AS (SELECT doc_id, ${fnvSql("t")} AS f FROM tf),
+       |bits AS (
+       |  SELECT doc_id, b.b AS b,
+       |    sum(CASE WHEN (f >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, UNNEST(range(0, 64)) AS b(b) GROUP BY doc_id, b.b),
+       |acc AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+       |  FROM bits GROUP BY doc_id)
+       |SELECT t0.doc_id,
+       |  coalesce(CASE WHEN a.u >= 9223372036854775808::HUGEINT
+       |    THEN (a.u - 18446744073709551616::HUGEINT)::BIGINT
+       |    ELSE a.u::BIGINT END, 0) AS simhash
+       |FROM tok t0 LEFT JOIN acc a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The whole MinHash-LSH pipeline replayed in SQL: distinct 3-token
+    * shingles → FNV into the 2^31−1 Mersenne field → the engine's own
+    * seeded 128 affine permutations (rendered as literals) → min per
+    * permutation → 32 md5 band keys → capped bucket join → exact
+    * Jaccard over distinct full-64-bit shingle hashes. Every stage is
+    * integer arithmetic both engines compute identically. */
+  private lazy val MinHashOracle: String = {
+    val (as, bs) = graft.functions.MinHashSigExpr.params(128, 42L)
+    val abRows = as.indices.map(i => s"  (${i}, ${as(i)}, ${bs(i)})")
+      .mkString(",\n")
+    s"""WITH planted AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(
+       |      string_split_regex(trim(text), '\\s+')
+       |        [1:greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)],
+       |      ' ') AS text
+       |  FROM documents WHERE doc_id < 50),
+       |u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM planted),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+       |  FROM u),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[r.i:r.i+2], ' ') AS s
+       |  FROM tok, UNNEST(range(1, len(t) - 1)) AS r(i)),
+       |hp AS (
+       |  SELECT doc_id, s, f, ((f % 2147483647) + 2147483647) % 2147483647 AS hp
+       |  FROM (SELECT doc_id, s, ${fnvSql("s")} AS f FROM sh)),
+       |ab AS (SELECT * FROM (VALUES
+       |$abRows) AS t(i, a, b)),
+       |sig AS (
+       |  SELECT hp.doc_id, ab.i, min((ab.a * hp.hp + ab.b) % 2147483647) AS v
+       |  FROM hp CROSS JOIN ab GROUP BY hp.doc_id, ab.i),
+       |sigarr AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, r.b AS band,
+       |    md5(array_to_string(list_transform(sig[r.b*4+1:r.b*4+4],
+       |      x -> CAST(x AS VARCHAR)), ',')) AS bh
+       |  FROM sigarr, UNNEST(range(0, 32)) AS r(b)),
+       |capped AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 10000),
+       |cand AS (
+       |  SELECT DISTINCT ca.doc_id AS id_a, cb.doc_id AS id_b
+       |  FROM capped ca JOIN capped cb
+       |    ON ca.band = cb.band AND ca.bh = cb.bh AND ca.doc_id < cb.doc_id),
+       |ns AS (SELECT doc_id, count(DISTINCT f) AS n FROM hp GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(DISTINCT ha.f) AS ic
+       |  FROM cand c
+       |  JOIN hp ha ON ha.doc_id = c.id_a
+       |  JOIN hp hb ON hb.doc_id = c.id_b AND hb.f = ha.f
+       |  GROUP BY c.id_a, c.id_b),
+       |p AS (
+       |  SELECT i.id_a, i.id_b,
+       |    i.ic::DOUBLE / (na.n + nb.n - i.ic) AS jaccard
+       |  FROM inter i
+       |  JOIN ns na ON na.doc_id = i.id_a
+       |  JOIN ns nb ON nb.doc_id = i.id_b)
+       |SELECT id_a, id_b, jaccard FROM p
+       |WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** `dedup_semdedup_lsh` replayed in SQL. The hyperplanes are the
     * ENGINE'S OWN seeded constants rendered as literals (Double
     * round-trips exactly through toString → SQL parse), inlined at a
@@ -3047,6 +3221,54 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** `sim_ann` (random-hyperplane LSH top-k) replayed in SQL with the
+    * engine's own 8×6 plane matrix rendered as literals — the same
+    * technique as `dedup_semdedup_lsh`'s oracle: band keys are the
+    * sign pattern of seeded projections (shared left-to-right dot
+    * fold vs 0), candidates the distinct same-(table, key) pairs, and
+    * the exact cosine rank replays `sim_topk`'s arithmetic. */
+  private lazy val AnnOracle: String = {
+    val planes = graft.pipeline.Similarity.hyperplanes(64, 8, 6, 7L)
+    val planeRows = (for {
+      (tbl, ti) <- planes.zipWithIndex
+      (h, bi) <- tbl.zipWithIndex
+    } yield s"  ($ti, $bi, [${h.mkString(", ")}]::DOUBLE[])").mkString(",\n")
+    s"""WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pl AS (SELECT * FROM (VALUES
+       |$planeRows) AS t(ti, bi, pv)),
+       |bands AS (
+       |  SELECT x.vec_id, pl.ti,
+       |    sum(CASE WHEN list_reduce(list_transform(list_zip(x.v, pl.pv),
+       |        q -> q[1] * q[2]), (a, b) -> a + b) > 0
+       |      THEN (1::BIGINT << pl.bi) ELSE 0 END) AS bh
+       |  FROM x CROSS JOIN pl GROUP BY x.vec_id, pl.ti),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nbr_id
+       |  FROM (SELECT * FROM bands WHERE vec_id < 10) p
+       |  JOIN bands c ON c.ti = p.ti AND c.bh = p.bh
+       |  WHERE c.vec_id <> p.vec_id),
+       |xn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, e -> e * e),
+       |      (a, b) -> a + b)) AS nv
+       |  FROM x),
+       |scored AS (
+       |  SELECT cand.probe_id, cand.nbr_id,
+       |    CASE WHEN p.nv * n.nv > 0 THEN
+       |      list_reduce(list_transform(list_zip(p.v, n.v),
+       |        q -> q[1] * q[2]), (s, t) -> s + t) / (p.nv * n.nv)
+       |    ELSE 0.0 END AS cosine
+       |  FROM cand
+       |  JOIN xn p ON p.vec_id = cand.probe_id
+       |  JOIN xn n ON n.vec_id = cand.nbr_id)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id FROM (
+       |  SELECT probe_id, nbr_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, nbr_id) AS rank
+       |  FROM scored) WHERE rank <= 10
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** Full IVF-flat index replayed in SQL (shared by `sim_ivf` and
     * `sim_ivf_pruned` — the persisted layout changes the PLAN, not the
     * answer, so both oracles are the same text): the md5-keyed centroid
@@ -3105,12 +3327,17 @@ object SparkEntry {
       |ORDER BY probe_id, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the hash-family-dependent /
-    * approximate operators (dedup_minhash, dedup_simhash, sim_ann,
-    * text_fingerprint, mm_features) → driver records a rows-only
-    * check; those are locked down by the scalatest suite instead
-    * (recall vs brute force, cross-impl equality). */
+    * the same parquet tables. Omitted only for mm_features (JVM media
+    * decode by design) and s8_manifest (file-level op) → driver
+    * records a rows-only check; those are locked down by the
+    * scalatest suite instead. The entire FNV-1a hash family
+    * (fingerprint / winnow / simhash / minhash-LSH) IS replayed —
+    * see [[fnvSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_fingerprint" -> FingerprintOracle,
+    "text_winnow" -> WinnowOracle,
+    "dedup_minhash" -> MinHashOracle,
+    "dedup_simhash" -> SimHashOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -4999,6 +5226,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "sim_ivf" -> IvfFlatOracle,
     "sim_ivf_pruned" -> IvfFlatOracle,
+    "sim_ann" -> AnnOracle,
     "sim_topk" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv

@@ -58,6 +58,12 @@ package object functions {
     GraftColumnBridge.column(
       HashFeaturesExpr(GraftColumnBridge.expression(bin), dim))
 
+  /** FNV-1a 64 of a string column (native expression — see
+    * [[Fnv64Expr]]): the package's shared byte-fold hash as a scalar,
+    * chosen where an external engine must replay the hash exactly. */
+  def fnv64(s: Column): Column =
+    GraftColumnBridge.column(Fnv64Expr(GraftColumnBridge.expression(s)))
+
   /** Winnowing document fingerprints (MOSS; native expression — see
     * [[WinnowExpr]]): sorted distinct selected k-gram hashes, window
     * size `w`. Pairs with [[sortedIntersectCount]] for set overlap. */

@@ -439,13 +439,20 @@ object Dedup {
   // ------------------------------------------------------------- LSH bands
 
   /** Explode a signature into `bands` (bandIdx, bandHash) keys: docs
-    * sharing ANY band key are candidates. Output: idCol, band, bh. */
+    * sharing ANY band key are candidates. Output: idCol, band, bh.
+    * The band key is the md5 of the slice's comma-joined rendering —
+    * any injective-enough digest works for bucketing, and md5 is the
+    * one an external SQL engine can replay (the `xxhash64` it
+    * replaces kept `dedup_minhash` rows-only). */
   def bandsOf(df: DataFrame, idCol: String, sigCol: String,
       bands: Int, sigLen: Int): DataFrame = {
     require(sigLen % bands == 0, "bandsOf: bands must divide signature length")
     val r = sigLen / bands
     val keys = (0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(slice(col(sigCol), b * r + 1, r)).as("bh"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          transform(slice(col(sigCol), b * r + 1, r), _.cast("string")))
+          .cast("binary")).as("bh"))
     }
     df.select(col(idCol), explode(array(keys: _*)).as("__bk"))
       .select(col(idCol), col("__bk.band").as("band"), col("__bk.bh").as("bh"))

@@ -375,12 +375,16 @@ object TextAnalysis {
     * token hashes in a ~2^57 prime field (modular fold — no long
     * overflow under ANSI mode) — equal fingerprints ⇔ near-certainly
     * equal token sequences. Cheap exact dedup key that ignores
-    * whitespace differences. */
+    * whitespace differences. The token hash is the package's FNV-1a
+    * (not `xxhash64`): byte-fold arithmetic an external engine can
+    * replay, which is what gives `text_fingerprint` a full DuckDB
+    * oracle instead of a rows-only check. */
   private val FpPrime = 144115188075855859L // prime just below 2^57; 31·p < 2^63
 
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(FpPrime)), lit(FpPrime)))
+      (acc, t) => pmod(acc * 31L +
+        pmod(graft.functions.fnv64(t), lit(FpPrime)), lit(FpPrime)))
 
   /** Train the char-bigram LM of [[bigramCrossEntropy]] on `docs` as
     * THREE reusable model tables (all vocabulary-sized): per-bigram
