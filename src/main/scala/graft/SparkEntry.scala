@@ -2642,6 +2642,50 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_semdedup_prune" -> ((s, dir) => {
+      // the SemDeDup ACTION, not just the pair list: drop the higher
+      // id of every semantic near-dup pair, keep the rest — the
+      // pruned-corpus output a training pipeline actually consumes.
+      // Same pinned-k clustering as dedup_semdedup, so the oracle
+      // replays pairs exactly and prunes with an anti-join.
+      val dbl = (c: Column) => c.cast("array<double>")
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+      val planted = embeddings(s, dir).filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(dbl(col("embedding")), x => x + lit(0.01)).as("embedding"))
+      val corpus = e.unionByName(planted)
+      val pairs = Vec.semDedupPairs(corpus, "vec_id", "embedding",
+        k = 16, iters = 2, threshold = 0.99, targetCellSize = 0)
+      Dedup.dropNearDups(corpus, pairs, "vec_id")
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+    "cur_decontam_semantic" -> ((s, dir) => {
+      // SEMANTIC decontamination: the n-gram decontam family
+      // (cur_decontam*) misses paraphrases; this sweeps the corpus for
+      // vectors within cosine 0.98 of ANY benchmark embedding — the
+      // SemDeDup-style eval-leakage gate. Benchmark = every 50th
+      // vector; planted leaks = +0.01-shifted benchmark copies
+      // (cosine ≈ 0.997, above the bar; the natural corpus sits
+      // below). Scale shape: one corpus scan with the (small)
+      // benchmark set broadcast — radiusSearch's plan, corpus never
+      // shuffles. 6-dp round BEFORE the τ compare keeps the boundary
+      // cross-engine exact.
+      val dbl = (c: Column) => c.cast("array<double>")
+      val bench = embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+      val corpus = embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+        .unionByName(bench.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.01)).as("embedding")))
+      Similarity.radiusSearch(corpus, bench, "vec_id", "embedding",
+          tau = 0.98)
+        .select(col("nbr_id").as("corpus_id"), col("probe_id").as("bench_id"),
+          col("cosine"))
+        .orderBy("corpus_id", "bench_id")
+    }),
     "dedup_semdedup_lsh" -> ((s, dir) => {
       // the fully LINEAR SemDeDup: LSH hyperplane shard routing
       // (bits = ⌈log2⌈n/shardTarget⌉⌉ from one count — O(bits) per
@@ -2962,6 +3006,53 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
        |    FROM d2$j) WHERE rk = 1)""".stripMargin
   }
+
+  /** The pinned-k (k=16) SemDeDup replay — corpus fixture, both
+    * bit-stable Lloyd rounds, and the within-cell cosine pair table
+    * `p` — shared by `dedup_semdedup` (the pair list) and
+    * `dedup_semdedup_prune` (the anti-joined survivor corpus). */
+  private val SemDedupPinnedCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planted AS (
+      |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+      |  FROM e WHERE vec_id < 25),
+      |x AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+      |  FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT 16)),
+      |d1 AS (
+      |  SELECT x.vec_id, c0.cl,
+      |    list_reduce(list_transform(list_zip(x.v, c0.v),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+      |  FROM x CROSS JOIN c0),
+      |a1 AS (
+      |  SELECT vec_id, cl FROM (
+      |    SELECT vec_id, cl,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |u AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS i FROM x),
+      |m1 AS (
+      |  SELECT a1.cl, u.i, round(avg(u.e), 6) AS c
+      |  FROM a1 JOIN u USING (vec_id) GROUP BY a1.cl, u.i),
+      |c1 AS (SELECT cl, list(c ORDER BY i) AS v FROM m1 GROUP BY cl),
+      |d2 AS (
+      |  SELECT x.vec_id, c1.cl,
+      |    list_reduce(list_transform(list_zip(x.v, c1.v),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+      |  FROM x CROSS JOIN c1),
+      |a2 AS (
+      |  SELECT vec_id, cl FROM (
+      |    SELECT vec_id, cl,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |    FROM d2) WHERE rk = 1),
+      |p AS (
+      |  SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
+      |    list_dot_product(xa.v, xb.v) /
+      |      (sqrt(list_dot_product(xa.v, xa.v)) *
+      |       sqrt(list_dot_product(xb.v, xb.v))) AS cos_raw
+      |  FROM a2 aa JOIN a2 ab ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
+      |  JOIN x xa ON xa.vec_id = aa.vec_id
+      |  JOIN x xb ON xb.vec_id = ab.vec_id)""".stripMargin
 
   /** DuckDB twin of [[graft.functions.Fnv64Expr]]: FNV-1a 64 of a
     * string expression as a signed BIGINT, via a list_reduce fold in
@@ -5451,51 +5542,34 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     // replays the engine's exact clustering (same fold, same 6-dp
     // centroid rounding) on the planted union, then pairs within cells
-    "dedup_semdedup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |planted AS (
-        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
-        |  FROM e WHERE vec_id < 25),
-        |x AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
-        |c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
-        |  FROM (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT 16)),
-        |d1 AS (
-        |  SELECT x.vec_id, c0.cl,
-        |    list_reduce(list_transform(list_zip(x.v, c0.v),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
-        |  FROM x CROSS JOIN c0),
-        |a1 AS (
-        |  SELECT vec_id, cl FROM (
-        |    SELECT vec_id, cl,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-        |    FROM d1) WHERE rk = 1),
-        |u AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS i FROM x),
-        |m1 AS (
-        |  SELECT a1.cl, u.i, round(avg(u.e), 6) AS c
-        |  FROM a1 JOIN u USING (vec_id) GROUP BY a1.cl, u.i),
-        |c1 AS (SELECT cl, list(c ORDER BY i) AS v FROM m1 GROUP BY cl),
-        |d2 AS (
-        |  SELECT x.vec_id, c1.cl,
-        |    list_reduce(list_transform(list_zip(x.v, c1.v),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
-        |  FROM x CROSS JOIN c1),
-        |a2 AS (
-        |  SELECT vec_id, cl FROM (
-        |    SELECT vec_id, cl,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-        |    FROM d2) WHERE rk = 1),
-        |p AS (
-        |  SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
-        |    list_dot_product(xa.v, xb.v) /
-        |      (sqrt(list_dot_product(xa.v, xa.v)) *
-        |       sqrt(list_dot_product(xb.v, xb.v))) AS cos_raw
-        |  FROM a2 aa JOIN a2 ab ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
-        |  JOIN x xa ON xa.vec_id = aa.vec_id
-        |  JOIN x xb ON xb.vec_id = ab.vec_id)
+    "dedup_semdedup" -> (SemDedupPinnedCtes +
+      """
         |SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM p
         |WHERE cos_raw >= 0.99
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
+    // the prune ACTION over the identical pair replay: drop every id_b
+    // with a qualifying pair, keep the rest of the corpus
+    "dedup_semdedup_prune" -> (SemDedupPinnedCtes +
+      """
+        |SELECT vec_id FROM x
+        |WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_raw >= 0.99)
+        |ORDER BY vec_id""".stripMargin),
+    // sim_radius's replay against the benchmark fixture: 6-dp round
+    // before the τ compare on both engines
+    "cur_decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bench AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+        |corpus AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01)
+        |  FROM bench)
+        |SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+        |  round(list_cosine_similarity(b.v, c.v), 6) AS cosine
+        |FROM bench b CROSS JOIN corpus c
+        |WHERE c.vec_id <> b.vec_id
+        |  AND round(list_cosine_similarity(b.v, c.v), 6) >= 0.98::DOUBLE
+        |ORDER BY corpus_id, bench_id""".stripMargin,
     // the full hierarchical replay: md5 shard sample → cosine shard
     // routing (2.0 zero-norm guard) → count-derived per-shard k
     // (integer floor division) → lowest-id seeds → one 6-dp-rounded
