@@ -1935,6 +1935,14 @@ object SparkEntry {
           spanTokens = 8, minShared = 3)
         .select(col("id_a"), col("id_b"), col("n_shared"))
         .orderBy("id_a", "id_b")),
+    "dedup_strip_spans" -> ((s, dir) =>
+      // the Lee et al. removal ACTION over the same planted corpus:
+      // the truncated copies (+1e6 ids, so never owners) lose every
+      // 8-token span they share with their originals; everything else
+      // passes through whitespace-normalized with dup_tokens = 0
+      Dedup.stripDuplicateSpans(nearDupFixture(s, dir), "doc_id", "text",
+          spanTokens = 8, minDf = 2)
+        .orderBy("doc_id")),
     "dedup_clusters" -> ((s, dir) =>
       // pairs → connected components → canonical (min-id) cluster label
       Dedup.nearDupClusters(
@@ -5315,6 +5323,67 @@ object SparkEntry {
         |FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(DISTINCT a.s) >= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // dedup_strip_spans: owner = min doc id per duplicated span; the
+    // oracle joins spans by their STRING while the engine joins by
+    // fnv64 — equivalent up to 64-bit collisions, the same stance the
+    // dedup_spans oracle takes with xxhash64. Interval merge and the
+    // token-level strip replay the engine's window + filter exactly.
+    "dedup_strip_spans" ->
+      """WITH planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      string_split_regex(trim(text), '\s+')
+        |        [1:greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id < 50),
+        |u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM u),
+        |sp AS (
+        |  SELECT doc_id, r.i - 1 AS p, array_to_string(t[r.i:r.i+7], ' ') AS s
+        |  FROM tok, UNNEST(range(1, len(t) - 6)) AS r(i)),
+        |own AS (
+        |  SELECT s, min(doc_id) AS own FROM sp GROUP BY s
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (
+        |  SELECT sp.doc_id, sp.p AS rs, sp.p + 8 AS re
+        |  FROM sp JOIN own ON own.s = sp.s
+        |  WHERE sp.doc_id <> own.own),
+        |wm AS (
+        |  SELECT doc_id, rs, re,
+        |    max(re) OVER (PARTITION BY doc_id ORDER BY rs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM d),
+        |grp AS (
+        |  SELECT doc_id, rs, re,
+        |    sum(CASE WHEN pm IS NULL OR rs > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY rs) AS g
+        |  FROM wm),
+        |m AS (SELECT doc_id, g, min(rs) AS rs, max(re) AS re
+        |      FROM grp GROUP BY doc_id, g),
+        |agg AS (SELECT doc_id, count(*) AS n_ranges, sum(re - rs) AS dup_tokens
+        |        FROM m GROUP BY doc_id),
+        |tk AS (SELECT doc_id, r.i - 1 AS p, t[r.i] AS w
+        |       FROM tok, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.p, tk.w
+        |  FROM tk LEFT JOIN m
+        |    ON m.doc_id = tk.doc_id AND tk.p >= m.rs AND tk.p < m.re
+        |  WHERE m.doc_id IS NULL),
+        |stx AS (SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS stripped_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  len(tok.t)::BIGINT AS total_tokens,
+        |  coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  coalesce(agg.n_ranges, 0)::BIGINT AS n_ranges,
+        |  coalesce(stx.stripped_text, '') AS stripped_text
+        |FROM tok
+        |LEFT JOIN agg USING (doc_id) LEFT JOIN stx USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "sim_ivf" -> IvfFlatOracle,
     "sim_ivf_pruned" -> IvfFlatOracle,
     "sim_ann" -> AnnOracle,

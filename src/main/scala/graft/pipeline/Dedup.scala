@@ -704,6 +704,92 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Remove cross-document duplicated PASSAGES, keeping one copy
+    * corpus-wide — the Lee et al. 2022 exact-substring dedup ACTION
+    * (the removal step their suffix-array pass feeds), at word-span
+    * granularity. A `spanTokens`-word span is duplicated when it
+    * occurs in ≥ `minDf` distinct documents; the span's OWNER (the
+    * minimum id containing it) keeps its text, every other document
+    * has all its occurrences stripped. Per document, duplicated span
+    * starts merge into maximal half-open word ranges `[s, e)` (two
+    * overlapping 8-token spans = one 9-token passage, not two), and
+    * the surviving words re-join with single spaces — so
+    * `stripped_text` is whitespace-NORMALIZED for every row,
+    * stripped or not.
+    *
+    * Unlike [[sharedSpanPairs]] there is no bucket cap: a span shared
+    * by a million documents is exactly the boilerplate this operator
+    * exists to remove, and the flood never materializes as pairs —
+    * the per-occurrence join is linear in occurrences because the
+    * span table it probes is one row per distinct span hash.
+    *
+    * Scale shape: two scans of the corpus (spans + tokens — at scale
+    * re-scanning beats caching a corpus-sized intermediate), one
+    * keyed aggregate on the 8-byte span hash (map-side combined), one
+    * hash equi-join back on that hash (AQE handles skewed spans), a
+    * per-document window for the interval merge (partitions are
+    * document-sized), and per-row array ops for the strip. Nothing is
+    * ever all-pairs and no state outgrows one document's ranges.
+    *
+    * @return (id, total_tokens, dup_tokens, n_ranges, stripped_text),
+    *         one row per input document. */
+  def stripDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(spanTokens >= 1, "stripDuplicateSpans: spanTokens >= 1")
+    require(minDf >= 2, "stripDuplicateSpans: minDf >= 2")
+    // every span occurrence: (id, start word index, fnv64(span)).
+    // fnv64, not xxhash64: the whole hash family stays externally
+    // replayable (see graft.functions.Fnv64Expr).
+    val occ = df.select(col(idCol),
+        posexplode(graft.functions.wordNgrams(col(textCol), spanTokens)))
+      .select(col(idCol), col("pos").as("__p"),
+        graft.functions.fnv64(col("col")).as("__h"))
+    // one row per DISTINCT duplicated span: how many docs carry it and
+    // which doc (min id) keeps it
+    val dupSpans = occ.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"), min(col(idCol)).as("__own"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), col("__own"))
+    // duplicated occurrences outside the owner, as [s, e) word ranges
+    val dupOcc = occ.join(dupSpans, Seq("__h"))
+      .filter(col(idCol) =!= col("__own"))
+      .select(col(idCol), col("__p").as("__s"),
+        (col("__p") + lit(spanTokens)).as("__e"))
+    // classic sorted interval merge: a range opens a new group iff its
+    // start clears every earlier end (starts are unique per doc — one
+    // occurrence per word position — so the ordering is total)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    val merged = dupOcc
+      .withColumn("__pm",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__g",
+        sum(when(col("__pm").isNull || col("__s") > col("__pm"), 1)
+          .otherwise(0)).over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+    val ranges = merged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e")))).as("__rs"),
+        count(lit(1)).as("n_ranges"),
+        sum(col("__e") - col("__s")).cast("long").as("dup_tokens"))
+    df.select(col(idCol),
+        graft.functions.wordNgrams(col(textCol), 1).as("__toks"))
+      .join(ranges, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("total_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_ranges"), lit(0L)).as("n_ranges"),
+        when(col("__rs").isNull, array_join(col("__toks"), " "))
+          .otherwise(array_join(
+            filter(col("__toks"), (_, i) =>
+              !exists(col("__rs"),
+                r => i >= r("__s") && i < r("__e"))),
+            " ")).as("stripped_text"))
+  }
+
   // --------------------------------------------------- near-dup clusters
 
   /** Connected components over a near-dup pair list — the dedup

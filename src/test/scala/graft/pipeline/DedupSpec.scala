@@ -131,6 +131,47 @@ class DedupSpec extends SparkSpec {
       maxBucket = 5).count() == 0)
   }
 
+  test("stripDuplicateSpans: non-owner passage merges to one range and strips") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h X1 X2"),   // owner of the passage (min id)
+      (2L, "Y1 a b c d e f g h Y2"),   // 5 overlapping dup 4-grams → [1,9)
+      (3L, "Z1  Z2   Z3")              // untouched, but whitespace-normalized
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(df, "doc_id", "text", spanTokens = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 0L, 0L, "a b c d e f g h X1 X2"),
+      (2L, 10L, 8L, 1L, "Y1 Y2"),
+      (3L, 3L, 0L, 0L, "Z1 Z2 Z3")))
+  }
+
+  test("stripDuplicateSpans: disjoint passages, full strips, and minDf") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p1 p2 p3 p4"),
+      (2L, "q1 q2 q3 q4"),
+      (10L, "p1 p2 p3 p4 m1 m2 q1 q2 q3 q4"),  // both passages, disjoint
+      (20L, "p1 p2 p3 p4")                      // exact copy → fully stripped
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(df, "doc_id", "text", spanTokens = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, 0L, "p1 p2 p3 p4"),
+      (2L, 4L, 0L, 0L, "q1 q2 q3 q4"),
+      (10L, 10L, 8L, 2L, "m1 m2"),
+      (20L, 4L, 4L, 1L, "")))
+    // minDf = 3: only the p-passage (docs 1, 10, 20) clears the bar
+    val strict = Dedup.stripDuplicateSpans(df, "doc_id", "text",
+        spanTokens = 4, minDf = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(strict == Seq(
+      (1L, 4L, 0L, 0L, "p1 p2 p3 p4"),
+      (2L, 4L, 0L, 0L, "q1 q2 q3 q4"),
+      (10L, 10L, 4L, 1L, "m1 m2 q1 q2 q3 q4"),
+      (20L, 4L, 4L, 1L, "")))
+  }
+
   test("nearDupClusters: pair chains collapse to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} via a chain, {10,11}, and a 7-node path
