@@ -1943,6 +1943,29 @@ object SparkEntry {
       Dedup.stripDuplicateSpans(nearDupFixture(s, dir), "doc_id", "text",
           spanTokens = 8, minDf = 2)
         .orderBy("doc_id")),
+    "dedup_span_profile" -> ((s, dir) => {
+      // per-source duplicated-token telemetry (the dashboard a corpus
+      // build reads before weighting sources): the strip output rolls
+      // up by source, with the planted copies as their own 'planted'
+      // source so organic vs injected duplication separates. The
+      // dup_frac division is long/long through identical doubles —
+      // exact and engine-identical (sums ≪ 2^53).
+      val d = documents(s, dir)
+      val srcMap = d.select(col("doc_id"), col("source"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("planted").as("source")))
+      Dedup.stripDuplicateSpans(nearDupFixture(s, dir), "doc_id", "text",
+          spanTokens = 8, minDf = 2)
+        .join(srcMap, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total_tokens")).as("tokens"),
+          sum(col("dup_tokens")).as("dup_tokens"))
+        .withColumn("dup_frac",
+          col("dup_tokens").cast("double") / col("tokens").cast("double"))
+        .orderBy("source")
+    }),
     "dedup_clusters" -> ((s, dir) =>
       // pairs → connected components → canonical (min-id) cluster label
       Dedup.nearDupClusters(
@@ -3081,6 +3104,50 @@ object SparkEntry {
        |        xor((h_ % 256)::BIGINT, b_::BIGINT)::HUGEINT)
        |       * 1099511628211::HUGEINT
        |       % 18446744073709551616::HUGEINT) AS u_))""".stripMargin
+
+  /** Shared CTE chain for the `dedup_strip_spans` family: the planted
+    * near-dup fixture, whitespace tokenization, 8-token spans with
+    * word positions, the min-id owner per duplicated span, non-owner
+    * occurrences as [rs, re) ranges, and the per-document sorted
+    * interval merge (`m`) — the exact window recipe
+    * `Dedup.stripDuplicateSpans` runs. */
+  private lazy val StripSpanCtes: String =
+    """WITH planted AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(
+      |      string_split_regex(trim(text), '\s+')
+      |        [1:greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)],
+      |      ' ') AS text
+      |  FROM documents WHERE doc_id < 50),
+      |u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM u),
+      |sp AS (
+      |  SELECT doc_id, r.i - 1 AS p, array_to_string(t[r.i:r.i+7], ' ') AS s
+      |  FROM tok, UNNEST(range(1, len(t) - 6)) AS r(i)),
+      |own AS (
+      |  SELECT s, min(doc_id) AS own FROM sp GROUP BY s
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |d AS (
+      |  SELECT sp.doc_id, sp.p AS rs, sp.p + 8 AS re
+      |  FROM sp JOIN own ON own.s = sp.s
+      |  WHERE sp.doc_id <> own.own),
+      |wm AS (
+      |  SELECT doc_id, rs, re,
+      |    max(re) OVER (PARTITION BY doc_id ORDER BY rs
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM d),
+      |grp AS (
+      |  SELECT doc_id, rs, re,
+      |    sum(CASE WHEN pm IS NULL OR rs > pm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY rs) AS g
+      |  FROM wm),
+      |m AS (SELECT doc_id, g, min(rs) AS rs, max(re) AS re
+      |      FROM grp GROUP BY doc_id, g)""".stripMargin
 
   /** `text_fingerprint` replayed in SQL: per-token FNV reduced into
     * the 2^57 prime field, then the order-sensitive polynomial fold —
@@ -5328,43 +5395,8 @@ object SparkEntry {
     // fnv64 — equivalent up to 64-bit collisions, the same stance the
     // dedup_spans oracle takes with xxhash64. Interval merge and the
     // token-level strip replay the engine's window + filter exactly.
-    "dedup_strip_spans" ->
-      """WITH planted AS (
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |    array_to_string(
-        |      string_split_regex(trim(text), '\s+')
-        |        [1:greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)],
-        |      ' ') AS text
-        |  FROM documents WHERE doc_id < 50),
-        |u AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id, text FROM planted),
-        |tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-        |  FROM u),
-        |sp AS (
-        |  SELECT doc_id, r.i - 1 AS p, array_to_string(t[r.i:r.i+7], ' ') AS s
-        |  FROM tok, UNNEST(range(1, len(t) - 6)) AS r(i)),
-        |own AS (
-        |  SELECT s, min(doc_id) AS own FROM sp GROUP BY s
-        |  HAVING count(DISTINCT doc_id) >= 2),
-        |d AS (
-        |  SELECT sp.doc_id, sp.p AS rs, sp.p + 8 AS re
-        |  FROM sp JOIN own ON own.s = sp.s
-        |  WHERE sp.doc_id <> own.own),
-        |wm AS (
-        |  SELECT doc_id, rs, re,
-        |    max(re) OVER (PARTITION BY doc_id ORDER BY rs
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |  FROM d),
-        |grp AS (
-        |  SELECT doc_id, rs, re,
-        |    sum(CASE WHEN pm IS NULL OR rs > pm THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY rs) AS g
-        |  FROM wm),
-        |m AS (SELECT doc_id, g, min(rs) AS rs, max(re) AS re
-        |      FROM grp GROUP BY doc_id, g),
+    "dedup_strip_spans" -> (StripSpanCtes +
+      """,
         |agg AS (SELECT doc_id, count(*) AS n_ranges, sum(re - rs) AS dup_tokens
         |        FROM m GROUP BY doc_id),
         |tk AS (SELECT doc_id, r.i - 1 AS p, t[r.i] AS w
@@ -5383,7 +5415,27 @@ object SparkEntry {
         |  coalesce(stx.stripped_text, '') AS stripped_text
         |FROM tok
         |LEFT JOIN agg USING (doc_id) LEFT JOIN stx USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+    "dedup_span_profile" -> (StripSpanCtes +
+      """,
+        |agg AS (SELECT doc_id, sum(re - rs) AS dup_tokens
+        |        FROM m GROUP BY doc_id),
+        |srcm AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'planted' AS source
+        |  FROM documents WHERE doc_id < 50),
+        |per AS (
+        |  SELECT tok.doc_id, len(tok.t) AS tokens,
+        |    coalesce(agg.dup_tokens, 0) AS dup_tokens
+        |  FROM tok LEFT JOIN agg USING (doc_id))
+        |SELECT sm.source, count(*)::BIGINT AS n_docs,
+        |  sum(p.tokens)::BIGINT AS tokens,
+        |  sum(p.dup_tokens)::BIGINT AS dup_tokens,
+        |  sum(p.dup_tokens)::DOUBLE / sum(p.tokens)::DOUBLE AS dup_frac
+        |FROM per p JOIN srcm sm USING (doc_id)
+        |GROUP BY sm.source
+        |ORDER BY sm.source""".stripMargin),
     "sim_ivf" -> IvfFlatOracle,
     "sim_ivf_pruned" -> IvfFlatOracle,
     "sim_ann" -> AnnOracle,
