@@ -442,4 +442,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"per-cluster row_number must not gather to one partition:\n$p")
   }
+
+  test("passage strip: hash-keyed equi-joins only; merge window is per-doc") {
+    // occurrences ⋈ duplicated-spans is an equi-join on the span hash
+    // and the interval-merge window partitions by doc id — a cartesian
+    // or single-partition window here is the 100 TB failure mode
+    val p = plan("dedup_strip_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span probe must stay a hash equi-join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"interval merge must not gather to one partition:\n$p")
+  }
 }
