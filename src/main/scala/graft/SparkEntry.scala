@@ -2308,6 +2308,19 @@ object SparkEntry {
           round(TextAnalysis.qualityLogit(col("text"), Seq("the", "a")), 6)
             .as("clf_score"))
         .orderBy("doc_id")),
+    "text_nb_clf" -> ((s, dir) =>
+      // the engine TRAINS its own filter (weak supervision / rule
+      // distillation): the quality heuristic's top half (linear score
+      // z > 0.75 — the corpus median, so classes balance) becomes the
+      // weak label, and NB over 1024 hashed token buckets learns to
+      // reproduce it from tokens alone. Training is pure counting
+      // (exact integers), so model and scores replay in SQL.
+      TextAnalysis.nbTokenClassifier(
+          documents(s, dir).withColumn("hi_q",
+            (TextAnalysis.qualityZ(col("text"), Seq("the", "a")) > 0.75)
+              .cast("int")),
+          "doc_id", "text", "hi_q", buckets = 1024)
+        .orderBy("doc_id")),
 
     "text_len_pctl" -> ((s, dir) =>
       // exact per-lang token-length percentiles (linear interpolation,
@@ -6270,6 +6283,61 @@ object SparkEntry {
         |  FROM n)
         |SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy_bits
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // text_nb_clf: the trained-NB replay — FNV token buckets, exact
+    // integer class counts, the same Laplace log-ratios on identical
+    // doubles; per-doc fold rounded at 6 dp like every cross-engine
+    // log in the suite
+    "text_nb_clf" ->
+      (s"""WITH qt AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |qb AS (
+        |  SELECT doc_id, len(toks) AS nt,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END AS awl,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END AS sr,
+        |    CASE WHEN len(text) > 0 THEN
+        |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / len(text)
+        |    ELSE 0.0 END AS pr
+        |  FROM qt),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (-1.0 + 0.35 * ln(1.0 + nt) + 2.0 * sr - 4.0 * pr
+        |               + 0.5 * awl / 10.0) > 0.75 THEN 1 ELSE 0 END AS y
+        |  FROM qb),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tf AS (SELECT doc_id, ts[r.i] AS t
+        |       FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)),
+        |tb AS (SELECT doc_id, ((${fnvSql("t")} % 1024) + 1024) % 1024 AS b
+        |       FROM tf),
+        |tc AS (
+        |  SELECT b, sum(l.y) AS c1, sum(1 - l.y) AS c0
+        |  FROM tb JOIN lab l USING (doc_id) GROUP BY b),
+        |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM tc),
+        |w AS (
+        |  SELECT b,
+        |    ln((c1 + 1)::DOUBLE / (n1 + 1024)::DOUBLE)
+        |      - ln((c0 + 1)::DOUBLE / (n0 + 1024)::DOUBLE) AS w
+        |  FROM tc CROSS JOIN tot),
+        |pr AS (
+        |  SELECT ln((sum(y) + 0.5)::DOUBLE / (sum(1 - y) + 0.5)::DOUBLE)
+        |    AS prior FROM lab),
+        |k AS (SELECT doc_id, b, count(*) AS k FROM tb GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, sum(k * w.w) AS s2
+        |       FROM k JOIN w USING (b) GROUP BY doc_id)
+        |SELECT l.doc_id, l.y AS label,
+        |  round(pr.prior + coalesce(sc.s2, 0), 6) AS nb_logit
+        |FROM lab l CROSS JOIN pr LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""").stripMargin,
     // normalization identical to the char-ngram queries (case-folded,
     // letter-only, space-padded); add-one smoothing over observed
     // bigrams, V = distinct successor characters

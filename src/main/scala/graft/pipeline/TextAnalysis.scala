@@ -684,14 +684,79 @@ object TextAnalysis {
     * Defaults reward stopword-bearing prose and penalize
     * punctuation-heavy noise. */
   def qualityLogit(text: Column, stops: Seq[String],
+      w: Seq[Double] = Seq(-1.0, 0.35, 2.0, -4.0, 0.5)): Column =
+    lit(1.0) / (lit(1.0) + exp(-qualityZ(text, stops, w)))
+
+  /** The linear score under [[qualityLogit]]'s sigmoid — exposed so a
+    * threshold rule (`z > τ`, the weak-label form) avoids the
+    * sigmoid's extra `exp` and compares the exact same double in any
+    * engine. */
+  def qualityZ(text: Column, stops: Seq[String],
       w: Seq[Double] = Seq(-1.0, 0.35, 2.0, -4.0, 0.5)): Column = {
-    require(w.length == 5, "qualityLogit: 5 weights (bias + 4 features)")
-    val z = lit(w(0)) +
+    require(w.length == 5, "qualityZ: 5 weights (bias + 4 features)")
+    lit(w(0)) +
       lit(w(1)) * log(lit(1.0) + nTokens(text)) +
       lit(w(2)) * coalesce(stopwordRatio(text, stops), lit(0.0)) +
       lit(w(3)) * punctRatio(text) +
       lit(w(4)) * coalesce(avgTokenLen(text), lit(0.0)) / 10.0
-    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** TRAIN a multinomial Naive Bayes token classifier on the corpus
+    * itself and score every document — the in-engine counterpart of
+    * [[qualityLogit]]'s fixed-weight inference, for when the filter's
+    * weights must come from the data (weak supervision: a boolean
+    * label column such as a language match, a source allowlist, or a
+    * heuristic threshold). Features are hashed token buckets (the
+    * hashing trick, `fnv64 mod buckets`), Laplace-smoothed per-class;
+    * the document score is the classic log-likelihood-ratio logit
+    *   prior + Σ_b k_b · [ln((c1_b+1)/(n1+B)) − ln((c0_b+1)/(n0+B))]
+    * with prior = ln((d1+0.5)/(d0+0.5)). Training is COUNTING, so the
+    * model is exact integers and the whole train+score pass is
+    * deterministic; the only doubles are the final log-ratio folds,
+    * rounded to 6 dp like every cross-engine log in this engine.
+    *
+    * Scale shape: one explode → (bucket, class) count aggregate
+    * (map-side combined) builds the model — `buckets` rows, broadcast
+    * back for scoring; the per-doc score is a (doc, bucket) count
+    * aggregate joined against that broadcast table and summed per
+    * doc. Two corpus-sized keyed aggregates, zero corpus self-joins,
+    * nothing driver-sized but the one-row totals.
+    *
+    * @param labelCol boolean/int column: 1 = positive class
+    * @return (id, label, nb_logit) — logit > 0 leans positive */
+  def nbTokenClassifier(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, "nbTokenClassifier: buckets >= 2")
+    val lab = docs.select(col(idCol), col(labelCol).cast("int").as("__y"))
+    val tb = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        pmod(graft.functions.fnv64(col("__t")), lit(buckets.toLong)).as("__b"))
+    // model: per-bucket class counts — `buckets` rows, exact longs
+    val tc = tb.join(lab, Seq(idCol))
+      .groupBy(col("__b"))
+      .agg(sum(col("__y")).cast("long").as("__c1"),
+        sum(lit(1) - col("__y")).cast("long").as("__c0"))
+    val tot = tc.agg(sum(col("__c1")).as("__n1"), sum(col("__c0")).as("__n0"))
+    val w = tc.crossJoin(broadcast(tot))  // buckets × 1 row
+      .select(col("__b"),
+        (log((col("__c1") + 1).cast("double") /
+             (col("__n1") + buckets).cast("double")) -
+         log((col("__c0") + 1).cast("double") /
+             (col("__n0") + buckets).cast("double"))).as("__w"))
+    val prior = lab.agg(
+        sum(col("__y")).cast("double").as("__d1"),
+        sum(lit(1) - col("__y")).cast("double").as("__d0"))
+      .select(log((col("__d1") + 0.5) / (col("__d0") + 0.5)).as("__prior"))
+    val sc = tb.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__k"))
+      .join(broadcast(w), Seq("__b"))
+      .groupBy(col(idCol)).agg(sum(col("__k") * col("__w")).as("__s"))
+    lab.join(sc, Seq(idCol), "left").crossJoin(broadcast(prior))
+      .select(col(idCol), col("__y").as("label"),
+        round(col("__prior") + coalesce(col("__s"), lit(0.0)), 6)
+          .as("nb_logit"))
   }
 
   /** RAG-style token-window chunking: overlapping windows of `size`

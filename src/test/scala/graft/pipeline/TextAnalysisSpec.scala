@@ -387,4 +387,37 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(kept.forall(_._3 == 0L), s"got ${kept.toSeq}")
   }
+
+  test("nbTokenClassifier: disjoint vocabularies separate with correct sign") {
+    import spark.implicits._
+    // class 1 speaks {sun, moon, star}, class 0 {mud, rust, grit}:
+    // every trained bucket weight points the right way, so the logit
+    // sign IS the label on the training corpus
+    val docs = (0 until 12).map { i =>
+      val pos = i % 2 == 0
+      val v = if (pos) Seq("sun", "moon", "star") else Seq("mud", "rust", "grit")
+      (i.toLong, Seq.tabulate(12)(j => v(j % 3)).mkString(" "),
+        if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val out = TextAnalysis.nbTokenClassifier(docs, "doc_id", "text", "y")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.size == 12)
+    assert(out.forall { case (_, y, s) => (s > 0) == (y == 1) },
+      s"sign must match the label on disjoint vocab: $out")
+  }
+
+  test("nbTokenClassifier: partitioning-invariant; empty doc scores the prior") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good clean prose here", 1), (2L, "good prose", 1),
+      (3L, "junk spam junk", 0), (4L, "", 0)).toDF("doc_id", "text", "y")
+    val a = TextAnalysis.nbTokenClassifier(docs, "doc_id", "text", "y")
+      .orderBy("doc_id").as[(Long, Int, Double)].collect().toSeq
+    val b = TextAnalysis.nbTokenClassifier(docs.repartition(7), "doc_id", "text", "y")
+      .orderBy("doc_id").as[(Long, Int, Double)].collect().toSeq
+    assert(a == b, "scores must not depend on partitioning")
+    // doc 4 has no tokens: its logit is exactly the class prior
+    // ln((2+0.5)/(2+0.5)) = 0
+    assert(a.find(_._1 == 4L).get._3 == 0.0)
+  }
 }
