@@ -239,6 +239,16 @@ object SparkEntry {
     * re-appear with their last two tokens dropped, ids offset by 1e6,
     * so near-dup paths have guaranteed positives at every SF. Mirrored
     * verbatim in the oracle CTEs. */
+  /** NB train+score over the weak "quality top half" label — shared by
+    * `text_nb_clf` (the scored corpus) and `text_clf_pr` (its
+    * threshold-sweep evaluation). */
+  private def nbScored(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.nbTokenClassifier(
+      documents(s, dir).withColumn("hi_q",
+        (TextAnalysis.qualityZ(col("text"), Seq("the", "a")) > 0.75)
+          .cast("int")),
+      "doc_id", "text", "hi_q", buckets = 1024)
+
   private def nearDupFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"), col("text"))
     val toks = TextAnalysis.tokens(col("text"))
@@ -2315,12 +2325,14 @@ object SparkEntry {
       // weak label, and NB over 1024 hashed token buckets learns to
       // reproduce it from tokens alone. Training is pure counting
       // (exact integers), so model and scores replay in SQL.
-      TextAnalysis.nbTokenClassifier(
-          documents(s, dir).withColumn("hi_q",
-            (TextAnalysis.qualityZ(col("text"), Seq("the", "a")) > 0.75)
-              .cast("int")),
-          "doc_id", "text", "hi_q", buckets = 1024)
-        .orderBy("doc_id")),
+      nbScored(s, dir).orderBy("doc_id")),
+    "text_clf_pr" -> ((s, dir) =>
+      // the threshold sweep that picks the filter cutoff: quarter-logit
+      // bins, cumulative TP/FP over the BIN catalog (never a global
+      // document sort), exact-integer precision/recall
+      TextAnalysis.classifierPrCurve(nbScored(s, dir), "nb_logit", "label",
+          binsPerUnit = 4)
+        .orderBy(desc("thr"))),
 
     "text_len_pctl" -> ((s, dir) =>
       // exact per-lang token-length percentiles (linear interpolation,
@@ -3161,6 +3173,61 @@ object SparkEntry {
       |  FROM wm),
       |m AS (SELECT doc_id, g, min(rs) AS rs, max(re) AS re
       |      FROM grp GROUP BY doc_id, g)""".stripMargin
+
+  /** Shared CTE chain for the trained-NB family: the distillation
+    * label (quality linear score z > 0.75), FNV token buckets, exact
+    * integer class counts, Laplace log-ratio weights, the class
+    * prior, and the per-document score fold (`sc`) — exactly what
+    * `TextAnalysis.nbTokenClassifier` computes over `nbScored`'s
+    * input. `text_nb_clf` appends the scored SELECT; `text_clf_pr`
+    * appends the threshold-sweep rollup. */
+  private lazy val NbClfCtes: String =
+    s"""WITH qt AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      |  FROM documents),
+      |qb AS (
+      |  SELECT doc_id, len(toks) AS nt,
+      |    CASE WHEN len(toks) > 0 THEN
+      |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+      |    ELSE 0.0 END AS awl,
+      |    CASE WHEN len(toks) > 0 THEN
+      |      CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
+      |    ELSE 0.0 END AS sr,
+      |    CASE WHEN len(text) > 0 THEN
+      |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |        / len(text)
+      |    ELSE 0.0 END AS pr
+      |  FROM qt),
+      |lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (-1.0 + 0.35 * ln(1.0 + nt) + 2.0 * sr - 4.0 * pr
+      |               + 0.5 * awl / 10.0) > 0.75 THEN 1 ELSE 0 END AS y
+      |  FROM qb),
+      |tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |tf AS (SELECT doc_id, ts[r.i] AS t
+      |       FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)),
+      |tb AS (SELECT doc_id, ((${fnvSql("t")} % 1024) + 1024) % 1024 AS b
+      |       FROM tf),
+      |tc AS (
+      |  SELECT b, sum(l.y) AS c1, sum(1 - l.y) AS c0
+      |  FROM tb JOIN lab l USING (doc_id) GROUP BY b),
+      |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM tc),
+      |w AS (
+      |  SELECT b,
+      |    ln((c1 + 1)::DOUBLE / (n1 + 1024)::DOUBLE)
+      |      - ln((c0 + 1)::DOUBLE / (n0 + 1024)::DOUBLE) AS w
+      |  FROM tc CROSS JOIN tot),
+      |pr AS (
+      |  SELECT ln((sum(y) + 0.5)::DOUBLE / (sum(1 - y) + 0.5)::DOUBLE)
+      |    AS prior FROM lab),
+      |k AS (SELECT doc_id, b, count(*) AS k FROM tb GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, sum(k * w.w) AS s2
+      |       FROM k JOIN w USING (b) GROUP BY doc_id)""".stripMargin
 
   /** `text_fingerprint` replayed in SQL: per-token FNV reduced into
     * the 2^57 prime field, then the order-sensitive polynomial fold —
@@ -6287,57 +6354,35 @@ object SparkEntry {
     // integer class counts, the same Laplace log-ratios on identical
     // doubles; per-doc fold rounded at 6 dp like every cross-engine
     // log in the suite
-    "text_nb_clf" ->
-      (s"""WITH qt AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
-        |  FROM documents),
-        |qb AS (
-        |  SELECT doc_id, len(toks) AS nt,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
-        |    ELSE 0.0 END AS awl,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)
-        |    ELSE 0.0 END AS sr,
-        |    CASE WHEN len(text) > 0 THEN
-        |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |        / len(text)
-        |    ELSE 0.0 END AS pr
-        |  FROM qt),
-        |lab AS (
-        |  SELECT doc_id,
-        |    CASE WHEN (-1.0 + 0.35 * ln(1.0 + nt) + 2.0 * sr - 4.0 * pr
-        |               + 0.5 * awl / 10.0) > 0.75 THEN 1 ELSE 0 END AS y
-        |  FROM qb),
-        |tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
-        |  FROM documents),
-        |tf AS (SELECT doc_id, ts[r.i] AS t
-        |       FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)),
-        |tb AS (SELECT doc_id, ((${fnvSql("t")} % 1024) + 1024) % 1024 AS b
-        |       FROM tf),
-        |tc AS (
-        |  SELECT b, sum(l.y) AS c1, sum(1 - l.y) AS c0
-        |  FROM tb JOIN lab l USING (doc_id) GROUP BY b),
-        |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM tc),
-        |w AS (
-        |  SELECT b,
-        |    ln((c1 + 1)::DOUBLE / (n1 + 1024)::DOUBLE)
-        |      - ln((c0 + 1)::DOUBLE / (n0 + 1024)::DOUBLE) AS w
-        |  FROM tc CROSS JOIN tot),
-        |pr AS (
-        |  SELECT ln((sum(y) + 0.5)::DOUBLE / (sum(1 - y) + 0.5)::DOUBLE)
-        |    AS prior FROM lab),
-        |k AS (SELECT doc_id, b, count(*) AS k FROM tb GROUP BY 1, 2),
-        |sc AS (SELECT doc_id, sum(k * w.w) AS s2
-        |       FROM k JOIN w USING (b) GROUP BY doc_id)
+    "text_nb_clf" -> (NbClfCtes +
+      """
         |SELECT l.doc_id, l.y AS label,
         |  round(pr.prior + coalesce(sc.s2, 0), 6) AS nb_logit
         |FROM lab l CROSS JOIN pr LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""").stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+    // text_clf_pr: quarter-logit bins over the identical scored corpus,
+    // cumulative sums over the bin catalog, exact-integer divisions
+    "text_clf_pr" -> (NbClfCtes +
+      """,
+        |scored AS (
+        |  SELECT l.doc_id, l.y,
+        |    round(pr.prior + coalesce(sc.s2, 0), 6) AS s
+        |  FROM lab l CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+        |binned AS (
+        |  SELECT floor(s * 4) / 4 AS thr, sum(y) AS pos, count(*) AS n
+        |  FROM scored GROUP BY 1),
+        |ptot AS (SELECT sum(pos) AS pos_all FROM binned),
+        |cum AS (
+        |  SELECT thr,
+        |    sum(pos) OVER (ORDER BY thr DESC) AS tp,
+        |    sum(n) OVER (ORDER BY thr DESC) AS n_ge
+        |  FROM binned)
+        |SELECT c.thr, c.tp::BIGINT AS tp, (c.n_ge - c.tp)::BIGINT AS fp,
+        |  (t.pos_all - c.tp)::BIGINT AS fn,
+        |  c.tp::DOUBLE / c.n_ge::DOUBLE AS prec,
+        |  c.tp::DOUBLE / t.pos_all::DOUBLE AS rec
+        |FROM cum c CROSS JOIN ptot t
+        |ORDER BY thr DESC""".stripMargin),
     // normalization identical to the char-ngram queries (case-folded,
     // letter-only, space-padded); add-one smoothing over observed
     // bigrams, V = distinct successor characters

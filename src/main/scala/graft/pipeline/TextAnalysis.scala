@@ -759,6 +759,45 @@ object TextAnalysis {
           .as("nb_logit"))
   }
 
+  /** Threshold-sweep evaluation of a scored corpus — the
+    * precision/recall curve a pipeline reads to pick its filter
+    * cutoff. Scores bucket into `binsPerUnit` bins per unit (floor,
+    * so a bin's row is the operating point "keep everything scoring
+    * ≥ this bin"); per bin: TP/FP/FN and exact precision/recall.
+    * All counts are exact integers and the divisions are the same
+    * two longs on any engine, so the output is deterministic with no
+    * rounding at all.
+    *
+    * Scale shape: one keyed aggregate collapses the corpus to ≤ a few
+    * hundred (bounded by score range × `binsPerUnit`) bin rows; the
+    * cumulative window and totals run on THAT catalog — the global
+    * ordering is over bins, never documents. */
+  def classifierPrCurve(
+      scored: org.apache.spark.sql.DataFrame,
+      scoreCol: String, labelCol: String,
+      binsPerUnit: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binsPerUnit >= 1, "classifierPrCurve: binsPerUnit >= 1")
+    val binned = scored
+      .groupBy((floor(col(scoreCol) * binsPerUnit) / binsPerUnit).as("thr"))
+      .agg(sum(col(labelCol).cast("long")).as("__pos"),
+        count(lit(1)).as("__n"))
+    val tot = binned.agg(sum(col("__pos")).as("__pos_all"))
+    // bin-catalog window: rows = bins, not documents
+    val w = Window.orderBy(col("thr").desc)
+    binned
+      .withColumn("tp", sum(col("__pos")).over(w).cast("long"))
+      .withColumn("__n_ge", sum(col("__n")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"), col("tp"),
+        (col("__n_ge") - col("tp")).as("fp"),
+        (col("__pos_all") - col("tp")).cast("long").as("fn"),
+        (col("tp").cast("double") / col("__n_ge").cast("double"))
+          .as("prec"),
+        (col("tp").cast("double") / col("__pos_all").cast("double"))
+          .as("rec"))
+  }
+
   /** RAG-style token-window chunking: overlapping windows of `size`
     * whitespace tokens advancing by `stride` — the standard
     * retrieval-corpus preparation step. Chunk `i` covers tokens

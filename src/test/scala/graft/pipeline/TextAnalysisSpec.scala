@@ -420,4 +420,18 @@ class TextAnalysisSpec extends SparkSpec {
     // ln((2+0.5)/(2+0.5)) = 0
     assert(a.find(_._1 == 4L).get._3 == 0.0)
   }
+
+  test("classifierPrCurve: hand-checked cumulative bins, exact ratios") {
+    import spark.implicits._
+    val scored = Seq((3.0, 1), (2.6, 1), (1.2, 0), (0.4, 1), (0.1, 0))
+      .toDF("s", "y")
+    val out = TextAnalysis.classifierPrCurve(scored, "s", "y", binsPerUnit = 1)
+      .orderBy(desc("thr"))
+      .as[(Double, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (3.0, 1L, 0L, 2L, 1.0, 1.0 / 3),
+      (2.0, 2L, 0L, 1L, 1.0, 2.0 / 3),
+      (1.0, 2L, 1L, 1L, 2.0 / 3, 2.0 / 3),
+      (0.0, 3L, 2L, 0L, 3.0 / 5, 1.0)))
+  }
 }
