@@ -172,6 +172,22 @@ class DedupSpec extends SparkSpec {
       (20L, 4L, 4L, 1L, "")))
   }
 
+  test("stripDuplicateSpans: a 2000-doc boilerplate flood never pairs up") {
+    import spark.implicits._
+    // 2000 identical docs — sharedSpanPairs would need a cap to avoid
+    // 2M pairs; the strip path's probe join is linear in occurrences
+    // (one row per doc), so it needs none: owner keeps, 1999 strip
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(df, "doc_id", "text", spanTokens = 4)
+    assert(out.count() == n.toLong)
+    val stripped = out.filter(col("dup_tokens") === 8L).count()
+    assert(stripped == (n - 1).toLong, "every non-owner fully stripped")
+    assert(out.filter(col("doc_id") === 0L).select("stripped_text")
+      .head.getString(0) == "w1 w2 w3 w4 w5 w6 w7 w8", "owner intact")
+  }
+
   test("nearDupClusters: pair chains collapse to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} via a chain, {10,11}, and a 7-node path
