@@ -1953,6 +1953,12 @@ object SparkEntry {
       Dedup.stripDuplicateSpans(nearDupFixture(s, dir), "doc_id", "text",
           spanTokens = 8, minDf = 2)
         .orderBy("doc_id")),
+    "dedup_top_spans" -> ((s, dir) =>
+      // boilerplate discovery over the planted corpus: the passages
+      // every truncated copy shares with its original surface as the
+      // highest-reach spans
+      Dedup.topDuplicatedSpans(nearDupFixture(s, dir), "doc_id", "text",
+          spanTokens = 8, minDf = 2, k = 20)),
     "dedup_span_profile" -> ((s, dir) => {
       // per-source duplicated-token telemetry (the dashboard a corpus
       // build reads before weighting sources): the strip output rolls
@@ -5496,6 +5502,16 @@ object SparkEntry {
         |FROM tok
         |LEFT JOIN agg USING (doc_id) LEFT JOIN stx USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // dedup_top_spans: the span CTE feeds a plain reach-ranked top-k;
+    // the unused merge CTEs in the shared chain never execute
+    "dedup_top_spans" -> (StripSpanCtes +
+      """
+        |SELECT s AS span, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occurrences
+        |FROM sp GROUP BY s
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occurrences DESC, span
+        |LIMIT 20""".stripMargin),
     "dedup_span_profile" -> (StripSpanCtes +
       """,
         |agg AS (SELECT doc_id, sum(re - rs) AS dup_tokens

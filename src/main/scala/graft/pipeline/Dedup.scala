@@ -790,6 +790,33 @@ object Dedup {
             " ")).as("stripped_text"))
   }
 
+  /** The boilerplate-discovery report: the corpus's most-duplicated
+    * word spans ranked by document reach — what a curator reads to
+    * find the shared header, license block, or template sentence
+    * worth a dedicated rule before it pollutes training data. Ties
+    * break by occurrence count then span text, so the top-k is
+    * deterministic.
+    *
+    * Scale shape: one explode → one keyed aggregate on the span
+    * (map-side combined; a flood span still aggregates to ONE row) →
+    * ordered top-k, which Spark executes as TakeOrderedAndProject
+    * (per-partition heaps, never a global sort). */
+  def topDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, minDf: Int = 2, k: Int = 20): DataFrame = {
+    require(spanTokens >= 1, "topDuplicatedSpans: spanTokens >= 1")
+    require(k >= 1, "topDuplicatedSpans: k >= 1")
+    df.select(col(idCol),
+        explode(graft.functions.wordNgrams(col(textCol), spanTokens))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDf)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), col("span"))
+      .limit(k)
+  }
+
   // --------------------------------------------------- near-dup clusters
 
   /** Connected components over a near-dup pair list — the dedup

@@ -443,6 +443,14 @@ class PlanShapeSpec extends SparkSpec {
       s"per-cluster row_number must not gather to one partition:\n$p")
   }
 
+  test("top duplicated spans: ordered top-k runs as TakeOrderedAndProject") {
+    // the report must never materialize a global sort of all spans —
+    // per-partition heaps feed the driver k rows each
+    val p = physical("dedup_top_spans")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not Sort+Limit:\n$p")
+  }
+
   test("passage strip: hash-keyed equi-joins only; merge window is per-doc") {
     // occurrences ⋈ duplicated-spans is an equi-join on the span hash
     // and the interval-merge window partitions by doc id — a cartesian
