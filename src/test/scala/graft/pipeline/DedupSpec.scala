@@ -172,6 +172,21 @@ class DedupSpec extends SparkSpec {
       (20L, 4L, 4L, 1L, "")))
   }
 
+  test("topDuplicatedSpans: reach-ranked, deterministic ties, minDf bar") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HEAD a b c"),   // "HEAD a b c" in docs 1,2,3 → reach 3
+      (2L, "HEAD a b c"),
+      (3L, "HEAD a b c x y z w"),  // plus "x y z w" twice (docs 3,4)
+      (4L, "x y z w"),
+      (5L, "all alone here now")).toDF("doc_id", "text")
+    val out = Dedup.topDuplicatedSpans(df, "doc_id", "text", spanTokens = 4,
+        minDf = 2, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // unique spans of doc 3 bridging HEAD..x appear once → below minDf
+    assert(out == Seq(("HEAD a b c", 3L, 3L), ("x y z w", 2L, 2L)))
+  }
+
   test("stripDuplicateSpans: a 2000-doc boilerplate flood never pairs up") {
     import spark.implicits._
     // 2000 identical docs — sharedSpanPairs would need a cap to avoid
