@@ -218,6 +218,19 @@ object SparkEntry {
       |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
       |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1)""".stripMargin
 
+  /** Transitive-closure CC oracle over the co-supplier graph — shared
+    * by `graph_cc` (min-label propagation) and `graph_cc_star`
+    * (large-star/small-star contraction): converged components are
+    * algorithm-independent. */
+  private lazy val CcOracle: String =
+    s"""WITH RECURSIVE $CoSupplierCte,
+       |reach AS (
+       |  SELECT a AS id, a AS lab FROM und
+       |  UNION
+       |  SELECT und.a, r.lab FROM und JOIN reach r ON und.b = r.id)
+       |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+       |ORDER BY id""".stripMargin
+
   private val WinCte = // 24 h tumbling windows from the global min time
     """win AS (
       |  SELECT *, CAST(floor(epoch(ts - (SELECT min(ts) FROM events)) / 86400.0) AS BIGINT) AS win_id
@@ -1415,6 +1428,13 @@ object SparkEntry {
       Dedup.nearDupClusters(
           coSupplierEdges(s, dir)
             .select(col("a").as("id_a"), col("b").as("id_b")))
+        .orderBy("id")),
+    "graph_cc_star" -> ((s, dir) =>
+      // the SAME components via large-star/small-star contraction —
+      // the O(log n)-round web-scale path (min-label propagation is
+      // O(diameter)); output contract is identical (id → component
+      // min), so the one transitive-closure oracle checks both
+      Graph.connectedComponentsStar(coSupplierEdges(s, dir), "a", "b")
         .orderBy("id")),
     "graph_lpa" -> ((s, dir) =>
       // 3 synchronous label-propagation rounds, modal neighbor label,
@@ -4271,14 +4291,11 @@ object SparkEntry {
         |JOIN deg da ON da.id = id_a
         |JOIN deg db ON db.id = id_b
         |ORDER BY id_a, id_b""".stripMargin,
-    "graph_cc" ->
-      s"""WITH RECURSIVE $CoSupplierCte,
-         |reach AS (
-         |  SELECT a AS id, a AS lab FROM und
-         |  UNION
-         |  SELECT und.a, r.lab FROM und JOIN reach r ON und.b = r.id)
-         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
-         |ORDER BY id""".stripMargin,
+    // one transitive-closure oracle checks BOTH CC engines — the
+    // min-label and star-contraction algorithms share their output
+    // contract (id → min id of component)
+    "graph_cc" -> CcOracle,
+    "graph_cc_star" -> CcOracle,
     "graph_lpa" -> {
       def round(i: Int): String =
         s"""c$i AS (

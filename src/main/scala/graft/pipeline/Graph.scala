@@ -384,6 +384,99 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the O(log n)-round web-scale
+    * alternative to min-label propagation:
+    * [[graft.pipeline.Dedup.nearDupClusters]] needs O(diameter)
+    * rounds, which is fine for shallow near-dup graphs but is the
+    * known failure mode on long-chain graphs (a 10^6-node path =
+    * 10^6 rounds); star contraction halves tree heights every
+    * alternation regardless of diameter.
+    *
+    * Per round: large-star re-points every LARGER neighbor of u at
+    * u's neighborhood minimum, small-star re-points u and its
+    * smaller neighbors at their minimum — each one keyed aggregate
+    * (map-side combined min) plus one keyed join, nothing all-pairs.
+    * Both operators provably preserve components, and the fixpoint
+    * is a star forest rooted at each component's MINIMUM id, so the
+    * output contract is identical to `nearDupClusters` (id →
+    * min-of-component) and any CC oracle checks both. Fully
+    * deterministic: set-valued rounds, no RNG, no order dependence.
+    *
+    * Convergence is detected by an exact multiset signature of the
+    * edge set (count + sum of per-edge xxhash64 in decimal — 2^-64
+    * collision odds, and a collision could only DELAY termination by
+    * a round, never corrupt labels, because the fixpoint state maps
+    * to itself). Lineage is cut per round with `localCheckpoint` like
+    * every iterative op here; `maxRounds` bounds the pathological
+    * case and throws rather than return half-contracted labels.
+    *
+    * @return (id, cluster) — one row per node in `edges`, cluster =
+    *         min id of its component. */
+  def connectedComponentsStar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, "connectedComponentsStar: maxRounds >= 1")
+    val pairs = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val nodes = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    // canonical directed form: (u, v) with u > v
+    var e = pairs.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    // exact multiset signature: (|E|, Σ xxhash64(u,v) as decimal —
+    // decimal sum cannot overflow ANSI the way a long sum would)
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prev = sig(e)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      // LARGE-STAR: m(u) = min(Γ(u) ∪ {u}); every neighbor v > u
+      // re-points at m(u). Output stays canonical: v > u ≥ m.
+      val nb = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = nb.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR on the directed result: m = min of u's smaller
+      // neighbors; they and u re-point at m. Outputs stay canonical.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      e = ss.localCheckpoint(true)
+      val cur = sig(e)
+      converged = cur == prev
+      prev = cur
+      r += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar: not converged after $maxRounds rounds")
+    // fixpoint = star forest rooted at component minima: each non-root
+    // carries exactly one out-edge to its root; roots/isolated nodes
+    // label themselves (groupBy-min is belt over the uniqueness)
+    val roots = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+      .select(col("u").as("id"), col("cluster"))
+    nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** Synchronous label propagation (community detection), fully
     * deterministic: labels start as the node's own id; each iteration
     * every node adopts its neighbors' modal label, ties broken by the

@@ -236,4 +236,30 @@ class GraphSpec extends SparkSpec {
       Graph.hits(e, "src", "dst", iters = 1, roundDp = 0)
     }
   }
+
+  test("connectedComponentsStar agrees with min-label propagation") {
+    import spark.implicits._
+    // mixed shapes: a chain, a clique with a bridge, isolated self-loop
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 20L), (30L, 30L)) ++
+      (40L until 50L).map(i => (i, i + 1))).toDF("a", "b")
+    val star = Graph.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val prop = Dedup.nearDupClusters(
+        edges.select(edges("a").as("id_a"), edges("b").as("id_b")))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(star == prop, "both CC algorithms must give min-of-component")
+    assert(star.contains((30L, 30L)), "self-loop node labels itself")
+  }
+
+  test("connectedComponentsStar: a 400-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // diameter 400 — min-label propagation would need ~400 rounds;
+    // star contraction must finish inside its default 30-round bound
+    val path = (0L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Graph.connectedComponentsStar(path, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(out.length == 401)
+    assert(out.forall(_._2 == 0L), "one component rooted at the minimum")
+  }
 }
