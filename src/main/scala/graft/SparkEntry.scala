@@ -916,6 +916,25 @@ object SparkEntry {
           col("n_events"))
         .orderBy("user_id", "start_ms")
     }),
+    "stream_clf" -> ((s, dir) => {
+      // train-offline / score-online: the NB model trains on the
+      // STATIC corpus (exact integer counts), exports to the driver
+      // (model-sized: ≤1024 weights), and rides the STREAMING plan as
+      // a map literal — scoring is a stateless per-row fold, so the
+      // stream needs no state, no watermark, no shuffle. The fold is
+      // left-to-right over the token array: the double order is
+      // defined, and the oracle replays it term by term.
+      val docs = documents(s, dir).withColumn("hi_q",
+        (TextAnalysis.qualityZ(col("text"), Seq("the", "a")) > 0.75)
+          .cast("int"))
+      val (w, prior) = TextAnalysis.nbTokenModel(
+        docs, "doc_id", "text", "hi_q", buckets = 1024)
+      val scored = documentsStream(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.nbScore(col("text"), w, prior, 1024).as("nb_logit"))
+      drainToTable(s, scored, "append", "stream_clf")
+        .orderBy("doc_id")
+    }),
     "stream_dedup" -> ((s, dir) => {
       // streaming exact dedup via dropDuplicatesWithinWatermark:
       // per-key state is ONE timestamp evicted at the watermark, so
@@ -6392,6 +6411,27 @@ object SparkEntry {
         |SELECT l.doc_id, l.y AS label,
         |  round(pr.prior + coalesce(sc.s2, 0), 6) AS nb_logit
         |FROM lab l CROSS JOIN pr LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    // stream_clf: same trained weights, but the score is the serving
+    // fold — term-by-term left-to-right over the token array, replayed
+    // with an ORDERED list_reduce so the double order matches exactly
+    "stream_clf" -> (NbClfCtes +
+      s""",
+        |tf2 AS (SELECT doc_id, r.i AS pos, ts[r.i] AS t
+        |        FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)),
+        |tb2 AS (SELECT doc_id, pos,
+        |          ((${fnvSql("t")} % 1024) + 1024) % 1024 AS b
+        |        FROM tf2),
+        |tw AS (SELECT x.doc_id, x.pos, coalesce(w.w, 0.0) AS wv
+        |       FROM tb2 x LEFT JOIN w USING (b)),
+        |fold AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(wv ORDER BY pos)),
+        |      (a, b) -> a + b) AS s2
+        |  FROM tw GROUP BY doc_id)
+        |SELECT t0.doc_id,
+        |  round(pr.prior + coalesce(f.s2, 0.0), 6) AS nb_logit
+        |FROM tok t0 CROSS JOIN pr LEFT JOIN fold f USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
     // text_clf_pr: quarter-logit bins over the identical scored corpus,
     // cumulative sums over the bin catalog, exact-integer divisions

@@ -759,6 +759,67 @@ object TextAnalysis {
           .as("nb_logit"))
   }
 
+  /** TRAIN the [[nbTokenClassifier]] model and EXPORT it to the
+    * driver — the offline half of train-offline/score-online: the
+    * returned (bucket → log-ratio weight, prior) pair is what
+    * [[nbScore]] ships into a batch or STREAMING plan as literals.
+    * The collect here is the model itself — at most `buckets` rows
+    * (≈ 16 KB at the default 1024), the same model-sized-collect
+    * class as the BPE merge table and the k-means centroid
+    * catalogs. */
+  def nbTokenModel(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      buckets: Int = 1024): (Map[Long, Double], Double) = {
+    require(buckets >= 2, "nbTokenModel: buckets >= 2")
+    val lab = docs.select(col(idCol), col(labelCol).cast("int").as("__y"))
+    val tb = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        pmod(graft.functions.fnv64(col("__t")), lit(buckets.toLong)).as("__b"))
+    val tc = tb.join(lab, Seq(idCol))
+      .groupBy(col("__b"))
+      .agg(sum(col("__y")).cast("long").as("__c1"),
+        sum(lit(1) - col("__y")).cast("long").as("__c0"))
+      .localCheckpoint(true)
+    val tot = tc.agg(sum(col("__c1")), sum(col("__c0"))).head
+    val (n1, n0) = (tot.getLong(0), tot.getLong(1))
+    // model-sized collect: <= `buckets` rows — this IS the export
+    val w = tc.collect().map { r =>
+      r.getLong(0) ->
+        (math.log((r.getLong(1) + 1).toDouble / (n1 + buckets)) -
+         math.log((r.getLong(2) + 1).toDouble / (n0 + buckets)))
+    }.toMap
+    val d = lab.agg(sum(col("__y")).cast("long"), count(lit(1))).head
+    val prior = math.log((d.getLong(0) + 0.5) /
+      ((d.getLong(1) - d.getLong(0)) + 0.5))
+    (w, prior)
+  }
+
+  /** The online half: score a text column with an exported
+    * [[nbTokenModel]] — the model rides the plan as a sorted map
+    * literal, so this is a stateless per-row fold that drops into a
+    * streaming plan unchanged (no state, no watermark, no shuffle).
+    * The fold is LEFT-TO-RIGHT over the token array, so the double
+    * summation order is defined and any engine replays it exactly;
+    * buckets the model never saw contribute 0. Rounded to 6 dp like
+    * every cross-engine log. (The lambda runs interpreted — fine for
+    * per-token work; the production-scale path would promote it to a
+    * native expression like the rest of graft.functions.) */
+  def nbScore(text: Column, weights: Map[Long, Double], prior: Double,
+      buckets: Int = 1024): Column = {
+    require(buckets >= 2, "nbScore: buckets >= 2")
+    val entries = weights.toSeq.sortBy(_._1)
+      .flatMap { case (b, wv) => Seq(lit(b), lit(wv)) }
+    val wMap = map(entries: _*)
+    round(lit(prior) + aggregate(
+      transform(tokens(text), t => coalesce(
+        element_at(wMap,
+          pmod(graft.functions.fnv64(t), lit(buckets.toLong))),
+        lit(0.0))),
+      lit(0.0), (acc, x) => acc + x), 6)
+  }
+
   /** Threshold-sweep evaluation of a scored corpus — the
     * precision/recall curve a pipeline reads to pick its filter
     * cutoff. Scores bucket into `binsPerUnit` bins per unit (floor,

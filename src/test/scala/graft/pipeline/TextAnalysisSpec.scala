@@ -421,6 +421,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.find(_._1 == 4L).get._3 == 0.0)
   }
 
+  test("nbTokenModel + nbScore: serving fold matches the batch classifier") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sun moon star sun", 1), (2L, "star sun moon", 1),
+      (3L, "mud rust grit mud", 0), (4L, "grit mud", 0),
+      (5L, "", 0)).toDF("doc_id", "text", "y")
+    val (w, prior) = TextAnalysis.nbTokenModel(docs, "doc_id", "text", "y")
+    val served = docs.select(col("doc_id"),
+        TextAnalysis.nbScore(col("text"), w, prior).as("s"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    val batch = TextAnalysis.nbTokenClassifier(docs, "doc_id", "text", "y")
+      .orderBy("doc_id").as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // same model → same scores up to the two folds' summation order
+    // (per-bucket k·w vs per-token); on these tiny docs both are exact
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      assert(math.abs(served(id) - batch(id)) <= 1e-6,
+        s"doc $id: served ${served(id)} vs batch ${batch(id)}")
+    }
+    // empty doc = rounded prior exactly
+    assert(served(5L) == BigDecimal(prior)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("classifierPrCurve: hand-checked cumulative bins, exact ratios") {
     import spark.implicits._
     val scored = Seq((3.0, 1), (2.6, 1), (1.2, 0), (0.4, 1), (0.1, 0))
