@@ -2378,6 +2378,11 @@ object SparkEntry {
       TextAnalysis.classifierPrCurve(nbScored(s, dir), "nb_logit", "label",
           binsPerUnit = 4)
         .orderBy(desc("thr"))),
+    "text_clf_auc" -> ((s, dir) =>
+      // the run-over-run scalar: binned trapezoid ROC-AUC from the
+      // same bin catalog
+      TextAnalysis.classifierAuc(nbScored(s, dir), "nb_logit", "label",
+          binsPerUnit = 4)),
 
     "text_len_pctl" -> ((s, dir) =>
       // exact per-lang token-length percentiles (linear interpolation,
@@ -6433,6 +6438,37 @@ object SparkEntry {
         |  round(pr.prior + coalesce(f.s2, 0.0), 6) AS nb_logit
         |FROM tok t0 CROSS JOIN pr LEFT JOIN fold f USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // text_clf_auc: binned trapezoid ROC-AUC over the same bins; the
+    // lag order (fpr, tpr) is total because the cumulative points are
+    // monotone, so both engines pair identical trapezoids
+    "text_clf_auc" -> (NbClfCtes +
+      """,
+        |scored AS (
+        |  SELECT l.doc_id, l.y,
+        |    round(pr.prior + coalesce(sc.s2, 0), 6) AS s
+        |  FROM lab l CROSS JOIN pr LEFT JOIN sc USING (doc_id)),
+        |binned AS (
+        |  SELECT floor(s * 4) / 4 AS thr, sum(y) AS pos, count(*) AS n
+        |  FROM scored GROUP BY 1),
+        |ptot AS (SELECT sum(pos)::BIGINT AS p,
+        |                (sum(n) - sum(pos))::BIGINT AS q FROM binned),
+        |cum AS (
+        |  SELECT thr,
+        |    sum(pos) OVER (ORDER BY thr DESC) AS tp,
+        |    sum(n - pos) OVER (ORDER BY thr DESC) AS fp
+        |  FROM binned),
+        |pts AS (
+        |  SELECT c.tp::DOUBLE / t.p::DOUBLE AS tpr,
+        |         c.fp::DOUBLE / t.q::DOUBLE AS fpr
+        |  FROM cum c CROSS JOIN ptot t),
+        |lagd AS (
+        |  SELECT fpr, tpr,
+        |    coalesce(lag(fpr) OVER (ORDER BY fpr, tpr), 0.0) AS lf,
+        |    coalesce(lag(tpr) OVER (ORDER BY fpr, tpr), 0.0) AS lt
+        |  FROM pts)
+        |SELECT t.p AS n_pos, t.q AS n_neg,
+        |  round(sum((fpr - lf) * (tpr + lt) / 2), 6) AS auc
+        |FROM lagd CROSS JOIN ptot t GROUP BY t.p, t.q""".stripMargin),
     // text_clf_pr: quarter-logit bins over the identical scored corpus,
     // cumulative sums over the bin catalog, exact-integer divisions
     "text_clf_pr" -> (NbClfCtes +

@@ -859,6 +859,47 @@ object TextAnalysis {
           .as("rec"))
   }
 
+  /** One-row ROC-AUC summary over the same score bins as
+    * [[classifierPrCurve]] — the scalar a pipeline tracks run-over-run
+    * while the curve is what it reads when the scalar moves. Binned
+    * trapezoid over (FPR, TPR) points ordered by descending
+    * threshold, with the implicit (0,0) origin as the first lag;
+    * per-bin terms come from a lag window over the BIN catalog (tiny,
+    * bounded by score range × `binsPerUnit`) and the final sum is
+    * rounded to 6 dp (the suite's cross-engine float-sum contract).
+    *
+    * @return one row: (n_pos, n_neg, auc) */
+  def classifierAuc(
+      scored: org.apache.spark.sql.DataFrame,
+      scoreCol: String, labelCol: String,
+      binsPerUnit: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binsPerUnit >= 1, "classifierAuc: binsPerUnit >= 1")
+    val binned = scored
+      .groupBy((floor(col(scoreCol) * binsPerUnit) / binsPerUnit).as("thr"))
+      .agg(sum(col(labelCol).cast("long")).as("__pos"),
+        count(lit(1)).as("__n"))
+    val tot = binned.agg(sum(col("__pos")).cast("long").as("__p"),
+      (sum(col("__n")) - sum(col("__pos"))).cast("long").as("__q"))
+    val w = Window.orderBy(col("thr").desc)
+    binned
+      .withColumn("__tp", sum(col("__pos")).over(w))
+      .withColumn("__fp", sum(col("__n") - col("__pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__p"), col("__q"),
+        (col("__tp").cast("double") / col("__p").cast("double")).as("__tpr"),
+        (col("__fp").cast("double") / col("__q").cast("double")).as("__fpr"))
+      .withColumn("__lt", coalesce(lag(col("__tpr"), 1)
+        .over(Window.orderBy(col("__fpr"), col("__tpr"))), lit(0.0)))
+      .withColumn("__lf", coalesce(lag(col("__fpr"), 1)
+        .over(Window.orderBy(col("__fpr"), col("__tpr"))), lit(0.0)))
+      .select(col("__p"), col("__q"),
+        ((col("__fpr") - col("__lf")) * (col("__tpr") + col("__lt")) / 2)
+          .as("__term"))
+      .groupBy(col("__p").as("n_pos"), col("__q").as("n_neg"))
+      .agg(round(sum(col("__term")), 6).as("auc"))
+  }
+
   /** RAG-style token-window chunking: overlapping windows of `size`
     * whitespace tokens advancing by `stride` — the standard
     * retrieval-corpus preparation step. Chunk `i` covers tokens

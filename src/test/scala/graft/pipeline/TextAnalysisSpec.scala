@@ -445,6 +445,18 @@ class TextAnalysisSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("classifierAuc: perfect separation is 1.0, inverted is 0.0") {
+    import spark.implicits._
+    val good = Seq((3.0, 1), (2.0, 1), (1.0, 0), (0.5, 0)).toDF("s", "y")
+    val a1 = TextAnalysis.classifierAuc(good, "s", "y", binsPerUnit = 1)
+      .as[(Long, Long, Double)].head
+    assert(a1 == ((2L, 2L, 1.0)))
+    val bad = Seq((3.0, 0), (2.0, 0), (1.0, 1), (0.5, 1)).toDF("s", "y")
+    val a0 = TextAnalysis.classifierAuc(bad, "s", "y", binsPerUnit = 1)
+      .as[(Long, Long, Double)].head
+    assert(a0 == ((2L, 2L, 0.0)))
+  }
+
   test("classifierPrCurve: hand-checked cumulative bins, exact ratios") {
     import spark.implicits._
     val scored = Seq((3.0, 1), (2.6, 1), (1.2, 0), (0.4, 1), (0.1, 0))
