@@ -203,6 +203,38 @@ class DedupSpec extends SparkSpec {
       .head.getString(0) == "w1 w2 w3 w4 w5 w6 w7 w8", "owner intact")
   }
 
+  test("stripDuplicateSpans invariants on a dup-heavy random corpus") {
+    import spark.implicits._
+    // small vocab → organic duplicated 4-grams everywhere
+    val rnd = new scala.util.Random(7)
+    val small = Seq("a", "b", "c", "d", "e")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(30)(small(rnd.nextInt(small.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", spanTokens = 4)
+      .collect()
+    val orig = docs.as[(Long, String)].collect().toMap
+    out.foreach { r =>
+      val (id, total, dup, stripped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))
+      val kept =
+        if (stripped.isEmpty) 0 else stripped.split("\\s+").length
+      // token conservation: kept + stripped-out == original count
+      assert(kept == total - dup, s"doc $id: $kept != $total - $dup")
+      // order preservation: stripped text is a subsequence of the
+      // whitespace-normalized original
+      val ot = orig(id).trim.split("\\s+").filter(_.nonEmpty)
+      var j = 0
+      stripped.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        while (j < ot.length && ot(j) != t) j += 1
+        assert(j < ot.length, s"doc $id: '$t' out of order vs original")
+        j += 1
+      }
+    }
+    // every duplicated span's OWNER keeps its full text
+    assert(out.exists(_.getLong(2) > 0), "corpus must actually strip")
+  }
+
   test("nearDupClusters: pair chains collapse to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} via a chain, {10,11}, and a 7-node path
