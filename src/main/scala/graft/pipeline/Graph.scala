@@ -446,11 +446,15 @@ object Graph {
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // eager edge-sized cut: ls feeds BOTH the small-star min and its
+      // re-point join — unmaterialized, the nb+join subtree would run
+      // twice per round (measured ~1.4× round cost)
       val ls = nb.join(lsMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
+        .localCheckpoint(true)
       // SMALL-STAR on the directed result: m = min of u's smaller
       // neighbors; they and u re-point at m. Outputs stay canonical.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
