@@ -1998,6 +1998,31 @@ object SparkEntry {
       // highest-reach spans
       Dedup.topDuplicatedSpans(nearDupFixture(s, dir), "doc_id", "text",
           spanTokens = 8, minDf = 2, k = 20)),
+    "pipeline_curate2" -> ((s, dir) => {
+      // curation v2, composed from this round's operators on the RAW
+      // corpus: exact-substring STRIP first, then the quality rule
+      // evaluated over the STRIPPED text, rolled into the per-source
+      // attrition report — what each stage costs every source, in
+      // docs and tokens. All exact integers but the one z-threshold
+      // compare (the same documented boundary class as its label
+      // rule).
+      val d = documents(s, dir)
+      Dedup.stripDuplicateSpans(d.select(col("doc_id"), col("text")),
+          "doc_id", "text", spanTokens = 8, minDf = 2)
+        .withColumn("__keep",
+          TextAnalysis.qualityZ(col("stripped_text"), Seq("the", "a")) > 0.75)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_in"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("docs_kept"),
+          sum(col("total_tokens")).cast("long").as("tokens_in"),
+          sum(col("total_tokens") - col("dup_tokens")).cast("long")
+            .as("tokens_after_strip"),
+          sum(when(col("__keep"),
+              col("total_tokens") - col("dup_tokens")).otherwise(0L))
+            .cast("long").as("tokens_kept"))
+        .orderBy("source")
+    }),
     "dedup_span_profile" -> ((s, dir) => {
       // per-source duplicated-token telemetry (the dashboard a corpus
       // build reads before weighting sources): the strip output rolls
@@ -3180,24 +3205,31 @@ object SparkEntry {
        |       * 1099511628211::HUGEINT
        |       % 18446744073709551616::HUGEINT) AS u_))""".stripMargin
 
-  /** Shared CTE chain for the `dedup_strip_spans` family: the planted
-    * near-dup fixture, whitespace tokenization, 8-token spans with
-    * word positions, the min-id owner per duplicated span, non-owner
-    * occurrences as [rs, re) ranges, and the per-document sorted
-    * interval merge (`m`) — the exact window recipe
+  /** Shared CTE chain for the `dedup_strip_spans` family over an
+    * arbitrary corpus SQL: whitespace tokenization, 8-token spans
+    * with word positions, the min-id owner per duplicated span,
+    * non-owner occurrences as [rs, re) ranges, and the per-document
+    * sorted interval merge (`m`) — the exact window recipe
     * `Dedup.stripDuplicateSpans` runs. */
-  private lazy val StripSpanCtes: String =
-    """WITH planted AS (
+  private def stripSpanCtes(corpusSql: String): String =
+    s"""WITH u AS (
+      |$corpusSql),
+      |tok AS (""".stripMargin + StripSpanCtesTail
+
+  /** The planted-fixture instance (originals + truncated copies) the
+    * dedup_strip_spans query family replays. */
+  private lazy val StripSpanCtes: String = stripSpanCtes(
+    """  SELECT doc_id, text FROM documents
+      |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
       |    array_to_string(
       |      string_split_regex(trim(text), '\s+')
       |        [1:greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)],
       |      ' ') AS text
-      |  FROM documents WHERE doc_id < 50),
-      |u AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id, text FROM planted),
-      |tok AS (
+      |  FROM documents WHERE doc_id < 50""".stripMargin)
+
+  private lazy val StripSpanCtesTail: String =
+    """
       |  SELECT doc_id,
       |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
       |  FROM u),
@@ -5543,6 +5575,63 @@ object SparkEntry {
         |FROM tok
         |LEFT JOIN agg USING (doc_id) LEFT JOIN stx USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // pipeline_curate2: the strip chain over the RAW corpus, the
+    // stripped text rebuilt, the quality z re-derived from it, and
+    // the per-source attrition rollup — every stage the engine runs,
+    // replayed in one WITH chain
+    "pipeline_curate2" -> (stripSpanCtes(
+      "  SELECT doc_id, text FROM documents") +
+      """,
+        |agg AS (SELECT doc_id, sum(re - rs) AS dup_tokens
+        |        FROM m GROUP BY doc_id),
+        |tk AS (SELECT doc_id, r.i - 1 AS p, t[r.i] AS w
+        |       FROM tok, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.p, tk.w
+        |  FROM tk LEFT JOIN m
+        |    ON m.doc_id = tk.doc_id AND tk.p >= m.rs AND tk.p < m.re
+        |  WHERE m.doc_id IS NULL),
+        |stx AS (SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS st
+        |        FROM kept GROUP BY doc_id),
+        |feat AS (
+        |  SELECT t0.doc_id, len(t0.t) AS tokens_in,
+        |    coalesce(a.dup_tokens, 0) AS dup, coalesce(stx.st, '') AS st
+        |  FROM tok t0 LEFT JOIN agg a USING (doc_id)
+        |  LEFT JOIN stx USING (doc_id)),
+        |qz AS (
+        |  SELECT doc_id, tokens_in, dup, st,
+        |    list_filter(string_split_regex(trim(st), '\s+'), x -> x <> '')
+        |      AS ts2
+        |  FROM feat),
+        |qb2 AS (
+        |  SELECT doc_id, tokens_in, dup, len(ts2) AS nt,
+        |    CASE WHEN len(ts2) > 0 THEN
+        |      CAST(list_sum(list_transform(ts2, x -> len(x))) AS DOUBLE)
+        |        / len(ts2)
+        |    ELSE 0.0 END AS awl,
+        |    CASE WHEN len(ts2) > 0 THEN
+        |      CAST(len(list_filter(ts2, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / len(ts2)
+        |    ELSE 0.0 END AS sr,
+        |    CASE WHEN len(st) > 0 THEN
+        |      CAST(len(st) - len(regexp_replace(st, '[[:punct:]]', '', 'g'))
+        |        AS DOUBLE) / len(st)
+        |    ELSE 0.0 END AS pr
+        |  FROM qz),
+        |dec AS (
+        |  SELECT doc_id, tokens_in, dup,
+        |    CASE WHEN (-1.0 + 0.35 * ln(1.0 + nt) + 2.0 * sr - 4.0 * pr
+        |               + 0.5 * awl / 10.0) > 0.75 THEN 1 ELSE 0 END AS keep
+        |  FROM qb2)
+        |SELECT s2.source,
+        |  count(*)::BIGINT AS docs_in,
+        |  sum(d2.keep)::BIGINT AS docs_kept,
+        |  sum(d2.tokens_in)::BIGINT AS tokens_in,
+        |  sum(d2.tokens_in - d2.dup)::BIGINT AS tokens_after_strip,
+        |  sum(CASE WHEN d2.keep = 1 THEN d2.tokens_in - d2.dup ELSE 0 END)
+        |    ::BIGINT AS tokens_kept
+        |FROM dec d2 JOIN documents s2 USING (doc_id)
+        |GROUP BY s2.source ORDER BY s2.source""".stripMargin),
     // dedup_top_spans: the span CTE feeds a plain reach-ranked top-k;
     // the unused merge CTEs in the shared chain never execute
     "dedup_top_spans" -> (StripSpanCtes +
