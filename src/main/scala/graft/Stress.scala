@@ -52,7 +52,8 @@ object Stress {
     "graph_pagerank", "graph_kcore", "text_bm25", "text_inverted_index",
     "cur_table_diff", "ivm_merge", "sketch_quantile_grouped", "q4_semi",
     "cur_dsir", "dedup_keep_best", "er_match", "sim_ivfpq", "graph_cc",
-    "cur_pack_spans", "dedup_strip_spans", "graph_cc_star")
+    "cur_pack_spans", "dedup_strip_spans", "graph_cc_star",
+    "pipeline_curate2", "stream_clf")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
