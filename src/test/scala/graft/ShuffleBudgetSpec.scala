@@ -81,4 +81,20 @@ class ShuffleBudgetSpec extends SparkSpec {
     // only the post-join aggregate's combined partials shuffle
     assert(rec <= 50L * P, s"fact side must not shuffle for the join: $rec")
   }
+
+  test("passage strip on an m-identical flood shuffles O(occurrences), not O(m^2)") {
+    // 1000 identical 12-token docs = 5 span occurrences each. A
+    // pair-based design would move ~m²/2 = 500k records; the strip's
+    // contract is a small constant × occurrences across ALL of its
+    // stages (span stats, probe join, interval merge, range fold).
+    val n = 1000
+    val docs = (0 until n)
+      .map(i => (i.toLong, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.stripDuplicateSpans(
+      docs, "doc_id", "text", spanTokens = 8)
+    val rec = shuffleRecords(out)
+    assert(rec <= 60000L,
+      s"strip must stay linear in occurrences (~5k), got $rec")
+  }
 }
