@@ -97,4 +97,24 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(rec <= 60000L,
       s"strip must stay linear in occurrences (~5k), got $rec")
   }
+
+  test("NB training shuffles bounded by buckets and doc-bucket pairs, not tokens") {
+    // 2000 docs × 40 occurrences of ≤ 8 distinct tokens: the model
+    // aggregate must partial-combine to ≤ buckets × partitions and the
+    // scoring aggregate to ≤ distinct (doc, bucket) pairs — a
+    // non-combinable regression would shuffle all 80k token rows.
+    val vocab = Seq("a", "b", "c", "d", "w", "x", "y", "z")
+    val docs = (0 until 2000).map { i =>
+      (i.toLong,
+        Seq.tabulate(40)(j => vocab((i + j) % vocab.size)).mkString(" "),
+        i % 2)
+    }.toDF("doc_id", "text", "y")
+    val out = graft.pipeline.TextAnalysis.nbTokenClassifier(
+      docs, "doc_id", "text", "y", buckets = 64)
+    val rec = shuffleRecords(out)
+    // pairs ≤ 2000 × 8 = 16k; model ≤ 64 × P; everything else is
+    // doc-sized — 80k token rows on the wire means combine broke
+    assert(rec <= 40000L,
+      s"NB train+score must not shuffle raw token rows: $rec")
+  }
 }
