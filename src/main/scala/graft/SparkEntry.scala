@@ -1977,6 +1977,19 @@ object SparkEntry {
           shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")),
+    "dedup_minhash_prune" -> ((s, dir) => {
+      // the ACTION for the MinHash family: LSH pairs → components →
+      // keep the LONGEST member per cluster (originals beat their
+      // truncated copies; tie → min id), singletons survive untouched
+      val fx = nearDupFixture(s, dir)
+      Dedup.keepBestPerCluster(
+          fx.withColumn("q", length(col("text")).cast("long")),
+          Dedup.minHashNearDupPairs(fx, "doc_id", "text",
+              shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
+            .select(col("id_a"), col("id_b")),
+          "doc_id", "q")
+        .orderBy("id")
+    }),
     "dedup_spans" -> ((s, dir) =>
       // truncated copies share nearly all their 8-token spans with the
       // originals
@@ -3405,11 +3418,14 @@ object SparkEntry {
     * permutation → 32 md5 band keys → capped bucket join → exact
     * Jaccard over distinct full-64-bit shingle hashes. Every stage is
     * integer arithmetic both engines compute identically. */
-  private lazy val MinHashOracle: String = {
+  /** CTE prefix (no leading WITH) shared by `dedup_minhash` and
+    * `dedup_minhash_prune` — the latter needs `WITH RECURSIVE` for
+    * its component closure, so the keyword stays with the caller. */
+  private lazy val MinHashCtes: String = {
     val (as, bs) = graft.functions.MinHashSigExpr.params(128, 42L)
     val abRows = as.indices.map(i => s"  (${i}, ${as(i)}, ${bs(i)})")
       .mkString(",\n")
-    s"""WITH planted AS (
+    s"""planted AS (
        |  SELECT doc_id + 1000000 AS doc_id,
        |    array_to_string(
        |      string_split_regex(trim(text), '\\s+')
@@ -3459,11 +3475,39 @@ object SparkEntry {
        |    i.ic::DOUBLE / (na.n + nb.n - i.ic) AS jaccard
        |  FROM inter i
        |  JOIN ns na ON na.doc_id = i.id_a
-       |  JOIN ns nb ON nb.doc_id = i.id_b)
-       |SELECT id_a, id_b, jaccard FROM p
-       |WHERE jaccard >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |  JOIN ns nb ON nb.doc_id = i.id_b)""".stripMargin
   }
+
+  private lazy val MinHashOracle: String =
+    "WITH " + MinHashCtes +
+      """
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+
+  /** `dedup_minhash_prune` replayed in SQL: the MinHash pair chain,
+    * a recursive component closure, and the keep-LONGEST winner rule
+    * (tie → min id) — singletons label themselves and survive. */
+  private lazy val MinHashPruneOracle: String =
+    "WITH RECURSIVE " + MinHashCtes +
+      """,
+        |pr2 AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.5),
+        |und2 AS (SELECT id_a AS a, id_b AS b FROM pr2
+        |         UNION SELECT id_b AS a, id_a AS b FROM pr2),
+        |reach AS (
+        |  SELECT a AS id, a AS lab FROM und2
+        |  UNION
+        |  SELECT und2.a, r.lab FROM und2 JOIN reach r ON und2.b = r.id),
+        |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |lab2 AS (
+        |  SELECT u.doc_id AS id, coalesce(cl.cluster, u.doc_id) AS cluster,
+        |    len(u.text) AS q
+        |  FROM u LEFT JOIN cl ON cl.id = u.doc_id)
+        |SELECT id, cluster,
+        |  (CASE WHEN row_number() OVER (
+        |     PARTITION BY cluster ORDER BY q DESC, id) = 1
+        |   THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM lab2 ORDER BY id""".stripMargin
 
   /** `dedup_semdedup_lsh` replayed in SQL. The hyperplanes are the
     * ENGINE'S OWN seeded constants rendered as literals (Double
@@ -3665,6 +3709,7 @@ object SparkEntry {
     "text_fingerprint" -> FingerprintOracle,
     "text_winnow" -> WinnowOracle,
     "dedup_minhash" -> MinHashOracle,
+    "dedup_minhash_prune" -> MinHashPruneOracle,
     "dedup_simhash" -> SimHashOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
