@@ -53,7 +53,7 @@ object Stress {
     "cur_table_diff", "ivm_merge", "sketch_quantile_grouped", "q4_semi",
     "cur_dsir", "dedup_keep_best", "er_match", "sim_ivfpq", "graph_cc",
     "cur_pack_spans", "dedup_strip_spans", "graph_cc_star",
-    "pipeline_curate2", "stream_clf")
+    "pipeline_curate2", "stream_clf", "dedup_minhash_prune")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
