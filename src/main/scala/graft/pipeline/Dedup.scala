@@ -132,8 +132,9 @@ object Dedup {
     */
   def prefixJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val cand = prefixJaccardCandidatePairs(docs, idCol, textCol, threshold)
+      threshold: Double, groupFloor: Double = DefaultGroupFloor): DataFrame = {
+    val cand =
+      prefixJaccardCandidatePairs(docs, idCol, textCol, threshold, groupFloor)
     val sets = docs.select(col(idCol),
       graft.functions.tokenSet(TextAnalysis.tokens(col(textCol))).as("__set"))
     cand
@@ -153,16 +154,29 @@ object Dedup {
     * usable as a recall-free blocking stage in its own right.
     * Returns (id_a, id_b) with id_a < id_b — a superset of the
     * qualifying pairs by the pigeonhole/PPJoin theorems. */
+  /** Absolute candidate-inflation floor below which the near-identical-
+    * prefix grouping is bypassed (see the decision comment inside
+    * [[prefixJaccardCandidatePairs]]). Tests pass 0 to force the
+    * grouped path on small fixtures. */
+  val DefaultGroupFloor: Double = 5e5
+
   def prefixJaccardCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, groupFloor: Double = DefaultGroupFloor): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "prefixJaccardPairs: threshold must be in (0, 1]")
     val toks = docs.select(col(idCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // Materialized once (eager localCheckpoint): the prefix table feeds
+    // the grouping decision below AND both sides of the candidate join,
+    // and at 100 TB the candidate join re-shuffles this exact data
+    // anyway — recomputing the df-rank window per consumer would triple
+    // the heaviest upstream stage. Blocks are freed by the context
+    // cleaner when the plan is dropped, like every iterative op here.
     val prefix = rankedPrefix(toks, idCol, dfreq, threshold, "inner")
       .select(col(idCol), col("__tok"), col("__r"), col("__sz"))
+      .localCheckpoint(true)
     // NEAR-IDENTICAL-PREFIX GROUPING — the template-flood guard the
     // exact-dup collapse ([[prefixJaccardPairsCollapsed]]) cannot
     // provide: replica corpora differ by a suffix token, so their full
@@ -182,23 +196,26 @@ object Dedup {
     // t ≤ 1, so emitting them unconditionally matches the ungrouped
     // join. The group key is the 128-bit md5 of (size, sorted prefix
     // tokens) — same birthday-bound argument as the exact collapse.
+    // doc-count-sized (one 16-byte hash per doc); materialized because
+    // it feeds BOTH the bypass decision aggregate and the grouped
+    // path's membership join — unmaterialized, the collect_list
+    // aggregate over the prefix table would run twice
     val sig = prefix.groupBy(col(idCol), col("__sz"))
       .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
       .select(col(idCol), md5(concat_ws(" ",
         col("__sz").cast("string"), array_join(col("__pt"), " "))
         .cast("binary")).as("__g"))
-    val memb = sig.join(
-      sig.groupBy(col("__g")).agg(min(col(idCol)).as("__rep")), Seq("__g"))
-      .select(col("__rep"), col(idCol))
-    val repPrefix = prefix.join(
-      memb.filter(col("__rep") === col(idCol)).select(col(idCol)),
-      Seq(idCol), "left_semi")
+      .localCheckpoint(true)
     val sa = col("pa.__sz"); val sb = col("pb.__sz")
     val idxFrac = 2.0 * threshold / (1.0 + threshold)
     def idxPrefixOk(r: Column, sz: Column): Column =
       r <= sz - ceil(lit(idxFrac) * sz - lit(1e-9)) + 1
-    val candRep = repPrefix.as("pa")
-      .join(repPrefix.as("pb"), col("pa.__tok") === col("pb.__tok") &&
+    // The PPJoin candidate join (length + positional + index-prefix
+    // filters, all theorems) — run on the full prefix table or on
+    // one representative per prefix-group, depending on the bypass
+    // decision below. Output (__ra, __rb) with __ra < __rb.
+    def candJoin(p: DataFrame): DataFrame = p.as("pa")
+      .join(p.as("pb"), col("pa.__tok") === col("pb.__tok") &&
         col(s"pa.$idCol") < col(s"pb.$idCol") &&
         least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb) - lit(1e-9) &&
         (lit(1) + least(sa - col("pa.__r"), sb - col("pb.__r"))).cast("double") >=
@@ -208,21 +225,60 @@ object Dedup {
           .otherwise(idxPrefixOk(col("pb.__r"), sb)))
       .select(col(s"pa.$idCol").as("__ra"), col(s"pb.$idCol").as("__rb"))
       .distinct()
-    // rep-pairs → member-pairs (a member belongs to exactly one group,
-    // so the expansion cannot mint duplicates); within-group pairs are
-    // all candidates by the rank-1 shared-token argument above
-    val cross = candRep
-      .join(memb.select(col("__rep").as("__ra"), col(idCol).as("__ia")),
-        Seq("__ra"))
-      .join(memb.select(col("__rep").as("__rb"), col(idCol).as("__ib")),
-        Seq("__rb"))
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"))
-    val within = memb.as("ma")
-      .join(memb.as("mb"), col("ma.__rep") === col("mb.__rep") &&
-        col(s"ma.$idCol") < col(s"mb.$idCol"))
-      .select(col(s"ma.$idCol").as("id_a"), col(s"mb.$idCol").as("id_b"))
-    cross.unionByName(within)
+    // FLOOD-AWARE BYPASS: the grouping only pays when prefix-groups
+    // amplify the candidate join quadratically (replica floods); on a
+    // low-duplication corpus the rep semi-join + two expansion joins
+    // are pure overhead (measured 3× base-scale cost at sf0.1). The
+    // decision variable is the ABSOLUTE join inflation Σm(m−1) = 2×
+    // the within-group pair count (a group of m contributes m² rows
+    // per shared prefix token where a rep contributes 1): the
+    // grouping's cost is a handful of doc-count-keyed shuffles whose
+    // stage latency dominates below ~10⁶ inflated candidates (sf0.1's
+    // genuine 125-doc template group inflates only ~37K — trivially
+    // absorbed by the join, so grouping there trades 15K avoided rows
+    // for three extra stages), while above that the join's per-row
+    // cost dominates and grouping wins regardless of corpus size
+    // (both the 10× replica corpus, Σm(m−1) ≈ 1.6M, and any 100 TB
+    // flood sit far past it). The relative 3·n term keeps the rule
+    // scale-free for corpora whose duplication grows with size. All
+    // inputs come from one grouped count over `sig` (doc-count-sized,
+    // derived from the already-checkpointed prefix table); the
+    // decision is deterministic, and both branches produce a candidate
+    // SUPERSET of the qualifying pairs, so the verified output is
+    // identical either way.
+    val gsz = sig.groupBy(col("__g")).agg(count(lit(1)).as("__m"))
+    val st = gsz.agg(sum(col("__m")),
+      sum(col("__m").cast("double") * (col("__m") - 1))).head
+    // empty corpus → null aggregates → bypass (nothing to group)
+    val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val inflation = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+    if (inflation <= math.max(3.0 * nDocs, groupFloor)) {
+      candJoin(prefix)
+        .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
+    } else {
+      val memb = sig.join(
+        sig.groupBy(col("__g")).agg(min(col(idCol)).as("__rep")), Seq("__g"))
+        .select(col("__rep"), col(idCol))
+      val repPrefix = prefix.join(
+        memb.filter(col("__rep") === col(idCol)).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      val candRep = candJoin(repPrefix)
+      // rep-pairs → member-pairs (a member belongs to exactly one
+      // group, so the expansion cannot mint duplicates); within-group
+      // pairs are all candidates by the rank-1 shared-token argument
+      val cross = candRep
+        .join(memb.select(col("__rep").as("__ra"), col(idCol).as("__ia")),
+          Seq("__ra"))
+        .join(memb.select(col("__rep").as("__rb"), col(idCol).as("__ib")),
+          Seq("__rb"))
+        .select(least(col("__ia"), col("__ib")).as("id_a"),
+          greatest(col("__ia"), col("__ib")).as("id_b"))
+      val within = memb.as("ma")
+        .join(memb.as("mb"), col("ma.__rep") === col("mb.__rep") &&
+          col(s"ma.$idCol") < col(s"mb.$idCol"))
+        .select(col(s"ma.$idCol").as("id_a"), col(s"mb.$idCol").as("id_b"))
+      cross.unionByName(within)
+    }
   }
 
   /** Incremental (batch-vs-corpus) exact jaccard-threshold join: every

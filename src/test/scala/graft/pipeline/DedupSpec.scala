@@ -289,6 +289,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs: grouped and bypass paths agree (both exact)") {
+    // The flood-aware bypass picks one of two candidate strategies at
+    // runtime; small fixtures always take the bypass, so this forces
+    // the GROUPED path (groupFloor = 0) on a corpus with genuine
+    // prefix-groups — token-set-equal docs in shuffled word order —
+    // and checks both paths against brute force. Group shape: 10
+    // groups × 5 members → inflation Σm(m−1) = 200 > 3·n = 150, so
+    // floor 0 routes grouped while the default floor routes bypass.
+    val words = ('a' to 'z').map(_.toString)
+    def doc(seed: Int, rot: Int) = {
+      val ts = (0 until 14).map(i => words((seed * 31 + i * 17) % 26)).distinct
+      (ts.drop(rot % ts.size) ++ ts.take(rot % ts.size)).mkString(" ")
+    }
+    val docs = (for (g <- 0 until 10; m <- 0 until 5)
+      yield ((g * 10 + m).toLong, doc(g, m))).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.9)) {
+      val grouped = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t,
+          groupFloor = 0.0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val bypass = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val toks = (c: org.apache.spark.sql.Column) =>
+        graft.functions.tokenSet(TextAnalysis.tokens(c))
+      val a = docs.select(col("doc_id").as("id_a"), toks(col("text")).as("sa"))
+      val b = docs.select(col("doc_id").as("id_b"), toks(col("text")).as("sb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("j", Dedup.jaccardSorted(col("sa"), col("sb")))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(grouped == brute, s"t=$t: grouped path must be exact")
+      assert(bypass == brute, s"t=$t: bypass path must be exact")
+      assert(brute.size >= 100, s"t=$t: fixture must contain real groups")
+    }
+  }
+
   test("incrementalJaccardPairs: cross-side exact vs brute force, no self pairs") {
     val words = ('a' to 'z').map(_.toString)
     def doc(seed: Int, n: Int) =
