@@ -53,7 +53,17 @@ object Stress {
     "cur_table_diff", "ivm_merge", "sketch_quantile_grouped", "q4_semi",
     "cur_dsir", "dedup_keep_best", "er_match", "sim_ivfpq", "graph_cc",
     "cur_pack_spans", "dedup_strip_spans", "graph_cc_star",
-    "pipeline_curate2", "stream_clf", "dedup_minhash_prune")
+    "pipeline_curate2", "stream_clf", "dedup_minhash_prune",
+    // the remaining iterative/quadratic-risk graph ops: triangles'
+    // O(m^1.5) and jaccard's wedge reshape are exactly where a 10×
+    // bend would hide, and none of the six had ever been measured
+    // under scale (the co-supplier projection's per-order fan-out
+    // grows with the replica factor, so these are the harshest
+    // entries in the list by construction)
+    "graph_lpa", "graph_hits", "graph_ppr", "graph_jaccard",
+    "graph_triangles", "graph_bfs",
+    // the fully-linear SemDeDup tier (the sharded/IVF tier is above)
+    "dedup_semdedup_lsh")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,7 +201,73 @@ object Stress {
         f"$nBig -> $tb%.2f s, x_vs_linear $x%.3f")
       s""","aux_semdedup_lsh":{"n_small":$nSmall,"sec_small":$ts,"n_big":$nBig,"sec_big":$tb,"x_vs_linear":${f"$x%.3f"}}"""
     }.getOrElse("")
-    val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux}"""
+    // 100× stress point for the scale flagships (env-gated: ~20-30 min
+    // including the 100× synthesis): 10× catches quadratic blowups,
+    // 100× catches memory cliffs and n·log n bends — the claim on the
+    // tin is 100 TB. Corpus-driven queries run on a factor-100 replica
+    // of the sf dir; `x_vs_10x_per_decade` = sec₁₀₀ / (10 × sec₁₀ from
+    // THIS run) — ≈1 means the extra decade cost exactly one decade of
+    // time. cc_star gets a SYNTHETIC edge graph instead: the
+    // co-supplier projection's per-order pair fan-out grows
+    // quadratically in the replica factor, so a 100× corpus would
+    // measure the fixture's explosion, not the operator's scaling
+    // (expected per-decade ratio for cc_star is log(10n)/log(n) ≈ 1.1,
+    // NOT 1.0 — rounds grow logarithmically while per-round work is
+    // linear). SemDeDup-LSH reuses its deterministic vector synth at
+    // 600K → 6M rows, past any flat-path ceiling.
+    val aux100 = sys.env.get("SPARK_GRAFT_STRESS_100X").map { _ =>
+      val dir100 = outDir + "_100x"
+      synthesize(spark, srcDir, dir100, 100)
+      spark.read.parquet(s"$dir100/lineitem.parquet").count()
+      val res = results.toMap
+      val corpus = Seq("dedup_strip_spans", "stream_session_native",
+        "dedup_prefix").map { name =>
+        val t0 = System.nanoTime()
+        val n = try all(name)(spark, dir100).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[stress100] $name FAILED: ${e.getMessage}")
+            -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val ratio = res.get(name).map(_._1).filter(_ > 0).map(b => t / (b * 10))
+        println(f"[stress100] $name%-22s $t%8.2f s  ($n%d rows)" +
+          ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f"))
+        s""""$name":{"sec":${f"$t%.2f"},"rows":$n${
+          ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""")}}"""
+      }
+      def edgesOf(n: Long, m: Long) = spark.range(m).select(
+        pmod(xxhash64(col("id")), lit(n)).as("src"),
+        pmod(xxhash64(col("id") + m), lit(n)).as("dst"))
+      def ccRun(n: Long, m: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.pipeline.Graph.connectedComponentsStar(
+          edgesOf(n, m), "src", "dst").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ccS = ccRun(600000L, 1800000L)
+      val ccB = ccRun(6000000L, 18000000L)
+      val ccX = ccB / (ccS * 10)
+      println(f"[stress100] graph_cc_star synth: 1.8M edges $ccS%.2f s, " +
+        f"18M edges $ccB%.2f s, per-decade $ccX%.3f")
+      def vecs(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(31)),
+          i => (pmod(xxhash64(col("id") * 32 + i), lit(2000L)) - 1000L) / 1000.0)
+          .as("embedding"))
+      def semRun(n: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.pipeline.Vec.semDedupLsh(vecs(n), "vec_id", "embedding",
+          dim = 32, iters = 2, threshold = 0.999, shardTarget = 4096).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val semS = semRun(600000L)
+      val semB = semRun(6000000L)
+      val semX = semB / (semS * 10)
+      println(f"[stress100] semdedup_lsh: 600K $semS%.2f s, 6M $semB%.2f s, " +
+        f"per-decade $semX%.3f")
+      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"}}}"""
+    }.getOrElse("")
+    val line = s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$aux100}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/STRESS_local.json"),

@@ -408,9 +408,20 @@ object Graph {
     * edge set (count + sum of per-edge xxhash64 in decimal — 2^-64
     * collision odds, and a collision could only DELAY termination by
     * a round, never corrupt labels, because the fixpoint state maps
-    * to itself). Lineage is cut per round with `localCheckpoint` like
-    * every iterative op here; `maxRounds` bounds the pathological
-    * case and throws rather than return half-contracted labels.
+    * to itself; the signature scan reads the round's freshly
+    * checkpointed blocks, never recomputes the round — an
+    * `observe`-folded variant that computed it inside the checkpoint
+    * job was measured SLOWER at 10×: CollectMetrics evaluates its
+    * aggregates interpreted, per row, where the separate scan is
+    * whole-stage-codegen'd). Lineage is cut per round like every
+    * iterative op here; `maxRounds` bounds the pathological case and
+    * throws rather than return half-contracted labels. Note the
+    * PROVEN worst-case round bound for alternating large-star/small-
+    * star is O(log² n), not O(log n) — typical graphs converge in
+    * ~log n rounds (default 30 covers n ≈ 2³⁰ of those), but an
+    * adversarial long-chain graph can need the superlogarithmic
+    * bound: raise `maxRounds` there, and treat the throw as the
+    * designed failure mode rather than silently wrong labels.
     *
     * @return (id, cluster) — one row per node in `edges`, cluster =
     *         min id of its component. */
@@ -423,20 +434,23 @@ object Graph {
     val nodes = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct()
       .localCheckpoint(true)
+    // Materialize a round's edge set, then its exact multiset
+    // signature (|E|, Σ xxhash64(u,v) as decimal — decimal sum cannot
+    // overflow ANSI the way a long sum would) as one codegen'd scan
+    // over the freshly checkpointed blocks (see the docstring for why
+    // this beats folding the signature into the checkpoint job).
+    def ckptWithSig(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val out = df.localCheckpoint(true)
+      val r = out.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (out, (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)))
+    }
     // canonical directed form: (u, v) with u > v
-    var e = pairs.filter(col("a") =!= col("b"))
+    var (e, prev) = ckptWithSig(pairs.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
-    // exact multiset signature: (|E|, Σ xxhash64(u,v) as decimal —
-    // decimal sum cannot overflow ANSI the way a long sum would)
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
-      (r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-    var prev = sig(e)
+      .distinct())
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
@@ -446,15 +460,24 @@ object Graph {
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // eager edge-sized cut: ls feeds BOTH the small-star min and its
-      // re-point join — unmaterialized, the nb+join subtree would run
-      // twice per round (measured ~1.4× round cost)
+      // ls feeds BOTH the small-star min and its re-point join —
+      // uncached, the nb+join subtree would run twice per round
+      // (measured ~1.4× round cost). persist + eager count (not
+      // localCheckpoint): materialization is its own fully-parallel
+      // job exactly as before (leaving it lazy serialized the two
+      // consumers' stages on block locks inside the small-star job —
+      // measured +15% at 10×), lineage is already shallow (rooted at
+      // the checkpointed e), and — unlike checkpoint blocks — the
+      // cache is RELEASED as soon as the round's edges materialize,
+      // so executor storage holds one round of edges, not one per
+      // round.
       val ls = nb.join(lsMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .persist()
+      ls.count()
       // SMALL-STAR on the directed result: m = min of u's smaller
       // neighbors; they and u re-point at m. Outputs stay canonical.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -464,9 +487,10 @@ object Graph {
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      e = ss.localCheckpoint(true)
-      val cur = sig(e)
-      converged = cur == prev
+      val (eNew, cur) = ckptWithSig(ss)
+      ls.unpersist()
+      e = eNew
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
       r += 1
     }

@@ -832,7 +832,13 @@ object TextAnalysis {
     * Scale shape: one keyed aggregate collapses the corpus to ≤ a few
     * hundred (bounded by score range × `binsPerUnit`) bin rows; the
     * cumulative window and totals run on THAT catalog — the global
-    * ordering is over bins, never documents. */
+    * ordering is over bins, never documents.
+    *
+    * Degenerate-corpus contract: a corpus with ZERO positive labels
+    * has no defined recall — `rec` is NULL on every row (explicitly,
+    * via a guarded division; never NaN/Infinity), matching the SQL
+    * convention (x/0 → NULL) so external replays agree byte-for-byte.
+    * `tp`/`fp`/`fn`/`prec` stay exact. */
   def classifierPrCurve(
       scored: org.apache.spark.sql.DataFrame,
       scoreCol: String, labelCol: String,
@@ -855,7 +861,9 @@ object TextAnalysis {
         (col("__pos_all") - col("tp")).cast("long").as("fn"),
         (col("tp").cast("double") / col("__n_ge").cast("double"))
           .as("prec"),
-        (col("tp").cast("double") / col("__pos_all").cast("double"))
+        // zero-positive corpus → NULL recall by contract (see doc)
+        (col("tp").cast("double") /
+          nullif(col("__pos_all"), lit(0L)).cast("double"))
           .as("rec"))
   }
 
@@ -867,6 +875,12 @@ object TextAnalysis {
     * per-bin terms come from a lag window over the BIN catalog (tiny,
     * bounded by score range × `binsPerUnit`) and the final sum is
     * rounded to 6 dp (the suite's cross-engine float-sum contract).
+    *
+    * Degenerate-corpus contract: ROC-AUC is undefined on a
+    * single-class corpus (zero positives or zero negatives) — `auc`
+    * is NULL there (explicitly, via guarded divisions; never
+    * NaN/Infinity), matching the SQL x/0 → NULL convention so
+    * external replays agree; `n_pos`/`n_neg` still report the counts.
     *
     * @return one row: (n_pos, n_neg, auc) */
   def classifierAuc(
@@ -887,8 +901,11 @@ object TextAnalysis {
       .withColumn("__fp", sum(col("__n") - col("__pos")).over(w))
       .crossJoin(broadcast(tot))
       .select(col("__p"), col("__q"),
-        (col("__tp").cast("double") / col("__p").cast("double")).as("__tpr"),
-        (col("__fp").cast("double") / col("__q").cast("double")).as("__fpr"))
+        // single-class corpus → NULL tpr/fpr → NULL auc by contract
+        (col("__tp").cast("double") /
+          nullif(col("__p"), lit(0L)).cast("double")).as("__tpr"),
+        (col("__fp").cast("double") /
+          nullif(col("__q"), lit(0L)).cast("double")).as("__fpr"))
       .withColumn("__lt", coalesce(lag(col("__tpr"), 1)
         .over(Window.orderBy(col("__fpr"), col("__tpr"))), lit(0.0)))
       .withColumn("__lf", coalesce(lag(col("__fpr"), 1)

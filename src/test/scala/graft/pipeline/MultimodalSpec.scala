@@ -155,4 +155,44 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(got == want, s"missing=${want -- got} stray=${got -- want}")
   }
+
+  // ------------------------------------------- committed golden fixtures
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    assert(in != null, s"missing committed fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("golden PNG fixture: exact decode, pixel means, pHash, features") {
+    // The fixture is a COMMITTED binary (src/test/resources/golden.png,
+    // a 24×16 patterned RGB raster), and every value below is a
+    // hard-coded golden — unlike the synthesized-fixture tests above
+    // (where a JDK encode+decode drift would cancel out), this catches
+    // ImageIO decode drift across JDK versions and any regression in
+    // the DCT/feature code, exactly as the mm_features rows-only
+    // justification promises.
+    val png = resource("/golden.png")
+    assert(Multimodal.jdkDecode(png) == Multimodal.MediaMeta("png", 24, 16, 1, 0))
+    val Seq(ps) = Multimodal.pixelStatsBatch(Seq(png))
+    assert(ps.meanR == 103.0 && math.abs(ps.meanG - 107.0 - 1.0 / 6) < 1e-9 &&
+      ps.meanB == 87.5, s"pixel means drifted: $ps")
+    assert(Multimodal.pHash64(png) == 2647875509291000868L, "pHash drifted")
+    val v = Seq(Tuple1(png)).toDF("payload")
+      .select(Multimodal.hashFeatures(col("payload"), 8))
+      .as[Seq[Double]].head
+    val golden = Seq(-0.476754068, -0.500873202, 0.312747555, -0.117641851,
+      -0.136640758, 0.452157103, 0.426610462, 0.071187969)
+    v.zip(golden).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1e-9, s"feature[$i] drifted: $got vs $want")
+    }
+  }
+
+  test("golden WAV fixture: exact decode metadata and PCM16 samples") {
+    val wav = resource("/golden.wav")
+    assert(Multimodal.jdkDecode(wav) == Multimodal.MediaMeta("wav", 0, 0, 64, 8000))
+    val pcm = Multimodal.decodePcm16(wav)
+    val want = Array.tabulate(64)(i => ((i * 2567 + 123) % 65536 - 32768).toShort)
+    assert(pcm.toSeq == want.toSeq, "decoded PCM drifted from golden")
+  }
 }

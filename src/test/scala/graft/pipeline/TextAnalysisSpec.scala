@@ -470,4 +470,27 @@ class TextAnalysisSpec extends SparkSpec {
       (1.0, 2L, 1L, 1L, 2.0 / 3, 2.0 / 3),
       (0.0, 3L, 2L, 0L, 3.0 / 5, 1.0)))
   }
+
+  test("classifier metrics: single-class corpus yields NULL, never NaN") {
+    // the documented degenerate contract: zero positives → recall and
+    // AUC are undefined; they must surface as explicit NULLs (the SQL
+    // x/0 convention an external replay agrees with), never NaN or
+    // Infinity, and the exact counts must survive
+    import spark.implicits._
+    val allNeg = Seq((3.0, 0), (1.0, 0)).toDF("s", "y")
+    val pr = TextAnalysis.classifierPrCurve(allNeg, "s", "y", binsPerUnit = 1)
+      .select("tp", "fp", "rec").collect()
+    assert(pr.forall(_.isNullAt(2)), "rec must be NULL with zero positives")
+    assert(pr.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L), (0L, 2L)), "counts stay exact")
+    val auc = TextAnalysis.classifierAuc(allNeg, "s", "y", binsPerUnit = 1)
+      .select("n_pos", "n_neg", "auc").head
+    assert(auc.getLong(0) == 0L && auc.getLong(1) == 2L && auc.isNullAt(2),
+      s"auc must be NULL with zero positives, got $auc")
+    val allPos = Seq((3.0, 1), (1.0, 1)).toDF("s", "y")
+    val auc2 = TextAnalysis.classifierAuc(allPos, "s", "y", binsPerUnit = 1)
+      .select("n_pos", "n_neg", "auc").head
+    assert(auc2.getLong(0) == 2L && auc2.getLong(1) == 0L && auc2.isNullAt(2),
+      s"auc must be NULL with zero negatives, got $auc2")
+  }
 }
