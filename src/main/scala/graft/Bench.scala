@@ -79,27 +79,38 @@ object Bench {
     // BENCH_DELTA.json — mechanized noise protocol: join this run
     // against the PREVIOUS committed BENCH_local.json (read before the
     // overwrite below) and flag only queries slower than 1.5× the
-    // previous min in BOTH reps. One slow rep is host noise; both reps
-    // slow is a real regression worth chasing. Uniform host-load
-    // inflation still shows here if the whole suite crossed 1.5× — the
-    // `n_flagged`/`n_common` ratio is the tell (a handful = real, most
-    // of the suite = rerun first).
+    // previous min in BOTH reps, AFTER dividing out the run's median
+    // ratio over all common queries. The median is the host factor —
+    // a different VM, CPU generation or load level inflates every
+    // query uniformly (this round's sandbox measured ~1.4× round six's
+    // on identical code), and without normalizing it the delta would
+    // flag half the suite on a slow host and nothing real on a fast
+    // one. One slow rep is host noise; both reps slow AFTER host
+    // normalization is a genuine per-query regression worth chasing.
     val prevBench: Map[String, Double] = readFile(outPath).map { txt =>
       "\"([A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)[,}]".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
+    val ratios = results.flatMap { case (name, _, best) =>
+      prevBench.get(name).filter(_ > 0).filter(_ => best >= 0)
+        .map(p => best / p)
+    }.sorted
+    val hostX =
+      if (ratios.isEmpty) 1.0
+      else ratios(ratios.size / 2)
     val flagged = results.collect {
       case (name, runs, best) if best >= 0 && prevBench.get(name).exists(p =>
-        p > 0 && runs.forall(r => r >= 0 && r > 1.5 * p)) =>
+        p > 0 && runs.forall(r => r >= 0 && r > 1.5 * hostX * p)) =>
         val p = prevBench(name)
         "\"" + name + "\":{\"prev\":" + f"$p%.3f" + ",\"runs\":" +
           runs.map(r => f"$r%.3f").mkString("[", ",", "]") +
-          ",\"x\":" + f"${best / p}%.2f" + "}"
+          ",\"x_raw\":" + f"${best / p}%.2f" +
+          ",\"x_host_normalized\":" + f"${best / (p * hostX)}%.2f" + "}"
     }
     val nCommon = results.count { case (n, _, v) =>
       v >= 0 && prevBench.get(n).exists(_ > 0) }
     writeFile("/root/repo/BENCH_DELTA.json",
-      s"""{"threshold_x":1.5,"rule":"both reps > 1.5x previous min","n_common":$nCommon,"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")}}""")
+      s"""{"threshold_x":1.5,"rule":"both reps > 1.5x host-normalized previous min","host_x_median":${f"$hostX%.3f"},"n_common":$nCommon,"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")}}""")
     // Full per-query record: the driver's stdout tail-capture truncates
     // the per-query map on long runs; the artifact keeps everything.
     writeFile(outPath, line)
