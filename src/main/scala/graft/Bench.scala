@@ -87,9 +87,20 @@ object Bench {
     // flag half the suite on a slow host and nothing real on a fast
     // one. One slow rep is host noise; both reps slow AFTER host
     // normalization is a genuine per-query regression worth chasing.
-    val prevBench: Map[String, Double] = readFile(outPath).map { txt =>
-      "\"([A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)[,}]".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // Baseline parse is scoped to the "queries":{...} object ONLY —
+    // the record's other numeric keys (value, reps, cpus, runs) must
+    // not enter the baseline map.
+    val prevBench: Map[String, Double] = readFile(outPath).flatMap { txt =>
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) None
+      else {
+        val end = txt.indexOf('}', start)
+        if (end < 0) None
+        else Some(
+          "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+            .findAllMatchIn(txt.substring(start + 10, end + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
     }.getOrElse(Map.empty)
     val ratios = results.flatMap { case (name, _, best) =>
       prevBench.get(name).filter(_ > 0).filter(_ => best >= 0)
@@ -98,28 +109,65 @@ object Bench {
     val hostX =
       if (ratios.isEmpty) 1.0
       else ratios(ratios.size / 2)
-    val flagged = results.collect {
+    val suspects = results.collect {
       case (name, runs, best) if best >= 0 && prevBench.get(name).exists(p =>
         p > 0 && runs.forall(r => r >= 0 && r > 1.5 * hostX * p)) =>
-        val p = prevBench(name)
-        "\"" + name + "\":{\"prev\":" + f"$p%.3f" + ",\"runs\":" +
-          runs.map(r => f"$r%.3f").mkString("[", ",", "]") +
-          ",\"x_raw\":" + f"${best / p}%.2f" +
-          ",\"x_host_normalized\":" + f"${best / (p * hostX)}%.2f" + "}"
+        (name, prevBench(name), runs)
+    }
+    // ADJUDICATION: the median host factor is dominated by CPU-bound
+    // sub-second queries, so transient DISK contention during the
+    // suite flags the whole IO-bound family (JVM media decodes,
+    // bucketed-table writes) as regressions that aren't — round 7
+    // shipped 14 such false alarms, all disproven by quiet re-runs.
+    // Mechanize that adjudication: re-run each suspect once, now that
+    // the suite's IO pressure is gone, and keep only those STILL
+    // > 1.5× host-normalized. The re-run time is recorded so a kept
+    // flag is self-evidently not first-run noise.
+    val flagged = suspects.flatMap { case (name, p, runs) =>
+      val rerun = try {
+        val t0 = System.nanoTime()
+        selected(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 } finally spark.catalog.clearCache()
+      val best = if (rerun >= 0) math.min(runs.min, rerun) else runs.min
+      if (rerun >= 0 && rerun <= 1.5 * hostX * p) None
+      else Some("\"" + name + "\":{\"prev\":" + f"$p%.3f" + ",\"runs\":" +
+        runs.map(r => f"$r%.3f").mkString("[", ",", "]") +
+        ",\"rerun\":" + f"$rerun%.3f" +
+        ",\"x_raw\":" + f"${best / p}%.2f" +
+        ",\"x_host_normalized\":" + f"${best / (p * hostX)}%.2f" + "}")
     }
     val nCommon = results.count { case (n, _, v) =>
       v >= 0 && prevBench.get(n).exists(_ > 0) }
-    writeFile("/root/repo/BENCH_DELTA.json",
-      s"""{"threshold_x":1.5,"rule":"both reps > 1.5x host-normalized previous min","host_x_median":${f"$hostX%.3f"},"n_common":$nCommon,"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")}}""")
-    // Full per-query record: the driver's stdout tail-capture truncates
-    // the per-query map on long runs; the artifact keeps everything.
-    writeFile(outPath, line)
+    // Host fingerprint rides with the artifact so a drifted median can
+    // be told apart from a suite-wide regression on an identical host:
+    // if the fingerprint matches the previous run's and host_x_median
+    // still exceeds the bound, the "host factor" IS the regression.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val osArch = System.getProperty("os.arch")
+    val hostSuspect = hostX > 1.3 || hostX < 1.0 / 1.3
+    val deltaJson =
+      s"""{"threshold_x":1.5,"rule":"both reps AND a post-suite rerun > 1.5x host-normalized previous min","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":$hostSuspect,"n_common":$nCommon,"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")}}"""
     // BENCH_SUMMARY.json — the driver-parse contract (exactly the three
     // keys the judge asked for), plus a numeric sf when derivable.
-    val sfNum = "sf([0-9.]+[0-9])".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
     val summary =
       s"""{"total_sec":${f"$total%.3f"},"n_queries":${results.size},"sf":${sfNum.getOrElse("\"" + sfDir + "\"")}}"""
-    writeFile("/root/repo/BENCH_SUMMARY.json", summary)
+    if (nameFilter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      // Full per-query record: the driver's stdout tail-capture
+      // truncates the per-query map on long runs; the artifact keeps
+      // everything. A FILTERED run must not overwrite the committed
+      // full-suite record (it would silently shrink the delta baseline
+      // for every later run) — it only writes when the caller named an
+      // explicit SPARK_GRAFT_BENCH_OUT target.
+      writeFile(outPath, line)
+    } else System.err.println(
+      s"[bench] filter active and no SPARK_GRAFT_BENCH_OUT: not overwriting $outPath")
+    if (nameFilter.isEmpty) {
+      writeFile("/root/repo/BENCH_DELTA.json", deltaJson)
+      writeFile("/root/repo/BENCH_SUMMARY.json", summary)
+    } else System.err.println(
+      "[bench] filter active: BENCH_DELTA.json/BENCH_SUMMARY.json not written; delta was: " + deltaJson)
     spark.stop()
     // LAST stdout line: ~120 chars, un-prefixed (run/outputStrategy is
     // StdoutOutput so sbt's "[info] " never lands on it) and far under

@@ -2416,6 +2416,18 @@ object SparkEntry {
       TextAnalysis.classifierPrCurve(nbScored(s, dir), "nb_logit", "label",
           binsPerUnit = 4)
         .orderBy(desc("thr"))),
+    "text_clf_pr_degenerate" -> ((s, dir) =>
+      // the degenerate-corpus contract, cross-engine: a ZERO-POSITIVE
+      // corpus (scored rows filtered to label = 0 — model still
+      // trained on the full corpus) must yield rec = NULL (x/0 → NULL
+      // via nullif, never NaN) while tp/fp/fn/prec stay exact — the
+      // contract an unlucky partition of a 100 TB corpus hits in
+      // production, proven here against DuckDB's native x/NULL
+      // semantics rather than only unit-tested
+      TextAnalysis.classifierPrCurve(
+          nbScored(s, dir).filter(col("label") === 0), "nb_logit", "label",
+          binsPerUnit = 4)
+        .orderBy(desc("thr"))),
     "text_clf_auc" -> ((s, dir) =>
       // the run-over-run scalar: binned trapezoid ROC-AUC from the
       // same bin catalog
@@ -6624,6 +6636,31 @@ object SparkEntry {
         |  (t.pos_all - c.tp)::BIGINT AS fn,
         |  c.tp::DOUBLE / c.n_ge::DOUBLE AS prec,
         |  c.tp::DOUBLE / t.pos_all::DOUBLE AS rec
+        |FROM cum c CROSS JOIN ptot t
+        |ORDER BY thr DESC""".stripMargin),
+    // text_clf_pr_degenerate: identical machinery on the zero-positive
+    // slice (y = 0) — pos_all is 0, so rec must be NULL in BOTH
+    // engines (nullif guard), never NaN; fn = 0 - 0 stays exact
+    "text_clf_pr_degenerate" -> (NbClfCtes +
+      """,
+        |scored AS (
+        |  SELECT l.doc_id, l.y,
+        |    round(pr.prior + coalesce(sc.s2, 0), 6) AS s
+        |  FROM lab l CROSS JOIN pr LEFT JOIN sc USING (doc_id)
+        |  WHERE l.y = 0),
+        |binned AS (
+        |  SELECT floor(s * 4) / 4 AS thr, sum(y) AS pos, count(*) AS n
+        |  FROM scored GROUP BY 1),
+        |ptot AS (SELECT sum(pos) AS pos_all FROM binned),
+        |cum AS (
+        |  SELECT thr,
+        |    sum(pos) OVER (ORDER BY thr DESC) AS tp,
+        |    sum(n) OVER (ORDER BY thr DESC) AS n_ge
+        |  FROM binned)
+        |SELECT c.thr, c.tp::BIGINT AS tp, (c.n_ge - c.tp)::BIGINT AS fp,
+        |  (t.pos_all - c.tp)::BIGINT AS fn,
+        |  c.tp::DOUBLE / c.n_ge::DOUBLE AS prec,
+        |  c.tp::DOUBLE / nullif(t.pos_all, 0)::DOUBLE AS rec
         |FROM cum c CROSS JOIN ptot t
         |ORDER BY thr DESC""".stripMargin),
     // normalization identical to the char-ngram queries (case-folded,

@@ -229,11 +229,17 @@ object Stress {
             -1L }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        val ratio = res.get(name).map(_._1).filter(_ > 0).map(b => t / (b * 10))
+        // a FAILED run gets an explicit marker and NO scaling ratio —
+        // sec is then time-to-failure, and a per-decade number derived
+        // from it would read as a valid scaling point when it isn't
+        val ratio = if (n < 0) None
+          else res.get(name).map(_._1).filter(_ > 0).map(b => t / (b * 10))
         println(f"[stress100] $name%-22s $t%8.2f s  ($n%d rows)" +
-          ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f"))
+          (if (n < 0) "  FAILED"
+           else ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f")))
         s""""$name":{"sec":${f"$t%.2f"},"rows":$n${
-          ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""")}}"""
+          if (n < 0) ""","failed":true"""
+          else ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""")}}"""
       }
       def edgesOf(n: Long, m: Long) = spark.range(m).select(
         pmod(xxhash64(col("id")), lit(n)).as("src"),
@@ -313,11 +319,17 @@ object Stress {
 
   /** Crude single-purpose parse of BENCH_local.json's flat
     * `"name":seconds` map (no JSON lib on the classpath). */
+  // parse is scoped to the flat "queries":{...} object so the record's
+  // other numeric keys (value, reps, cpus, runs) can't shadow a query
   private def readBench(path: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+      val start = txt.indexOf("\"queries\":{")
+      val end = if (start < 0) -1 else txt.indexOf('}', start)
+      if (end < 0) Map.empty
+      else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+        .findAllMatchIn(txt.substring(start + 10, end + 1))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Exception => Map.empty }
 }

@@ -153,7 +153,32 @@ object Dedup {
     * whether the join, or the irreducible output, is the cost) and
     * usable as a recall-free blocking stage in its own right.
     * Returns (id_a, id_b) with id_a < id_b — a superset of the
-    * qualifying pairs by the pigeonhole/PPJoin theorems. */
+    * qualifying pairs by the pigeonhole/PPJoin theorems.
+    *
+    * EAGER/BLOCKING semantics, not lazy composition: calling this
+    * runs Spark jobs at call time — the prefix table is materialized
+    * by an eager localCheckpoint, and (unless grouping is disabled,
+    * see below) the prefix-signature table is too, plus one
+    * driver-side single-row aggregate for the flood decision. Storage
+    * bound: both checkpoints are doc-count-sized (prefix rows resp.
+    * one 16-byte hash per doc) and their blocks are freed by the
+    * ContextCleaner when the returned plan is garbage-collected — a
+    * long interactive session issuing many prefix-dedup calls while
+    * retaining the returned DataFrames accumulates one doc-count-sized
+    * block set per LIVE plan, so drop references (or call
+    * `System.gc()`-backed `spark.cleaner` cycles) between runs.
+    * Executor loss recomputes nothing (localCheckpoint is
+    * non-replayable); on an unreliable cluster substitute
+    * persist+count upstream if recompute-on-loss matters.
+    *
+    * `groupFloor = Double.PositiveInfinity` DISABLES the
+    * near-identical-prefix grouping entirely: no signature table is
+    * built and no decision aggregate runs — the candidate join goes
+    * direct. Exactness is unaffected (both strategies emit candidate
+    * supersets); callers that have already collapsed identical-set
+    * floods ([[prefixJaccardPairsCollapsed]]) use this to skip a
+    * doc-count-sized aggregate + checkpoint whose only purpose is
+    * flood detection. */
   /** Absolute candidate-inflation floor below which the near-identical-
     * prefix grouping is bypassed (see the decision comment inside
     * [[prefixJaccardCandidatePairs]]). Tests pass 0 to force the
@@ -196,16 +221,9 @@ object Dedup {
     // t ≤ 1, so emitting them unconditionally matches the ungrouped
     // join. The group key is the 128-bit md5 of (size, sorted prefix
     // tokens) — same birthday-bound argument as the exact collapse.
-    // doc-count-sized (one 16-byte hash per doc); materialized because
-    // it feeds BOTH the bypass decision aggregate and the grouped
-    // path's membership join — unmaterialized, the collect_list
-    // aggregate over the prefix table would run twice
-    val sig = prefix.groupBy(col(idCol), col("__sz"))
-      .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
-      .select(col(idCol), md5(concat_ws(" ",
-        col("__sz").cast("string"), array_join(col("__pt"), " "))
-        .cast("binary")).as("__g"))
-      .localCheckpoint(true)
+    // (the signature table that implements this grouping is built
+    // below, inside the groupFloor-finite branch — an infinite floor
+    // skips it entirely, see the scaladoc)
     val sa = col("pa.__sz"); val sb = col("pb.__sz")
     val idxFrac = 2.0 * threshold / (1.0 + threshold)
     def idxPrefixOk(r: Column, sz: Column): Column =
@@ -246,6 +264,25 @@ object Dedup {
     // decision is deterministic, and both branches produce a candidate
     // SUPERSET of the qualifying pairs, so the verified output is
     // identical either way.
+    def direct() = candJoin(prefix)
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
+    if (groupFloor.isPosInfinity) {
+      // grouping disabled by the caller (e.g. the exact-dup collapse
+      // already folded identical-set floods): no signature table, no
+      // decision aggregate — saves a doc-count-keyed collect_list
+      // shuffle + checkpoint + driver round-trip per call
+      return direct()
+    }
+    // doc-count-sized (one 16-byte hash per doc); materialized because
+    // it feeds BOTH the bypass decision aggregate and the grouped
+    // path's membership join — unmaterialized, the collect_list
+    // aggregate over the prefix table would run twice
+    val sig = prefix.groupBy(col(idCol), col("__sz"))
+      .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
+      .select(col(idCol), md5(concat_ws(" ",
+        col("__sz").cast("string"), array_join(col("__pt"), " "))
+        .cast("binary")).as("__g"))
+      .localCheckpoint(true)
     val gsz = sig.groupBy(col("__g")).agg(count(lit(1)).as("__m"))
     val st = gsz.agg(sum(col("__m")),
       sum(col("__m").cast("double") * (col("__m") - 1))).head
@@ -253,8 +290,7 @@ object Dedup {
     val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
     val inflation = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
     if (inflation <= math.max(3.0 * nDocs, groupFloor)) {
-      candJoin(prefix)
-        .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
+      direct()
     } else {
       val memb = sig.join(
         sig.groupBy(col("__g")).agg(min(col(idCol)).as("__rep")), Seq("__g"))
@@ -469,21 +505,49 @@ object Dedup {
     * from an id-keyed join (group-sized vs corpus-sized); sizes
     * rejoin id-keyed onto the (already small) pair output.
     *
+    * `groupFloor` defaults to ∞ here (unlike the direct entry
+    * points): the collapse has already folded identical-token-set
+    * floods, so the near-identical-prefix grouping's signature table
+    * and decision aggregate are pure overhead on the representative
+    * corpus (measured ~0.4 s of the 2.4 s base-scale cost) and are
+    * skipped. The residual flood the grouping could still catch —
+    * documents whose token sets DIFFER but whose (size, ranked
+    * prefix) profiles are identical, e.g. suffix-tagged replicas —
+    * survives the collapse by construction; corpora shaped like that
+    * should pass a finite `groupFloor` (or call
+    * [[prefixJaccardPairs]] directly, whose decision aggregate
+    * detects the flood at runtime).
+    *
     * @return (id_a, id_b, jaccard, size_a, size_b), id_a < id_b
     */
   def prefixJaccardPairsCollapsed(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      groupFloor: Double = Double.PositiveInfinity): DataFrame = {
     val keyed = docs.select(col(idCol), col(textCol),
       md5(concat_ws(" ",
         array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))))
         .cast("binary")).as("__k"))
+    // Eager/blocking like the candidate stage it feeds (see its
+    // scaladoc): `groups` and `reps` are each materialized ONCE — the
+    // collapse output fans out to four consumers (prefix build,
+    // verification token sets, and both size rejoins), and without the
+    // checkpoints every consumer re-runs the full input scan + hash
+    // aggregate chain (measured ~25 re-scans of the source on the
+    // bench fixture). Storage bound: `groups` is (16-byte hash, id,
+    // count) per DISTINCT token set; `reps` is one text copy of the
+    // representative corpus — at most input-sized with no duplication,
+    // and exactly the corpus the candidate join must hold anyway.
+    // Blocks are freed when the plans are GC'd, same as the prefix
+    // checkpoint.
     val groups = keyed.groupBy(col("__k"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val reps = groups.select(col(idCol))
       .join(keyed.select(col(idCol), col(textCol)), Seq(idCol))
+      .localCheckpoint(true)
     val sizes = groups.select(col(idCol), col("__n"))
-    prefixJaccardPairs(reps, idCol, textCol, threshold)
+    prefixJaccardPairs(reps, idCol, textCol, threshold, groupFloor)
       .join(sizes.select(col(idCol).as("id_a"), col("__n").as("size_a")),
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("__n").as("size_b")),

@@ -404,16 +404,21 @@ object Graph {
     * min-of-component) and any CC oracle checks both. Fully
     * deterministic: set-valued rounds, no RNG, no order dependence.
     *
-    * Convergence is detected by an exact multiset signature of the
-    * edge set (count + sum of per-edge xxhash64 in decimal — 2^-64
-    * collision odds, and a collision could only DELAY termination by
-    * a round, never corrupt labels, because the fixpoint state maps
-    * to itself; the signature scan reads the round's freshly
-    * checkpointed blocks, never recomputes the round — an
-    * `observe`-folded variant that computed it inside the checkpoint
-    * job was measured SLOWER at 10×: CollectMetrics evaluates its
-    * aggregates interpreted, per row, where the separate scan is
-    * whole-stage-codegen'd). Lineage is cut per round like every
+    * Convergence is detected by an EXACT structural test, not a
+    * hash signature: the algorithm's invariant (both star operations
+    * preserve components and each component's minimum) means the
+    * state is final exactly when the edge set is a star forest whose
+    * roots are never children — i.e. no head id repeats and no id
+    * appears as both head and tail. That test is one keyed aggregate
+    * over the round's freshly cached blocks (union both orientations
+    * tagged head/tail, group by id, look for a violation), it is
+    * deterministic with NO collision probability (the previous
+    * xxhash64 multiset signature carried a 2^-64 caveat and cost a
+    * verification round: the fixpoint was only detectable by
+    * observing that a round changed nothing — the structural test
+    * recognizes the star forest at the END of the round that builds
+    * it, saving one full large-star+small-star round every call).
+    * Lineage is cut per round like every
     * iterative op here; `maxRounds` bounds the pathological case and
     * throws rather than return half-contracted labels. Note the
     * PROVEN worst-case round bound for alternating large-star/small-
@@ -429,28 +434,47 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 30): DataFrame = {
     require(maxRounds >= 1, "connectedComponentsStar: maxRounds >= 1")
+    // The INPUT is scanned exactly once: `pairs` is persisted, the
+    // node catalog materializes it (one pass over the possibly
+    // expensive upstream projection — at sf0.1 the co-supplier
+    // projection costs ~2 s per materialization and the previous
+    // code ran it twice), round 0 reads the SAME cache directly —
+    // the initial canonical edge set is never separately
+    // materialized (its distinct would be a full extra shuffle;
+    // round 0's own `distinct`s already dedup) — and the cache is
+    // released as soon as the first contracted round exists.
     val pairs = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
+      col(dstCol).cast("long").as("b")).persist()
     val nodes = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct()
-      .localCheckpoint(true)
-    // Materialize a round's edge set, then its exact multiset
-    // signature (|E|, Σ xxhash64(u,v) as decimal — decimal sum cannot
-    // overflow ANSI the way a long sum would) as one codegen'd scan
-    // over the freshly checkpointed blocks (see the docstring for why
-    // this beats folding the signature into the checkpoint job).
-    def ckptWithSig(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
-      val out = df.localCheckpoint(true)
-      val r = out.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
-      (out, (r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)))
+      .localCheckpoint(false)
+    nodes.count()
+    // Rounds materialize via a LAZY localCheckpoint whose
+    // materializing action is count(): one job both caches the
+    // blocks and truncates lineage (an eager checkpoint + separate
+    // count would scan twice).
+    def ckpt(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(false)
+      out.count()
+      out
     }
-    // canonical directed form: (u, v) with u > v
-    var (e, prev) = ckptWithSig(pairs.filter(col("a") =!= col("b"))
+    // EXACT fixpoint test (see docstring): e is a min-rooted star
+    // forest iff no head repeats and no id is both head and tail —
+    // one keyed aggregate over the cached round, no hash, no
+    // verification round. Sound AND complete: star ops preserve
+    // components and minima, so a star forest state IS the answer.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("u"), lit(1).as("__h"))
+        .unionByName(e.select(col("v").as("u"), lit(0).as("__h")))
+        .groupBy(col("u"))
+        .agg(sum(col("__h")).as("__nh"), min(col("__h")).as("__mn"))
+        .filter(col("__nh") > 1 || (col("__nh") >= 1 && col("__mn") === 0))
+        .isEmpty
+    // canonical directed form: (u, v) with u > v — a lazy view over
+    // the cached pairs for round 0; contracted rounds replace it
+    var e = pairs.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct())
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
@@ -467,7 +491,7 @@ object Graph {
       // job exactly as before (leaving it lazy serialized the two
       // consumers' stages on block locks inside the small-star job —
       // measured +15% at 10×), lineage is already shallow (rooted at
-      // the checkpointed e), and — unlike checkpoint blocks — the
+      // the cached e), and — unlike checkpoint blocks — the
       // cache is RELEASED as soon as the round's edges materialize,
       // so executor storage holds one round of edges, not one per
       // round.
@@ -481,17 +505,16 @@ object Graph {
       // SMALL-STAR on the directed result: m = min of u's smaller
       // neighbors; they and u re-point at m. Outputs stay canonical.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, Seq("u"))
+      val eNew = ckpt(ls.join(ssMin, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
-      val (eNew, cur) = ckptWithSig(ss)
+        .distinct())
       ls.unpersist()
+      if (r == 0) pairs.unpersist()
       e = eNew
-      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
-      prev = cur
+      converged = isStarForest(e)
       r += 1
     }
     if (!converged) throw new IllegalStateException(
