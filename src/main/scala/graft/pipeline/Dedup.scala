@@ -326,8 +326,10 @@ object Dedup {
     * both sides one consistent total order, so the prefix bound stays
     * a theorem); only cross-side candidates are generated — corpus ×
     * corpus and batch × batch prefixes never pair. Ids must be unique
-    * across both inputs. Output: (id_a = corpus id, id_b = batch id,
-    * jaccard). */
+    * across both inputs. EAGER/BLOCKING like
+    * [[prefixJaccardCandidatePairs]] (and with its storage contract):
+    * the shared prefix table materializes at call time. Output:
+    * (id_a = corpus id, id_b = batch id, jaccard). */
   def incrementalJaccardPairs(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
@@ -373,6 +375,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "containmentPairs: threshold must be in (0, 1]")
+    // ctoks is deliberately NOT materialized although it has two
+    // consumers (df count + candidate join): both are cheap streaming
+    // scans of a narrow projection (the join side consumes it through
+    // a broadcast of the short probe prefix), and checkpointing the
+    // corpus-token-sized table was MEASURED slower (3.99 -> 5.10 s at
+    // sf0.1) — the full materialization write outweighs one re-scan.
+    // Contrast prefixPairsImpl, where the re-run work is a rank
+    // window, not a scan.
     val ctoks = corpus.select(col(idCol).as("__cid"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = ctoks.groupBy("__tok").agg(count(lit(1)).as("__df"))
@@ -435,9 +445,15 @@ object Dedup {
       (col(idCol) +: carryCols.map(col)) :+
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"): _*)
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // Materialized once, eager/blocking like prefixJaccardCandidate-
+    // Pairs (see its scaladoc for the storage contract): the prefix
+    // table feeds BOTH sides of the candidate self-join below, and
+    // unmaterialized each side re-runs the token explode + df join +
+    // per-doc rank window — the heaviest upstream stage, twice.
     val prefix = rankedPrefix(toks, idCol, dfreq, threshold, "inner")
       .select(col(idCol) +: col("__tok") +: col("__r") +: col("__sz") +:
         carryCols.map(col): _*)
+      .localCheckpoint(true)
     // Candidate pruning inside the join condition, BEFORE the distinct
     // shuffle — both are THEOREMS from Xiao et al. 2008, so exactness
     // holds (measured on the 10× replica stress corpus, where every

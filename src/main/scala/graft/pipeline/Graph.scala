@@ -104,10 +104,31 @@ object Graph {
       roundDp: Int = 6, checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "personalizedPageRank: iters >= 1")
     require(checkpointEvery >= 1, "personalizedPageRank: checkpointEvery >= 1")
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // The INPUT derivation runs exactly once (the cc_star pattern):
+    // symmetrization + degree count reference the edge list FOUR
+    // times (union of two orientations, then the degree aggregate
+    // re-reads the union), and with an expensive upstream projection
+    // each reference re-executes it — persist the narrow base,
+    // materialize `edged` from the cache as its own fully-parallel
+    // job BEFORE the iteration chain runs (left lazy, the final
+    // multi-iteration job races its own stages into the unpopulated
+    // cache and block locks serialize the fills), then release the
+    // base copy.
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
+    val und = base.union(base.select(col("dst").as("src"),
+      col("src").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val edged = und.join(deg, "src").persist()
+    // Pinned hash layout on the iteration join key: the cache
+    // preserves this partitioning, so every iteration's edged⋈ranks
+    // shuffles only the (seed-sparse) rank side, and AQE cannot
+    // coalesce the cached table below the configured width — with a
+    // small upstream projection AQE otherwise caches it 1-2
+    // partitions wide and every iteration join runs nearly serial
+    // (measured ~0.6 s over 4 iterations at sf0.1).
+    val edged = und.join(deg, "src").repartition(col("src")).persist()
+    edged.count()
+    base.unpersist()
     try {
       val seedSet = seeds.select(col(seedCol).as("node")).distinct()
       val m = seedSet.count() // driver-sized by construction: one long
