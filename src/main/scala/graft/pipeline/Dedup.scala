@@ -974,10 +974,23 @@ object Dedup {
     */
   def nearDupClusters(
       pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Input scanned once + pinned layout (the Graph.pageRank pattern):
+    // the narrow pair base is persisted so the symmetrizing union
+    // doesn't run the (possibly expensive) upstream pair derivation
+    // twice, and the edge table is repartitioned on the iteration
+    // join key BEFORE the distinct — hash(dst) clusters (src,dst)
+    // groups, so the distinct adds no exchange, the checkpoint
+    // preserves the layout, and every iteration's edges⋈labels
+    // shuffles only the node-sized label side instead of the full
+    // edge set.
+    val base = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .persist()
+    val edges = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .distinct()
       .localCheckpoint()
+    base.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
@@ -988,16 +1001,22 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")),
           Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nc")).as("__nbr_min"))
+      // Convergence test FUSED into the round's materializing job:
+      // labels only ever decrease (least), so the round changed
+      // something iff some neighborhood min undercut the old label.
+      // Carrying that one boolean through the lazy checkpoint lets a
+      // single scan both cache the round's blocks and decide the
+      // fixpoint — previously a count-like materialization plus a
+      // separate updated⋈old join ran two jobs per iteration.
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("__nbr_min"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      converged = updated
-        .join(labels.select(col("id"), col("cluster").as("__old")), Seq("id"))
-        .filter(col("cluster") =!= col("__old"))
-        .isEmpty
-      labels = updated
+            .as("cluster"),
+          (coalesce(col("__nbr_min"), col("cluster")) < col("cluster"))
+            .as("__chg"))
+        .localCheckpoint(false)
+      converged = updated.filter(col("__chg")).isEmpty
+      labels = updated.select(col("id"), col("cluster"))
       iters += 1
     }
     require(converged,

@@ -44,11 +44,17 @@ object Graph {
     // cached: every iteration's lineage re-reads the degree-annotated
     // edge table — uncached, the (possibly expensive) edge derivation
     // would re-execute once per iteration (measured 5.5 s → 1.5 s on
-    // the orders⋈lineitem bipartite at sf0.1). Scoped: the final ranks
-    // are eagerly materialized below, so the cache is dropped before
-    // returning instead of leaking into the block manager for the life
-    // of the session (a long-lived shared session would otherwise lose
-    // execution memory to it on every call).
+    // the orders⋈lineitem bipartite at sf0.1). NOT repartition-pinned
+    // like personalizedPageRank's edged: here the rank side is
+    // node-sized every iteration, AQE broadcast-joins it, and the
+    // cached edge table never shuffles at all — an explicit
+    // repartition+materialize pass was MEASURED as pure overhead
+    // (~+0.5 s at sf0.1; PPR needed the pin because its join output
+    // was being cache-coalesced to 1-2 partitions). Scoped: the final
+    // ranks are eagerly materialized below, so the cache is dropped
+    // before returning instead of leaking into the block manager for
+    // the life of the session (a long-lived shared session would
+    // otherwise lose execution memory to it on every call).
     val edged = und.join(deg, "src").persist()
     try {
       // driver-sized by construction: one long. Counted from the CACHED
@@ -127,9 +133,11 @@ object Graph {
     // partitions wide and every iteration join runs nearly serial
     // (measured ~0.6 s over 4 iterations at sf0.1).
     val edged = und.join(deg, "src").repartition(col("src")).persist()
-    edged.count()
-    base.unpersist()
     try {
+      // inside the try: a failure during materialization must still
+      // release both caches (finally) rather than leak them until GC
+      edged.count()
+      base.unpersist()
       val seedSet = seeds.select(col(seedCol).as("node")).distinct()
       val m = seedSet.count() // driver-sized by construction: one long
       require(m >= 1, "personalizedPageRank: at least one seed")
@@ -151,7 +159,7 @@ object Graph {
           ranks = ranks.localCheckpoint(true)
       }
       ranks.localCheckpoint(true)
-    } finally edged.unpersist()
+    } finally { edged.unpersist(); base.unpersist() } // base no-ops if already released
   }
 
   /** Per-node triangle counts over an undirected edge list, exact.
@@ -231,6 +239,13 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxHops: Int,
       checkpointEvery: Int = 5): DataFrame = {
     require(maxHops >= 0, "bfsHops: maxHops >= 0")
+    // NOT persisted: the frontier side is node-sized every hop, so
+    // AQE broadcast-joins it and the edge table never shuffles; the
+    // hop plans' repeated edge subtrees end in the same exchange, so
+    // ReuseExchange computes the (possibly expensive) upstream
+    // projection once within the single action. An explicit
+    // persist+materialize pass was MEASURED as pure overhead here
+    // (~+1 s at sf0.1, the labelPropagation result as well).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     var known = seeds.select(col(seedCol).as("node")).distinct()
@@ -431,8 +446,10 @@ object Graph {
     * state is final exactly when the edge set is a star forest whose
     * roots are never children — i.e. no head id repeats and no id
     * appears as both head and tail. That test is one keyed aggregate
-    * over the round's freshly cached blocks (union both orientations
-    * tagged head/tail, group by id, look for a violation), it is
+    * FUSED into the round's checkpoint-materializing job (each edge
+    * explodes into a head row and a tail row, group by id, look for a
+    * violation — one scan both caches the round and decides
+    * convergence), it is
     * deterministic with NO collision probability (the previous
     * xxhash64 multiset signature carried a 2^-64 caveat and cost a
     * verification round: the fixpoint was only detectable by
@@ -471,26 +488,33 @@ object Graph {
       .localCheckpoint(false)
     nodes.count()
     // Rounds materialize via a LAZY localCheckpoint whose
-    // materializing action is count(): one job both caches the
-    // blocks and truncates lineage (an eager checkpoint + separate
-    // count would scan twice).
-    def ckpt(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(false)
-      out.count()
-      out
-    }
+    // materializing action IS the fixpoint test: one job caches the
+    // blocks, truncates lineage AND decides convergence (previously a
+    // count() job materialized and a SECOND job ran the star-forest
+    // aggregate — two full passes over every round's edges).
+    //
     // EXACT fixpoint test (see docstring): e is a min-rooted star
-    // forest iff no head repeats and no id is both head and tail —
-    // one keyed aggregate over the cached round, no hash, no
-    // verification round. Sound AND complete: star ops preserve
-    // components and minima, so a star forest state IS the answer.
-    def isStarForest(e: DataFrame): Boolean =
-      e.select(col("u"), lit(1).as("__h"))
-        .unionByName(e.select(col("v").as("u"), lit(0).as("__h")))
-        .groupBy(col("u"))
-        .agg(sum(col("__h")).as("__nh"), min(col("__h")).as("__mn"))
+    // forest iff no head repeats and no id is both head and tail.
+    // Emitted as explode(array(head-row, tail-row)) — ONE scan of the
+    // round's edges (the union-both-orientations form read the
+    // not-yet-cached checkpoint TWICE, re-executing the round's plan
+    // twice on the materializing pass) — then a keyed aggregate
+    // looking for a violation. Deterministic, no hash, no collision
+    // probability, no verification round. Sound AND complete: star
+    // ops preserve components and minima, so a star forest state IS
+    // the answer.
+    def ckptAndTest(df: DataFrame): (DataFrame, Boolean) = {
+      val out = df.localCheckpoint(false)
+      val converged = out
+        .select(explode(array(
+          struct(col("u").as("id"), lit(1).as("__h")),
+          struct(col("v").as("id"), lit(0).as("__h")))).as("__x"))
+        .groupBy(col("__x.id").as("id"))
+        .agg(sum(col("__x.__h")).as("__nh"), min(col("__x.__h")).as("__mn"))
         .filter(col("__nh") > 1 || (col("__nh") >= 1 && col("__mn") === 0))
         .isEmpty
+      (out, converged)
+    }
     // canonical directed form: (u, v) with u > v — a lazy view over
     // the cached pairs for round 0; contracted rounds replace it
     var e = pairs.filter(col("a") =!= col("b"))
@@ -505,28 +529,40 @@ object Graph {
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // ls feeds BOTH the small-star min and its re-point join —
-      // uncached, the nb+join subtree would run twice per round
-      // (measured ~1.4× round cost). persist + eager count (not
-      // localCheckpoint): materialization is its own fully-parallel
-      // job exactly as before (leaving it lazy serialized the two
-      // consumers' stages on block locks inside the small-star job —
-      // measured +15% at 10×), lineage is already shallow (rooted at
-      // the cached e), and — unlike checkpoint blocks — the
-      // cache is RELEASED as soon as the round's edges materialize,
-      // so executor storage holds one round of edges, not one per
-      // round.
+      // ls feeds BOTH the small-star min and its re-point join. A
+      // LAZY persist (no separate materializing count) is safe here
+      // because the consumers' stages are SEQUENTIAL, not racing:
+      // ssMin's aggregate must complete before the re-point probe
+      // stage starts (its result is the join's build side), so the
+      // aggregate's partial stage populates the blocks and the probe
+      // stage reads them cached. (The r8 persist+eager-count
+      // protected against concurrent first-scan stages serializing
+      // on block locks; with the aggregate dependency ordering the
+      // stages, the extra materialization job was re-measured as
+      // pure overhead: ~0.7 s/call at sf0.1.) Unlike checkpoint
+      // blocks the cache is RELEASED deterministically as soon as
+      // the round's edges materialize, so executor storage holds one
+      // round of edges, not one per round.
+      //
+      // Pinned hash layout on the NEW head key before the dedup: the
+      // re-point select renames v→u, so the join's hash(old u) layout
+      // is useless downstream, and every small-star consumer keys on
+      // the new u. One explicit exchange here makes the distinct, the
+      // small-star min AND the re-point join all exchange-free
+      // (HashPartitioning(u) clusters (u,v) groups, the checkpoint
+      // preserves it, and both join sides inherit it) — three
+      // exchanges of the round's edge set fused into one.
       val ls = nb.join(lsMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
+        .repartition(col("u"))
         .distinct()
         .persist()
-      ls.count()
       // SMALL-STAR on the directed result: m = min of u's smaller
       // neighbors; they and u re-point at m. Outputs stay canonical.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val eNew = ckpt(ls.join(ssMin, Seq("u"))
+      val (eNew, conv) = ckptAndTest(ls.join(ssMin, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
@@ -535,7 +571,7 @@ object Graph {
       ls.unpersist()
       if (r == 0) pairs.unpersist()
       e = eNew
-      converged = isStarForest(e)
+      converged = conv
       r += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -563,6 +599,13 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, "labelPropagation: iters >= 1")
+    // NOT persisted: the label side is node-sized every iteration, so
+    // AQE broadcast-joins it and the edge table never shuffles; the
+    // iterations' repeated edge subtrees end in the same distinct
+    // exchange, so ReuseExchange computes the (possibly expensive)
+    // upstream projection once within the single action. An explicit
+    // persist+pin+materialize pass was MEASURED as pure overhead here
+    // (2.7 → 4.0 s at sf0.1).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
