@@ -76,78 +76,90 @@ object Bench {
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Exception => None }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
-    // BENCH_DELTA.json — mechanized noise protocol: join this run
-    // against the PREVIOUS committed BENCH_local.json (read before the
-    // overwrite below) and flag only queries slower than 1.5× the
-    // previous min in BOTH reps, AFTER dividing out the run's median
-    // ratio over all common queries. The median is the host factor —
-    // a different VM, CPU generation or load level inflates every
-    // query uniformly (this round's sandbox measured ~1.4× round six's
-    // on identical code), and without normalizing it the delta would
-    // flag half the suite on a slow host and nothing real on a fast
-    // one. One slow rep is host noise; both reps slow AFTER host
-    // normalization is a genuine per-query regression worth chasing.
-    // Baseline parse is scoped to the "queries":{...} object ONLY —
-    // the record's other numeric keys (value, reps, cpus, runs) must
-    // not enter the baseline map.
-    val prevBench: Map[String, Double] = readFile(outPath).flatMap { txt =>
-      val start = txt.indexOf("\"queries\":{")
-      if (start < 0) None
-      else {
-        val end = txt.indexOf('}', start)
-        if (end < 0) None
-        else Some(
-          "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-            .findAllMatchIn(txt.substring(start + 10, end + 1))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-      }
-    }.getOrElse(Map.empty)
-    val ratios = results.flatMap { case (name, _, best) =>
-      prevBench.get(name).filter(_ > 0).filter(_ => best >= 0)
-        .map(p => best / p)
-    }.sorted
-    val hostX =
-      if (ratios.isEmpty) 1.0
-      else ratios(ratios.size / 2)
-    val suspects = results.collect {
-      case (name, runs, best) if best >= 0 && prevBench.get(name).exists(p =>
-        p > 0 && runs.forall(r => r >= 0 && r > 1.5 * hostX * p)) =>
-        (name, prevBench(name), runs)
-    }
-    // ADJUDICATION: the median host factor is dominated by CPU-bound
-    // sub-second queries, so transient DISK contention during the
-    // suite flags the whole IO-bound family (JVM media decodes,
-    // bucketed-table writes) as regressions that aren't — round 7
-    // shipped 14 such false alarms, all disproven by quiet re-runs.
-    // Mechanize that adjudication: re-run each suspect once, now that
-    // the suite's IO pressure is gone, and keep only those STILL
-    // > 1.5× host-normalized. The re-run time is recorded so a kept
-    // flag is self-evidently not first-run noise.
-    val flagged = suspects.flatMap { case (name, p, runs) =>
-      val rerun = try {
+    // BENCH_DELTA.json — mechanized noise protocol, logic in
+    // [[BenchDelta]] (pure, replayed in BenchDeltaSpec against the
+    // recorded round-8 contended-host record). The flag BASELINE is
+    // the committed per-query min-of-history floor — a noisy record
+    // overwriting BENCH_local.json can no longer poison the next
+    // run's delta; the previous record only fills in queries the
+    // floor hasn't seen (new operators).
+    val floorPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FLOOR", "/root/repo/BENCH_FLOOR.json")
+    val floor = readFile(floorPath)
+      .map(BenchDelta.parseFlatObject(_, "queries")).getOrElse(Map.empty)
+      .filter(_._2 > 0)
+    val prevBench = readFile(outPath)
+      .map(BenchDelta.parseFlatObject(_, "queries")).getOrElse(Map.empty)
+      .filter(_._2 > 0)
+    val baseline = prevBench ++ floor
+    val analysis = BenchDelta.analyze(
+      results.map { case (n, rs, _) => n -> rs }.toMap, baseline)
+    val hostX = analysis.hostX
+    // ADJUDICATION: transient contention during the suite flags whole
+    // IO-bound families as regressions that aren't (round 7 shipped 14
+    // such false alarms; round 8's contended driver shipped 9 more).
+    // On a credible host, re-run each candidate TWICE (min-of-2, the
+    // same steady-state protocol as the suite — a single cold re-run
+    // kept sub-second flags alive on plan-compile cost alone) and keep
+    // only those STILL over the bound. On a SUSPECT host (median off
+    // by >1.25×, or more simultaneous flags than one round plausibly
+    // regresses), re-running on the same contended machine would just
+    // rubber-stamp the noise — candidates are reported but not
+    // flagged; re-measure on a quiet host instead.
+    val flagged = if (analysis.hostSuspect) Seq.empty
+    else analysis.candidates.flatMap { c =>
+      def rerunOnce(): Double = try {
         val t0 = System.nanoTime()
-        selected(name)(spark, sfDir).count()
+        selected(c.name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 } finally spark.catalog.clearCache()
-      val best = if (rerun >= 0) math.min(runs.min, rerun) else runs.min
-      if (rerun >= 0 && rerun <= 1.5 * hostX * p) None
-      else Some("\"" + name + "\":{\"prev\":" + f"$p%.3f" + ",\"runs\":" +
-        runs.map(r => f"$r%.3f").mkString("[", ",", "]") +
+      val reruns = Seq.fill(2)(rerunOnce())
+      val rerun = if (reruns.exists(_ >= 0)) reruns.filter(_ >= 0).min else -1.0
+      val best = if (rerun >= 0) math.min(c.reps.min, rerun) else c.reps.min
+      if (rerun >= 0 && rerun <= BenchDelta.bound(c.baseline, hostX)) None
+      else Some("\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
+        ",\"runs\":" + c.reps.map(r => f"$r%.3f").mkString("[", ",", "]") +
         ",\"rerun\":" + f"$rerun%.3f" +
-        ",\"x_raw\":" + f"${best / p}%.2f" +
-        ",\"x_host_normalized\":" + f"${best / (p * hostX)}%.2f" + "}")
+        ",\"x_raw\":" + f"${best / c.baseline}%.2f" +
+        ",\"x_host_normalized\":" + f"${best / (c.baseline * hostX)}%.2f" + "}")
     }
-    val nCommon = results.count { case (n, _, v) =>
-      v >= 0 && prevBench.get(n).exists(_ > 0) }
+    val suppressed = if (!analysis.hostSuspect) Seq.empty
+    else analysis.candidates.map(c =>
+      "\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
+        ",\"runs\":" + c.reps.map(r => f"$r%.3f").mkString("[", ",", "]") + "}")
     // Host fingerprint rides with the artifact so a drifted median can
     // be told apart from a suite-wide regression on an identical host:
     // if the fingerprint matches the previous run's and host_x_median
     // still exceeds the bound, the "host factor" IS the regression.
     val cores = Runtime.getRuntime.availableProcessors()
     val osArch = System.getProperty("os.arch")
-    val hostSuspect = hostX > 1.3 || hostX < 1.0 / 1.3
     val deltaJson =
-      s"""{"threshold_x":1.5,"rule":"both reps AND a post-suite rerun > 1.5x host-normalized previous min","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":$hostSuspect,"n_common":$nCommon,"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")}}"""
+      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-2 post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off or >5 simultaneous candidates)","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
+    // The floor is monotone: a clean-host full-suite run that beats a
+    // query's recorded min lowers it (never raises — a regression must
+    // not launder itself into the baseline). Suspect hosts don't
+    // touch it: their mins are real observations but their ratios
+    // would tempt future slack; min-merge is safe either way, yet the
+    // floor file is a committed artifact and only clean evidence
+    // should rewrite it.
+    if (nameFilter.isEmpty && !analysis.hostSuspect && floor.nonEmpty) {
+      val merged = (floor.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { k =>
+        val cur = results.collectFirst {
+          case (n, _, best) if n == k && best >= 0 => best }
+        (floor.get(k), cur) match {
+          case (Some(f), Some(b)) => Some(k -> math.min(f, b))
+          case (Some(f), None) => Some(k -> f)
+          case (None, Some(b)) => Some(k -> b)
+          case _ => None
+        }
+      }
+      val floorJson = "{\"note\":\"per-query min steady-state seconds over " +
+        "all recorded clean-state runs (sf0.1, local[32]); the BENCH_DELTA " +
+        "flag baseline - a contended host cannot poison it\",\"sf\":0.1," +
+        "\"queries\":{" + merged.map { case (k, v) =>
+          "\"" + k + "\":" + f"$v%.3f" }.mkString(",") + "}}"
+      writeFile(floorPath, floorJson)
+    }
     // BENCH_SUMMARY.json — the driver-parse contract (exactly the three
     // keys the judge asked for), plus a numeric sf when derivable.
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))

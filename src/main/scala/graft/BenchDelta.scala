@@ -1,0 +1,127 @@
+package graft
+
+/** The bench noise protocol, factored PURE so the adjudication rules
+  * are replayable in a spec against recorded artifacts (no Spark, no
+  * clock): [[Bench]] feeds it this run's timings, it answers which
+  * queries deserve a re-run and whether the HOST is too suspect for
+  * any per-query flag to be believed.
+  *
+  * Why a host gate at all: suite timings on a contended machine
+  * inflate 1.3-1.7× uniformly, and a per-query threshold read against
+  * a clean baseline then flags half the suite. Round 8 proved the
+  * residual hole — a 1.294× host slipped under the old 1.3 bound and
+  * its same-host confirmation re-runs "confirmed" 9 regressions that
+  * a quiet host disproved one by one. Two changes close it:
+  *
+  *  - the flag BASELINE is the committed per-query min over all
+  *    recorded clean runs (BENCH_FLOOR.json), not the immediately
+  *    previous record — a noisy record written on top of
+  *    BENCH_local.json can no longer poison the next round's delta;
+  *  - the host gate is two-sided and count-aware: median ratio
+  *    > 1.25 (was 1.3), OR more same-host flags than a real
+  *    single-round regression plausibly produces (> 5) — when it
+  *    trips, candidates are REPORTED but not flagged, because the
+  *    confirmation re-run would run on the same contended host and
+  *    rubber-stamp them.
+  *
+  * Sub-second queries get an absolute slack on top of the ratio test
+  * (min-of-history is a tight floor; a 0.3 s query routinely doubles
+  * on scheduler jitter without anything being wrong — and a
+  * regression that small can't move the suite).
+  */
+object BenchDelta {
+
+  /** `"<key>":{...}` extracted with BRACE MATCHING (the old
+    * indexOf('}') scan silently truncated the object at the first
+    * nested close brace — fine while values were scalars, a latent
+    * trap for any future nested value), parsed as a flat
+    * name → number map. Returns empty on absent/malformed input. */
+  def parseFlatObject(txt: String, key: String): Map[String, Double] =
+    objectBody(txt, key).map { body =>
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+
+  /** `"<key>":{"name":[a,b],...}` → name → reps (for replaying a
+    * recorded run's full per-rep timings through [[analyze]]). */
+  def parseRunsObject(txt: String, key: String): Map[String, Seq[Double]] =
+    objectBody(txt, key).map { body =>
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) ->
+          m.group(2).split(',').toSeq.filter(_.trim.nonEmpty)
+            .map(_.trim.toDouble))
+        .toMap
+    }.getOrElse(Map.empty)
+
+  private def objectBody(txt: String, key: String): Option[String] = {
+    // whitespace-tolerant `"key" : {` locator (artifacts are written
+    // compact by Bench, but the committed floor file may be re-dumped
+    // pretty-printed by tooling)
+    val start = ("\"" + key + "\"\\s*:\\s*\\{").r
+      .findFirstMatchIn(txt).map(_.end).getOrElse(-1)
+    if (start < 0) None
+    else {
+      var i = start
+      var depth = 1
+      // values are numbers/arrays/nested objects — no braces inside
+      // strings in these artifacts, so raw depth counting suffices
+      while (i < txt.length && depth > 0) {
+        txt.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth == 0) Some(txt.substring(start, i - 1))
+      else None
+    }
+  }
+
+  /** One query's candidacy evidence: floor baseline, this run's reps. */
+  final case class Candidate(name: String, baseline: Double, reps: Seq[Double])
+
+  final case class Analysis(
+      hostX: Double, // median(best / baseline) over common queries
+      nCommon: Int,
+      hostSuspect: Boolean, // flags below are NOT trustworthy
+      candidates: Seq[Candidate]) // every-rep-over-threshold queries
+
+  /** Per-query flag bound: ratio test, host-normalized, with an
+    * absolute slack so min-of-history floors on sub-second queries
+    * don't flag scheduler jitter. */
+  def bound(baseline: Double, hostX: Double,
+      thresholdX: Double = ThresholdX, absSlack: Double = AbsSlackSec): Double =
+    math.max(thresholdX * hostX * baseline, baseline + absSlack)
+
+  val ThresholdX = 1.5
+  val AbsSlackSec = 0.5
+  val HostSuspectX = 1.25
+  val MaxCredibleFlags = 5
+
+  /** @param runs     this run: name → per-rep seconds (negative rep =
+    *                 query failed; never flagged here, Bench records
+    *                 failures separately)
+    * @param baseline name → flag baseline seconds (the committed
+    *                 floor; callers may merge in a previous record
+    *                 for queries the floor hasn't seen) */
+  def analyze(runs: Map[String, Seq[Double]],
+      baseline: Map[String, Double]): Analysis = {
+    val pairs = runs.toSeq.collect {
+      case (name, reps) if reps.nonEmpty && reps.forall(_ >= 0) &&
+          baseline.get(name).exists(_ > 0) =>
+        (name, baseline(name), reps)
+    }
+    val ratios = pairs.map { case (_, p, reps) => reps.min / p }.sorted
+    val hostX = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val candidates = pairs.collect {
+      case (name, p, reps) if reps.forall(_ > bound(p, hostX)) =>
+        Candidate(name, p, reps)
+    }
+    val suspect = hostX > HostSuspectX || hostX < 1.0 / HostSuspectX ||
+      candidates.size > MaxCredibleFlags
+    Analysis(hostX, pairs.size, suspect, candidates)
+  }
+}

@@ -346,13 +346,10 @@ object Stress {
   // other numeric keys (value, reps, cpus, runs) can't shadow a query
   private def readBench(path: String): Map[String, Double] =
     try {
+      // brace-matched extraction (BenchDelta) — the old indexOf('}')
+      // scan truncated at the first nested close brace
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      val start = txt.indexOf("\"queries\":{")
-      val end = if (start < 0) -1 else txt.indexOf('}', start)
-      if (end < 0) Map.empty
-      else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-        .findAllMatchIn(txt.substring(start + 10, end + 1))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      BenchDelta.parseFlatObject(txt, "queries")
     } catch { case _: Exception => Map.empty }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the round-8 bench records through the noise protocol —
+  * the round-8 verdict's acceptance test, verbatim: "replay the
+  * driver's noisy working-tree record through the new logic and show
+  * 0 false flags; a synthetic true-regression still flags."
+  *
+  * Both records are committed test resources:
+  *  - bench_r8_contended.json: the driver's post-commit overwrite
+  *    (256.3 s suite, host 1.294× the previous record — under the old
+  *    1.3 suspect bound) whose 9 "confirmed" regressions were all
+  *    disproven by quiet-host re-runs;
+  *  - bench_r8_clean.json: the committed clean-state record (154.1 s)
+  *    the same code produced on a quiet host.
+  */
+class BenchDeltaSpec extends AnyFunSuite {
+
+  private def read(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+
+  private lazy val floor =
+    BenchDelta.parseFlatObject(read("BENCH_FLOOR.json"), "queries")
+  private lazy val contendedRuns = BenchDelta.parseRunsObject(
+    read("src/test/resources/bench_r8_contended.json"), "runs")
+  private lazy val cleanRuns = BenchDelta.parseRunsObject(
+    read("src/test/resources/bench_r8_clean.json"), "runs")
+
+  test("floor and recorded runs parse to full-suite maps") {
+    assert(floor.size >= 240)
+    assert(contendedRuns.size >= 240)
+    assert(cleanRuns.size >= 240)
+    assert(contendedRuns.values.forall(_.size == 2))
+  }
+
+  test("contended-host record: host is suspect, so ZERO flags survive") {
+    val a = BenchDelta.analyze(contendedRuns, floor)
+    // the host really was contended: suite median 1.5x the floor
+    assert(a.hostX > BenchDelta.HostSuspectX, s"hostX=${a.hostX}")
+    // the per-query rule alone would have flagged dozens — exactly the
+    // false-alarm storm round 8 shipped (9 survived its same-host
+    // reruns); the host gate is what suppresses them
+    assert(a.candidates.size > BenchDelta.MaxCredibleFlags)
+    assert(a.hostSuspect)
+    // Bench emits regressions only when !hostSuspect — so 0 flags
+  }
+
+  test("clean-state record of the same code: no candidates at all") {
+    val a = BenchDelta.analyze(cleanRuns, floor)
+    assert(!a.hostSuspect, s"hostX=${a.hostX} cands=${a.candidates.size}")
+    assert(a.candidates.isEmpty,
+      s"clean record should not self-flag: ${a.candidates.map(_.name)}")
+  }
+
+  test("synthetic true regression on the clean host still flags") {
+    val slowed = cleanRuns.map {
+      case ("graph_lpa", reps) => "graph_lpa" -> reps.map(_ * 4)
+      case kv => kv
+    }
+    val a = BenchDelta.analyze(slowed, floor)
+    assert(!a.hostSuspect, s"hostX=${a.hostX} cands=${a.candidates.size}")
+    assert(a.candidates.map(_.name) == Seq("graph_lpa"))
+  }
+
+  test("absolute slack: a sub-second query doubling is jitter, not a flag") {
+    val base = Map("tiny" -> 0.2, "big" -> 4.0)
+    val runs = Map(
+      "tiny" -> Seq(0.45, 0.48), // 2.3x but +0.26s — under floor+0.5s
+      "big" -> Seq(4.1, 4.2)) // keeps hostX ~1
+    val a = BenchDelta.analyze(runs, base)
+    assert(a.candidates.isEmpty, a.candidates.map(_.name))
+  }
+
+  test("parseFlatObject brace-matches past nested objects") {
+    val txt = """{"queries":{"a":1.5,"b":0.25},"host":{"cores":32},"x":9}"""
+    assert(BenchDelta.parseFlatObject(txt, "queries") ==
+      Map("a" -> 1.5, "b" -> 0.25))
+    // a nested value inside the target object must not truncate it
+    val nested = """{"queries":{"a":{"sec":1.5},"b":2.0},"tail":{}}"""
+    assert(BenchDelta.parseFlatObject(nested, "queries")
+      .get("b").contains(2.0))
+  }
+
+  test("parseRunsObject reads per-rep arrays") {
+    val txt = """{"runs":{"q1":[1.5,0.9],"q2":[0.3]}}"""
+    assert(BenchDelta.parseRunsObject(txt, "runs") ==
+      Map("q1" -> Seq(1.5, 0.9), "q2" -> Seq(0.3)))
+  }
+}
