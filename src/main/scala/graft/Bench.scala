@@ -85,7 +85,13 @@ object Bench {
     // floor hasn't seen (new operators).
     val floorPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_FLOOR", "/root/repo/BENCH_FLOOR.json")
-    val floor = readFile(floorPath)
+    // File-ABSENT vs file-CORRUPT matter differently below: an absent
+    // floor (fresh environment / new SPARK_GRAFT_BENCH_FLOOR path) is
+    // seeded from the first clean full-suite run; a present-but-
+    // unparseable floor is never overwritten (refusing protects the
+    // committed history from a parser bug clobbering it).
+    val floorText = readFile(floorPath)
+    val floor = floorText
       .map(BenchDelta.parseFlatObject(_, "queries")).getOrElse(Map.empty)
       .filter(_._2 > 0)
     val prevBench = readFile(outPath)
@@ -106,7 +112,7 @@ object Bench {
     // regresses), re-running on the same contended machine would just
     // rubber-stamp the noise — candidates are reported but not
     // flagged; re-measure on a quiet host instead.
-    val flagged = if (analysis.hostSuspect) Seq.empty
+    val adjudicated = if (analysis.hostSuspect) Seq.empty
     else analysis.candidates.flatMap { c =>
       def rerunOnce(): Double = try {
         val t0 = System.nanoTime()
@@ -116,13 +122,21 @@ object Bench {
       val reruns = Seq.fill(2)(rerunOnce())
       val rerun = if (reruns.exists(_ >= 0)) reruns.filter(_ >= 0).min else -1.0
       val best = if (rerun >= 0) math.min(c.reps.min, rerun) else c.reps.min
-      if (rerun >= 0 && rerun <= BenchDelta.bound(c.baseline, hostX)) None
-      else Some("\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
+      val body = "\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
         ",\"runs\":" + c.reps.map(r => f"$r%.3f").mkString("[", ",", "]") +
         ",\"rerun\":" + f"$rerun%.3f" +
         ",\"x_raw\":" + f"${best / c.baseline}%.2f" +
-        ",\"x_host_normalized\":" + f"${best / (c.baseline * hostX)}%.2f" + "}")
+        ",\"x_host_normalized\":" + f"${best / (c.baseline * hostX)}%.2f" + "}"
+      // A query whose BOTH adjudication reruns threw is a crash, not a
+      // timing regression — its suite reps may even be stale successes.
+      // Conflating the two made a post-suite-only crash read as a
+      // confirmed slowdown; route it to its own artifact key.
+      if (rerun < 0) Some(Left(body))
+      else if (rerun <= BenchDelta.bound(c.baseline, hostX)) None
+      else Some(Right(body))
     }
+    val flagged = adjudicated.collect { case Right(s) => s }
+    val rerunFailed = adjudicated.collect { case Left(s) => s }
     val suppressed = if (!analysis.hostSuspect) Seq.empty
     else analysis.candidates.map(c =>
       "\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
@@ -134,15 +148,16 @@ object Bench {
     val cores = Runtime.getRuntime.availableProcessors()
     val osArch = System.getProperty("os.arch")
     val deltaJson =
-      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-2 post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off or >5 simultaneous candidates)","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
+      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-2 post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off, or >5 simultaneous candidates on an elevated (>1.1x) host); fast-side hosts suppress flags but may still lower the floor","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"rerun_failed":${rerunFailed.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
     // The floor is monotone: a clean-host full-suite run that beats a
     // query's recorded min lowers it (never raises — a regression must
-    // not launder itself into the baseline). Suspect hosts don't
-    // touch it: their mins are real observations but their ratios
-    // would tempt future slack; min-merge is safe either way, yet the
-    // floor file is a committed artifact and only clean evidence
-    // should rewrite it.
-    if (nameFilter.isEmpty && !analysis.hostSuspect && floor.nonEmpty) {
+    // not launder itself into the baseline). SLOW-suspect hosts don't
+    // touch it; a uniformly FAST run is genuine improvement and DOES
+    // min-merge (analysis.floorSafe). An ABSENT floor file is seeded
+    // from the first clean full-suite run; a present-but-unparseable
+    // one (floor empty despite text) is never overwritten.
+    if (nameFilter.isEmpty && analysis.floorSafe &&
+        (floor.nonEmpty || floorText.isEmpty)) {
       val merged = (floor.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { k =>
         val cur = results.collectFirst {
           case (n, _, best) if n == k && best >= 0 => best }

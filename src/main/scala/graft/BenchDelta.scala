@@ -65,10 +65,18 @@ object BenchDelta {
     else {
       var i = start
       var depth = 1
-      // values are numbers/arrays/nested objects — no braces inside
-      // strings in these artifacts, so raw depth counting suffices
+      // String-aware depth counting: this is the shared parser (Stress
+      // reads bench records through it too) and BENCH_FLOOR.json carries
+      // a free-text "note" field — a brace inside any quoted value must
+      // not shift or truncate the match.
+      var inString = false
       while (i < txt.length && depth > 0) {
-        txt.charAt(i) match {
+        val ch = txt.charAt(i)
+        if (inString) {
+          if (ch == '\\') i += 1 // skip the escaped character
+          else if (ch == '"') inString = false
+        } else ch match {
+          case '"' => inString = true
           case '{' => depth += 1
           case '}' => depth -= 1
           case _ =>
@@ -87,6 +95,7 @@ object BenchDelta {
       hostX: Double, // median(best / baseline) over common queries
       nCommon: Int,
       hostSuspect: Boolean, // flags below are NOT trustworthy
+      floorSafe: Boolean, // this run's mins may min-merge into the floor
       candidates: Seq[Candidate]) // every-rep-over-threshold queries
 
   /** Per-query flag bound: ratio test, host-normalized, with an
@@ -100,6 +109,12 @@ object BenchDelta {
   val AbsSlackSec = 0.5
   val HostSuspectX = 1.25
   val MaxCredibleFlags = 5
+  // The many-candidates gate only fires on an ELEVATED host: with a
+  // near-1.0 median, many simultaneous candidates is evidence of a real
+  // broad regression (one shared helper can regress a whole family),
+  // not contention — suppressing those would hide exactly the event the
+  // delta exists to catch.
+  val ElevatedHostX = 1.1
 
   /** @param runs     this run: name → per-rep seconds (negative rep =
     *                 query failed; never flagged here, Bench records
@@ -120,8 +135,16 @@ object BenchDelta {
       case (name, p, reps) if reps.forall(_ > bound(p, hostX)) =>
         Candidate(name, p, reps)
     }
-    val suspect = hostX > HostSuspectX || hostX < 1.0 / HostSuspectX ||
-      candidates.size > MaxCredibleFlags
-    Analysis(hostX, pairs.size, suspect, candidates)
+    // Slow-side suspicion blocks BOTH flags and floor updates (inflated
+    // timings are noise). Fast-side deviation (a suite-wide genuine
+    // speedup) still suppresses flags — the hostX-normalized bound would
+    // shrink and over-flag — but its mins are real improvements, so the
+    // floor may min-merge them; otherwise a broad optimization round
+    // reads as "bad host" and the floor stays stale forever.
+    val slowSuspect = hostX > HostSuspectX ||
+      (candidates.size > MaxCredibleFlags && hostX > ElevatedHostX)
+    val fastSuspect = hostX < 1.0 / HostSuspectX
+    Analysis(hostX, pairs.size, slowSuspect || fastSuspect,
+      floorSafe = !slowSuspect, candidates)
   }
 }

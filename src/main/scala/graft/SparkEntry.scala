@@ -117,7 +117,7 @@ object SparkEntry {
     * keyed stream raises the value at first
     * deployment exactly as it sizes its cluster. The session value is
     * restored afterwards, so batch queries are unaffected. */
-  private def drainToTable(
+  private[graft] def drainToTable(
       s: SparkSession, out: DataFrame, mode: String, tag: String,
       statePartitions: Int = 4): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -151,7 +151,19 @@ object SparkEntry {
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(hp, true)
-        val wmode = if (mode == "complete") "overwrite" else "append"
+        // Only complete (each batch is the whole result → overwrite)
+        // and append (batches are disjoint deltas → append) map onto a
+        // file sink soundly. UPDATE mode re-emits superseded keys; an
+        // append-mode file write would silently KEEP the stale rows, so
+        // refuse loudly rather than return a wrong table.
+        val wmode = mode match {
+          case "complete" => "overwrite"
+          case "append" => "append"
+          case other => throw new IllegalArgumentException(
+            s"parquet drain supports complete/append, not '$other': " +
+              "update-mode output re-emits keys and a file sink cannot " +
+              "retract the superseded rows")
+        }
         val q = out.writeStream.outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .foreachBatch((df: DataFrame, _: Long) => {
@@ -159,7 +171,13 @@ object SparkEntry {
           })
           .start()
         q.awaitTermination()
-        s.read.parquet(path)
+        // Zero batches written (e.g. every row late vs the watermark)
+        // leaves no directory — match the memory sink's contract of an
+        // empty table with the query's schema instead of surfacing an
+        // AnalysisException from the read-back.
+        if (fs.exists(hp)) s.read.parquet(path)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
       } else {
         // fixed per-tag sink name, previous drain dropped first: a
         // nanoTime-suffixed name per invocation would register a NEW

@@ -73,6 +73,59 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(a.candidates.isEmpty, a.candidates.map(_.name))
   }
 
+  test("broad regression on a clean host is NOT suppressed by the count gate") {
+    // one shared helper regressing a whole family: 8 queries 4x slower,
+    // host median ~1.0 — many candidates must read as a real broad
+    // regression, not contention (the count gate needs an elevated host)
+    val base = (1 to 20).map(i => s"q$i" -> 2.0).toMap
+    val runs = (1 to 20).map { i =>
+      s"q$i" -> (if (i <= 8) Seq(8.0, 8.2) else Seq(2.0, 2.05))
+    }.toMap
+    val a = BenchDelta.analyze(runs, base)
+    assert(a.hostX < BenchDelta.ElevatedHostX, s"hostX=${a.hostX}")
+    assert(a.candidates.size == 8)
+    assert(!a.hostSuspect, "8 flags at hostX~1.0 is a real broad regression")
+  }
+
+  test("many candidates on an ELEVATED host still suppress (contention)") {
+    val base = (1 to 20).map(i => s"q$i" -> 2.0).toMap
+    // uniform 1.2x contention pushes 8 short queries over floor+slack
+    val runs = (1 to 20).map { i =>
+      s"q$i" -> (if (i <= 8) Seq(8.0, 8.2) else Seq(2.4, 2.45))
+    }.toMap
+    val a = BenchDelta.analyze(runs, base)
+    assert(a.hostX > BenchDelta.ElevatedHostX && a.hostX <= BenchDelta.HostSuspectX,
+      s"hostX=${a.hostX}")
+    assert(a.hostSuspect)
+    assert(!a.floorSafe)
+  }
+
+  test("fast-side host: flags suppressed but floor update allowed") {
+    val base = (1 to 10).map(i => s"q$i" -> 2.0).toMap
+    val runs = (1 to 10).map(i => s"q$i" -> Seq(1.4, 1.45)).toMap // 0.7x
+    val a = BenchDelta.analyze(runs, base)
+    assert(a.hostX < 1.0 / BenchDelta.HostSuspectX, s"hostX=${a.hostX}")
+    assert(a.hostSuspect, "fast deviation still means per-query flags lie")
+    assert(a.floorSafe, "uniform speedup mins are genuine - floor may merge")
+  }
+
+  test("slow-suspect host blocks the floor") {
+    val base = (1 to 10).map(i => s"q$i" -> 2.0).toMap
+    val runs = (1 to 10).map(i => s"q$i" -> Seq(3.0, 3.1)).toMap // 1.5x
+    val a = BenchDelta.analyze(runs, base)
+    assert(a.hostSuspect && !a.floorSafe)
+  }
+
+  test("objectBody skips braces inside string values") {
+    // the floor file carries a free-text note; a brace in it must not
+    // shift or truncate the queries object
+    val txt = """{"note":"a {brace} and an escaped \" quote","queries":{"a":1.5,"b":0.25},"x":9}"""
+    assert(BenchDelta.parseFlatObject(txt, "queries") ==
+      Map("a" -> 1.5, "b" -> 0.25))
+    val inner = """{"queries":{"meta":{"s":"}}"},"b":2.0}}"""
+    assert(BenchDelta.parseFlatObject(inner, "queries").get("b").contains(2.0))
+  }
+
   test("parseFlatObject brace-matches past nested objects") {
     val txt = """{"queries":{"a":1.5,"b":0.25},"host":{"cores":32},"x":9}"""
     assert(BenchDelta.parseFlatObject(txt, "queries") ==

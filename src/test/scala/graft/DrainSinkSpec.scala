@@ -38,4 +38,40 @@ class DrainSinkSpec extends SparkSpec {
         "complete-mode parquet drain must overwrite, not append")
     } finally sys.props.remove("graft.drain.sink")
   }
+
+  test("update mode through the parquet sink fails fast, never appends stale rows") {
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val in = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet")
+      .withColumn("ts", timestamp_seconds(lit(86400L)))
+      .withWatermark("ts", "1 hour")
+      .groupBy("ts").count()
+    try {
+      sys.props("graft.drain.sink") = "parquet"
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.drainToTable(spark, in, "update", "spec_update_mode")
+      }
+      assert(e.getMessage.contains("update"),
+        s"error must name the unsupported mode: ${e.getMessage}")
+    } finally sys.props.remove("graft.drain.sink")
+  }
+
+  test("zero-batch parquet drain returns an empty table with the query schema") {
+    import org.apache.spark.sql.functions._
+    // a file source over an empty directory produces NO micro-batches,
+    // so foreachBatch never writes — the drain must still match the
+    // memory sink's contract (empty table, correct schema), not throw
+    // on the absent read-back path
+    val empty = java.nio.file.Files.createTempDirectory("graft_drain_empty")
+    val in = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(empty.toString)
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+    try {
+      sys.props("graft.drain.sink") = "parquet"
+      val out = SparkEntry.drainToTable(spark, in, "append", "spec_zero_batch")
+      assert(out.columns.toSeq == Seq("doc_id", "text_len"),
+        "empty drain must carry the query's schema")
+      assert(out.count() == 0)
+    } finally sys.props.remove("graft.drain.sink")
+  }
 }
