@@ -132,7 +132,8 @@ object Dedup {
     */
   def prefixJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, groupFloor: Double = DefaultGroupFloor): DataFrame = {
+      threshold: Double, groupFloor: Double = DefaultGroupFloor): DataFrame =
+    PrefixBlocks.scoped(docs.sparkSession) {
     val cand =
       prefixJaccardCandidatePairs(docs, idCol, textCol, threshold, groupFloor)
     val sets = docs.select(col(idCol),
@@ -145,7 +146,7 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+    }
 
   /** The candidate stage of [[prefixJaccardPairs]], exposed on its own
     * so candidate volume is AUDITABLE (the stress harness records
@@ -157,19 +158,19 @@ object Dedup {
     *
     * EAGER/BLOCKING semantics, not lazy composition: calling this
     * runs Spark jobs at call time — the prefix table is materialized
-    * by an eager localCheckpoint, and (unless grouping is disabled,
-    * see below) the prefix-signature table is too, plus one
-    * driver-side single-row aggregate for the flood decision. Storage
-    * bound: both checkpoints are doc-count-sized (prefix rows resp.
-    * one 16-byte hash per doc) and their blocks are freed by the
-    * ContextCleaner when the returned plan is garbage-collected — a
-    * long interactive session issuing many prefix-dedup calls while
-    * retaining the returned DataFrames accumulates one doc-count-sized
-    * block set per LIVE plan, so drop references (or call
-    * `System.gc()`-backed `spark.cleaner` cycles) between runs.
-    * Executor loss recomputes nothing (localCheckpoint is
-    * non-replayable); on an unreliable cluster substitute
-    * persist+count upstream if recompute-on-loss matters.
+    * (persist + count via [[PrefixBlocks.stage]]), and (unless
+    * grouping is disabled, see below) the prefix-signature table is
+    * too, plus one driver-side single-row aggregate for the flood
+    * decision. Storage bound — DETERMINISTIC, not GC-dependent: both
+    * staged tables are doc-count-sized (prefix rows resp. one 16-byte
+    * hash per doc) and are RELEASED at the start of the next
+    * top-level prefix-dedup call ([[PrefixBlocks]]), so a session
+    * issuing N calls holds at most one call's block set; call
+    * [[PrefixBlocks.release]] to free the last set immediately. A
+    * retained older plan executed after its blocks retire RECOMPUTES
+    * from lineage (CacheManager persist, not a non-replayable
+    * checkpoint) — slower, never wrong. Executor loss likewise
+    * recomputes.
     *
     * `groupFloor = Double.PositiveInfinity` DISABLES the
     * near-identical-prefix grouping entirely: no signature table is
@@ -187,21 +188,22 @@ object Dedup {
 
   def prefixJaccardCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, groupFloor: Double = DefaultGroupFloor): DataFrame = {
+      threshold: Double, groupFloor: Double = DefaultGroupFloor): DataFrame =
+    PrefixBlocks.scoped(docs.sparkSession) {
     require(threshold > 0 && threshold <= 1,
       "prefixJaccardPairs: threshold must be in (0, 1]")
     val toks = docs.select(col(idCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    // Materialized once (eager localCheckpoint): the prefix table feeds
-    // the grouping decision below AND both sides of the candidate join,
+    // Materialized once (PrefixBlocks.stage — persist+count with the
+    // deterministic next-call release): the prefix table feeds the
+    // grouping decision below AND both sides of the candidate join,
     // and at 100 TB the candidate join re-shuffles this exact data
     // anyway — recomputing the df-rank window per consumer would triple
-    // the heaviest upstream stage. Blocks are freed by the context
-    // cleaner when the plan is dropped, like every iterative op here.
-    val prefix = rankedPrefix(toks, idCol, dfreq, threshold, "inner")
-      .select(col(idCol), col("__tok"), col("__r"), col("__sz"))
-      .localCheckpoint(true)
+    // the heaviest upstream stage.
+    val prefix = PrefixBlocks.stage(
+      rankedPrefix(toks, idCol, dfreq, threshold, "inner")
+        .select(col(idCol), col("__tok"), col("__r"), col("__sz")))
     // NEAR-IDENTICAL-PREFIX GROUPING — the template-flood guard the
     // exact-dup collapse ([[prefixJaccardPairsCollapsed]]) cannot
     // provide: replica corpora differ by a suffix token, so their full
@@ -270,19 +272,18 @@ object Dedup {
       // grouping disabled by the caller (e.g. the exact-dup collapse
       // already folded identical-set floods): no signature table, no
       // decision aggregate — saves a doc-count-keyed collect_list
-      // shuffle + checkpoint + driver round-trip per call
-      return direct()
-    }
+      // shuffle + materialization + driver round-trip per call
+      direct()
+    } else {
     // doc-count-sized (one 16-byte hash per doc); materialized because
     // it feeds BOTH the bypass decision aggregate and the grouped
     // path's membership join — unmaterialized, the collect_list
     // aggregate over the prefix table would run twice
-    val sig = prefix.groupBy(col(idCol), col("__sz"))
+    val sig = PrefixBlocks.stage(prefix.groupBy(col(idCol), col("__sz"))
       .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
       .select(col(idCol), md5(concat_ws(" ",
         col("__sz").cast("string"), array_join(col("__pt"), " "))
-        .cast("binary")).as("__g"))
-      .localCheckpoint(true)
+        .cast("binary")).as("__g")))
     val gsz = sig.groupBy(col("__g")).agg(count(lit(1)).as("__m"))
     val st = gsz.agg(sum(col("__m")),
       sum(col("__m").cast("double") * (col("__m") - 1))).head
@@ -314,6 +315,7 @@ object Dedup {
           col(s"ma.$idCol") < col(s"mb.$idCol"))
         .select(col(s"ma.$idCol").as("id_a"), col(s"mb.$idCol").as("id_b"))
       cross.unionByName(within)
+    }
     }
   }
 
@@ -438,7 +440,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       pairCond: (String, String) => Column,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil): DataFrame =
+    PrefixBlocks.scoped(docs.sparkSession) {
     require(threshold > 0 && threshold <= 1,
       "prefixJaccardPairs: threshold must be in (0, 1]")
     val toks = docs.select(
@@ -446,14 +449,15 @@ object Dedup {
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"): _*)
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // Materialized once, eager/blocking like prefixJaccardCandidate-
-    // Pairs (see its scaladoc for the storage contract): the prefix
-    // table feeds BOTH sides of the candidate self-join below, and
-    // unmaterialized each side re-runs the token explode + df join +
-    // per-doc rank window — the heaviest upstream stage, twice.
-    val prefix = rankedPrefix(toks, idCol, dfreq, threshold, "inner")
-      .select(col(idCol) +: col("__tok") +: col("__r") +: col("__sz") +:
-        carryCols.map(col): _*)
-      .localCheckpoint(true)
+    // Pairs (see its scaladoc for the deterministic storage contract):
+    // the prefix table feeds BOTH sides of the candidate self-join
+    // below, and unmaterialized each side re-runs the token explode +
+    // df join + per-doc rank window — the heaviest upstream stage,
+    // twice.
+    val prefix = PrefixBlocks.stage(
+      rankedPrefix(toks, idCol, dfreq, threshold, "inner")
+        .select(col(idCol) +: col("__tok") +: col("__r") +: col("__sz") +:
+          carryCols.map(col): _*))
     // Candidate pruning inside the join condition, BEFORE the distinct
     // shuffle — both are THEOREMS from Xiao et al. 2008, so exactness
     // holds (measured on the 10× replica stress corpus, where every
@@ -495,7 +499,7 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+    }
 
   /** [[prefixJaccardPairs]] behind an exact-duplicate collapse:
     * documents with IDENTICAL distinct-token sets fold into one
@@ -539,7 +543,8 @@ object Dedup {
   def prefixJaccardPairsCollapsed(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
-      groupFloor: Double = Double.PositiveInfinity): DataFrame = {
+      groupFloor: Double = Double.PositiveInfinity): DataFrame =
+    PrefixBlocks.scoped(docs.sparkSession) {
     val keyed = docs.select(col(idCol), col(textCol),
       md5(concat_ws(" ",
         array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))))
@@ -548,20 +553,19 @@ object Dedup {
     // scaladoc): `groups` and `reps` are each materialized ONCE — the
     // collapse output fans out to four consumers (prefix build,
     // verification token sets, and both size rejoins), and without the
-    // checkpoints every consumer re-runs the full input scan + hash
-    // aggregate chain (measured ~25 re-scans of the source on the
+    // materializations every consumer re-runs the full input scan +
+    // hash aggregate chain (measured ~25 re-scans of the source on the
     // bench fixture). Storage bound: `groups` is (16-byte hash, id,
     // count) per DISTINCT token set; `reps` is one text copy of the
     // representative corpus — at most input-sized with no duplication,
     // and exactly the corpus the candidate join must hold anyway.
-    // Blocks are freed when the plans are GC'd, same as the prefix
-    // checkpoint.
-    val groups = keyed.groupBy(col("__k"))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
-      .localCheckpoint(true)
-    val reps = groups.select(col(idCol))
-      .join(keyed.select(col(idCol), col(textCol)), Seq(idCol))
-      .localCheckpoint(true)
+    // Staged in the SAME PrefixBlocks scope as the inner call's prefix
+    // table (thread-local nesting), so the whole call's blocks retire
+    // together at the next top-level prefix-dedup call.
+    val groups = PrefixBlocks.stage(keyed.groupBy(col("__k"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n")))
+    val reps = PrefixBlocks.stage(groups.select(col(idCol))
+      .join(keyed.select(col(idCol), col(textCol)), Seq(idCol)))
     val sizes = groups.select(col(idCol), col("__n"))
     prefixJaccardPairs(reps, idCol, textCol, threshold, groupFloor)
       .join(sizes.select(col(idCol).as("id_a"), col("__n").as("size_a")),
@@ -570,7 +574,7 @@ object Dedup {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"),
         col("size_a"), col("size_b"))
-  }
+    }
 
   // ------------------------------------------------------------- LSH bands
 

@@ -98,6 +98,58 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"strip must stay linear in occurrences (~5k), got $rec")
   }
 
+  test("repeated prefix-dedup calls hold at most ONE call's staged block set") {
+    import graft.pipeline.{Dedup, PrefixBlocks}
+    PrefixBlocks.release(spark)
+    def cached(): Int = spark.sparkContext.getPersistentRDDs.size
+    // unpersist(blocking=false) drains asynchronously — poll down to a
+    // target instead of reading one racy snapshot
+    def awaitCachedAtMost(n: Int): Int = {
+      val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+      var c = cached()
+      while (c > n && System.nanoTime < deadline) { Thread.sleep(50); c = cached() }
+      c
+    }
+    val base = awaitCachedAtMost(0)
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"w${i % 7} w${i % 11} w${i % 13} w${i % 5} t${i % 17} tail$i"))
+      .toDF("doc_id", "text")
+    for (_ <- 1 to 3) {
+      // groupFloor=0 forces the grouped path: BOTH doc-count-sized
+      // tables (prefix + signature) stage every call — the worst case
+      Dedup.prefixJaccardCandidatePairs(
+        docs, "doc_id", "text", 0.8, groupFloor = 0).count()
+    }
+    // the registry holds exactly the LAST call's set (prefix + sig)...
+    assert(PrefixBlocks.liveCount(spark) <= 2,
+      s"live=${PrefixBlocks.liveCount(spark)}")
+    // ...and executor storage drains the two earlier calls' sets
+    val afterCalls = awaitCachedAtMost(base + 2)
+    assert(afterCalls <= base + 2,
+      s"staged blocks accumulated across calls: base=$base now=$afterCalls")
+    PrefixBlocks.release(spark)
+    assert(PrefixBlocks.liveCount(spark) == 0)
+    val end = awaitCachedAtMost(base)
+    assert(end <= base, s"release must free the final set: base=$base now=$end")
+  }
+
+  test("a retained prefix-dedup plan survives its blocks retiring (recomputes)") {
+    import graft.pipeline.{Dedup, PrefixBlocks}
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"a${i % 5} b${i % 9} c${i % 4} d$i"))
+      .toDF("doc_id", "text")
+    val first = Dedup.prefixJaccardCandidatePairs(
+      docs, "doc_id", "text", 0.8, groupFloor = 0)
+    val expected = first.count()
+    // the next call retires `first`'s staged blocks deterministically
+    Dedup.prefixJaccardCandidatePairs(
+      docs, "doc_id", "text", 0.8, groupFloor = 0).count()
+    // CacheManager persist (not a non-replayable checkpoint): the
+    // retained plan recomputes from lineage instead of crashing
+    assert(first.count() == expected)
+    PrefixBlocks.release(spark)
+  }
+
   test("NB training shuffles bounded by buckets and doc-bucket pairs, not tokens") {
     // 2000 docs × 40 occurrences of ≤ 8 distinct tokens: the model
     // aggregate must partial-combine to ≤ buckets × partitions and the
