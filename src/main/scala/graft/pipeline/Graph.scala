@@ -38,8 +38,17 @@ object Graph {
       roundDp: Int = 6, checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "pageRank: iters >= 1")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery >= 1")
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // The INPUT derivation runs exactly once (the cc_star /
+    // personalizedPageRank pattern): symmetrization + the degree
+    // aggregate reference the edge list FOUR times (two orientations,
+    // re-read by deg), and with an expensive upstream projection
+    // (graph_pagerank's orders⋈lineitem distinct) each reference
+    // re-executes it — persist the narrow base, build everything from
+    // the cache, release it once `edged` is materialized.
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
+    val und = base.union(base.select(col("dst").as("src"),
+      col("src").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // cached: every iteration's lineage re-reads the degree-annotated
     // edge table — uncached, the (possibly expensive) edge derivation
@@ -63,7 +72,10 @@ object Graph {
       // edge source once per iteration, because `deg` sits above the
       // cache boundary. `1.0 / n` and `teleport / n` are the same IEEE
       // divisions the subquery produced, so ranks are bit-identical.
+      // (this count also materializes `edged`, after which the narrow
+      // base copy is redundant)
       val n = edged.select(col("src")).distinct().count().toDouble
+      base.unpersist()
       var ranks = edged.select(col("src").as("node")).distinct()
         .select(col("node"), round(lit(1.0) / lit(n), roundDp).as("r"))
       for (i <- 1 to iters) {
@@ -86,7 +98,7 @@ object Graph {
       // eager: materializes the node-sized rank table so the edge cache
       // can be released before the caller ever runs an action
       ranks.localCheckpoint(true)
-    } finally edged.unpersist()
+    } finally { edged.unpersist(); base.unpersist() } // base no-ops if already released
   }
 
   /** Personalized PageRank: teleport mass returns ONLY to the seed
@@ -141,20 +153,36 @@ object Graph {
       val seedSet = seeds.select(col(seedCol).as("node")).distinct()
       val m = seedSet.count() // driver-sized by construction: one long
       require(m >= 1, "personalizedPageRank: at least one seed")
+      // Teleport rows carry (__s=0, __t=teleport/m); propagated rows
+      // carry (__s=r/deg, __t=0). Materialized once: the union re-reads
+      // it every iteration, and unmaterialized each re-read re-scans
+      // the seeds input.
       val tele = seedSet
-        .select(col("node"), lit(teleport / m).as("__t"))
+        .select(col("node"), lit(0.0).as("__s"),
+          lit(teleport / m).as("__t"))
         .localCheckpoint(true)
       var ranks = seedSet
         .select(col("node"),
           round(lit(1.0) / m, roundDp).as("r"))
       for (i <- 1 to iters) {
-        val prop = edged.join(ranks, edged("src") === ranks("node"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("r") / col("__deg")).as("__s"))
-        ranks = prop.join(tele, Seq("node"), "full_outer")
-          .select(col("node"),
-            round(coalesce(col("__t"), lit(0.0)) +
-              lit(damping) * coalesce(col("__s"), lit(0.0)), roundDp).as("r"))
+        // Teleport mass FOLDED INTO the aggregate as union rows: the
+        // previous full_outer join against the teleport table cost a
+        // second node-keyed exchange + sort of the rank side every
+        // iteration (full outer cannot broadcast), where the union
+        // rides the aggregate's one exchange for free. Value-exact:
+        // sum(__t) is teleport/m for seeds (zeros add exactly) and 0.0
+        // otherwise, sum(__s) gains only exact-zero terms from the
+        // teleport rows, and `damping` still multiplies OUTSIDE the
+        // sum — round(sum(__t) + damping·sum(__s), dp) is bit-for-bit
+        // the old coalesce(__t,0) + damping·coalesce(__s,0) form the
+        // oracle replays with FULL JOIN.
+        val contrib = edged.join(ranks, edged("src") === ranks("node"))
+          .select(col("dst").as("node"),
+            (col("r") / col("__deg")).as("__s"), lit(0.0).as("__t"))
+          .unionByName(tele)
+        ranks = contrib.groupBy(col("node"))
+          .agg(round(sum(col("__t")) +
+            lit(damping) * sum(col("__s")), roundDp).as("r"))
         if (i % checkpointEvery == 0 && i < iters)
           ranks = ranks.localCheckpoint(true)
       }
