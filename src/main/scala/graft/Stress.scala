@@ -297,7 +297,87 @@ object Stress {
       val semX = semB / (semS * 10)
       println(f"[stress100] semdedup_lsh: 600K $semS%.2f s, 6M $semB%.2f s, " +
         f"per-decade $semX%.3f")
-      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"}}}"""
+      // EQUAL-OCCUPANCY control for the semdedup_lsh decade point: the
+      // shard space is 2^⌈log2(n/shardTarget)⌉, so mean occupancy (and
+      // the count-derived per-shard k = per-row assignment work) rides
+      // a bounded sawtooth in [shardTarget/2, shardTarget] as n moves
+      // between powers of two. 600K lands at occupancy 2344 (k=37)
+      // while 6M lands at 2930 (k=46) — a 1.24× per-row handicap
+      // BUILT INTO the decade endpoints. 750K lands at exactly 6M's
+      // occupancy (2930, k=46): if 750K→6M (8×) runs ≈linear, the
+      // decade point's excess is the sawtooth, not a scaling bend.
+      val semC = semRun(750000L)
+      val semXeq = semB / (semC * 8)
+      println(f"[stress100] semdedup_lsh equal-occupancy control: " +
+        f"750K $semC%.2f s vs 6M $semB%.2f s, x_vs_linear $semXeq%.3f")
+      // stage-level attribution (r8 demand: separate bucket-occupancy
+      // growth from adaptive-k growth): probed runs force each stage,
+      // so their totals are NOT comparable to the unprobed times above
+      // — only the per-stage RATIOS between scales are the signal
+      def semProbe(n: Long): Seq[(String, Double)] = {
+        val p = new graft.pipeline.StageProbe(true)
+        val t0 = System.nanoTime()
+        val out = graft.pipeline.Vec.semDedupLshProbed(
+          vecs(n), "vec_id", "embedding", dim = 32, iters = 2,
+          threshold = 0.999, shardTarget = 4096, targetCellSize = 64,
+          kMin = 2, kMax = 4096, seed = 7L, probe = p)
+        val pairs = out.count()
+        val total = (System.nanoTime() - t0) / 1e9
+        // residual = the within-cell pair join + threshold filter (the
+        // only unstaged execution left after the staged barriers)
+        p.metric("pair_join_sec", total - p.timings.collect {
+          case (k, v) if k.endsWith("_sec") || k.startsWith("lloyd_") ||
+            k == "lsh_route" || k == "shard_k_window" ||
+            k == "final_assign_subdivide" => v
+        }.sum)
+        p.metric("probed_total_sec", total)
+        p.metric("out_pairs", pairs.toDouble)
+        p.release()
+        spark.catalog.clearCache()
+        p.timings.toSeq
+      }
+      val bdS = semProbe(600000L)
+      val bdB = semProbe(6000000L)
+      def bdJson(s: Seq[(String, Double)]) = s.map { case (k, v) =>
+        s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+      println(s"[stress100] semdedup_lsh breakdown 600K: " +
+        bdS.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      println(s"[stress100] semdedup_lsh breakdown 6M:   " +
+        bdB.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      // wedge-join 100× point (r8 demand #6): graph_jaccard's shape —
+      // fingerprint-bucket wedge join, cost Σ_fp c_fp² — on a synthetic
+      // bipartite whose bucket sizes stay Poisson(3) at BOTH scales
+      // (ids and fps grow with memberships), so linear-in-memberships
+      // is the contract under test; the fixture's own co-supplier
+      // replica would instead measure the projection's quadratic
+      // replica fan-out (the cc_star argument, same reason, same fix)
+      def membership(nIds: Long, m: Long) = spark.range(m).select(
+        pmod(xxhash64(col("id")), lit(nIds)).as("id"),
+        pmod(xxhash64(col("id") + m), lit(m / 3)).as("fp"))
+      def jacRun(nIds: Long, m: Long): Double = {
+        val t0 = System.nanoTime()
+        val nbrs = membership(nIds, m).distinct()
+        val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        graft.pipeline.Dedup.sharedFingerprintPairs(
+            nbrs, "id", "fp", minShared = 2)
+          .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")),
+            "id_a")
+          .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")),
+            "id_b")
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            (col("n_shared") /
+              (col("deg_a") + col("deg_b") - col("n_shared"))).as("jaccard"))
+          .count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      val jacS = jacRun(600000L, 1800000L)
+      val jacB = jacRun(6000000L, 18000000L)
+      val jacX = jacB / (jacS * 10)
+      println(f"[stress100] graph_jaccard synth: 1.8M memberships $jacS%.2f s, " +
+        f"18M $jacB%.2f s, per-decade $jacX%.3f")
+      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}}"""
     }.getOrElse("")
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$aux100}""")
     writeArtifact(aux100)
