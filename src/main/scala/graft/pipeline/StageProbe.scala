@@ -34,7 +34,7 @@ private[graft] final class StageProbe(val active: Boolean) {
     if (active) timings(name) = v
 
   /** Drop every stage's persisted blocks (call when done reading). */
-  def release(): Unit = { held.foreach(_.unpersist(false)); held.clear() }
+  def release(): Unit = { held.foreach(_.unpersist()); held.clear() }
 }
 
 private[graft] object StageProbe {
