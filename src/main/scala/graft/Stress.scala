@@ -267,14 +267,25 @@ object Stress {
         sys.props.remove("graft.drain.statePartitions")
         sys.props.remove("graft.drain.sink")
       }
+      // EVERY synthetic scaling point is min-of-2 (the suite's
+      // steady-state protocol): single-shot points mixed cold-JIT small
+      // runs against warm big runs — round 9's semdedup decade numbers
+      // swung 1.06 → 0.77 across rounds on exactly that asymmetry (a
+      // probed warm 600K ran 9.1 s where the cold single-shot charged
+      // it 20.5 s), so nothing here is single-sampled anymore
+      def minOf2(body: => Unit): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }.min
       def edgesOf(n: Long, m: Long) = spark.range(m).select(
         pmod(xxhash64(col("id")), lit(n)).as("src"),
         pmod(xxhash64(col("id") + m), lit(n)).as("dst"))
-      def ccRun(n: Long, m: Long): Double = {
-        val t0 = System.nanoTime()
+      def ccRun(n: Long, m: Long): Double = minOf2 {
         graft.pipeline.Graph.connectedComponentsStar(
           edgesOf(n, m), "src", "dst").count()
-        (System.nanoTime() - t0) / 1e9
       }
       val ccS = ccRun(600000L, 1800000L)
       val ccB = ccRun(6000000L, 18000000L)
@@ -286,11 +297,9 @@ object Stress {
         transform(sequence(lit(0), lit(31)),
           i => (pmod(xxhash64(col("id") * 32 + i), lit(2000L)) - 1000L) / 1000.0)
           .as("embedding"))
-      def semRun(n: Long): Double = {
-        val t0 = System.nanoTime()
+      def semRun(n: Long): Double = minOf2 {
         graft.pipeline.Vec.semDedupLsh(vecs(n), "vec_id", "embedding",
           dim = 32, iters = 2, threshold = 0.999, shardTarget = 4096).count()
-        (System.nanoTime() - t0) / 1e9
       }
       val semS = semRun(600000L)
       val semB = semRun(6000000L)
@@ -310,6 +319,23 @@ object Stress {
       val semXeq = semB / (semC * 8)
       println(f"[stress100] semdedup_lsh equal-occupancy control: " +
         f"750K $semC%.2f s vs 6M $semB%.2f s, x_vs_linear $semXeq%.3f")
+      // DEPLOYMENT-SIZED control for whatever the equal-occupancy
+      // residual turns out to be: the same 6M run with the shuffle
+      // width sized to the volume (16 → 64; the session default 16 was
+      // sized for the sf0.1 suite, and per-task state in the assign
+      // aggregate / subdivision window grows 10× when the width stays
+      // put — the drainToTable statePartitions argument, batch
+      // edition). If THIS lands ≈ linear vs the 750K point, the
+      // residual is per-task volume at a fixed width — capacity
+      // sizing, not a plan bend; AQE may coalesce some of it back, so
+      // the honest comparison keeps AQE as the suite runs it.
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = spark.conf.get(spKey)
+      val semW = try { spark.conf.set(spKey, "64"); semRun(6000000L) }
+        finally spark.conf.set(spKey, spPrev)
+      val semXw = semW / (semC * 8)
+      println(f"[stress100] semdedup_lsh 6M @64 shuffle partitions: " +
+        f"$semW%.2f s, x_vs_linear vs 750K $semXw%.3f")
       // stage-level attribution (r8 demand: separate bucket-occupancy
       // growth from adaptive-k growth): probed runs force each stage,
       // so their totals are NOT comparable to the unprobed times above
@@ -354,8 +380,7 @@ object Stress {
       def membership(nIds: Long, m: Long) = spark.range(m).select(
         pmod(xxhash64(col("id")), lit(nIds)).as("id"),
         pmod(xxhash64(col("id") + m), lit(m / 3)).as("fp"))
-      def jacRun(nIds: Long, m: Long): Double = {
-        val t0 = System.nanoTime()
+      def jacRun(nIds: Long, m: Long): Double = minOf2 {
         val nbrs = membership(nIds, m).distinct()
         val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("deg"))
         graft.pipeline.Dedup.sharedFingerprintPairs(
@@ -368,16 +393,13 @@ object Stress {
             (col("n_shared") /
               (col("deg_a") + col("deg_b") - col("n_shared"))).as("jaccard"))
           .count()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        t
       }
       val jacS = jacRun(600000L, 1800000L)
       val jacB = jacRun(6000000L, 18000000L)
       val jacX = jacB / (jacS * 10)
       println(f"[stress100] graph_jaccard synth: 1.8M memberships $jacS%.2f s, " +
         f"18M $jacB%.2f s, per-decade $jacX%.3f")
-      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}}"""
+      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"width_sized_control":{"n":6000000,"shuffle_partitions":64,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}}"""
     }.getOrElse("")
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$aux100}""")
     writeArtifact(aux100)
