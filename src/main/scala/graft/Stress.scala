@@ -257,12 +257,22 @@ object Stress {
         // from it would read as a valid scaling point when it isn't
         val ratio = if (n < 0) None
           else res.get(name).map(_._1).filter(_ > 0).map(b => t / (b * 10))
+        // output-sensitive ops (the prefix join above all) grow their
+        // OUTPUT superlinearly by construction (dup groups × factor ⇒
+        // pairs × factor²), so the time ratio alone reads as a bend
+        // when per-pair cost is flat — record the per-OUTPUT-row
+        // decade ratio next to it, same as the 10× phase's per_row_x
+        val perRow = for {
+          (b, br) <- res.get(name) if b > 0 && br > 0 && n > 0
+        } yield (t / n) / (b / br) / 10
         println(f"[stress100] $name%-22s $t%8.2f s  ($n%d rows)" +
           (if (n < 0) "  FAILED"
-           else ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f")))
+           else ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f") +
+             perRow.fold("")(r => f"  per_row_x_per_decade $r%.3f")))
         s""""$name":{"sec":${f"$t%.2f"},"rows":$n${
           if (n < 0) ""","failed":true"""
-          else ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""")}}"""
+          else ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""") +
+            perRow.fold("")(r => s""","per_row_x_per_decade":${f"$r%.3f"}""")}}"""
       } finally {
         sys.props.remove("graft.drain.statePartitions")
         sys.props.remove("graft.drain.sink")
