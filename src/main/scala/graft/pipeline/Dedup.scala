@@ -166,11 +166,13 @@ object Dedup {
     * hash per doc) and are RELEASED at the start of the next
     * top-level prefix-dedup call ([[PrefixBlocks]]), so a session
     * issuing N calls holds at most one call's block set; call
-    * [[PrefixBlocks.release]] to free the last set immediately. A
-    * retained older plan executed after its blocks retire RECOMPUTES
-    * from lineage (CacheManager persist, not a non-replayable
-    * checkpoint) — slower, never wrong. Executor loss likewise
-    * recomputes.
+    * [[PrefixBlocks.release]] to free the last set immediately. The
+    * caller's side of the contract: consume a call's result before
+    * issuing the next prefix-dedup call — a plan retained across
+    * calls throws on re-execution once its blocks retire
+    * (localCheckpoint is non-replayable; ShuffleBudgetSpec locks both
+    * sides). Executor loss likewise recomputes nothing — on an
+    * unreliable cluster substitute persist+count upstream.
     *
     * `groupFloor = Double.PositiveInfinity` DISABLES the
     * near-identical-prefix grouping entirely: no signature table is
@@ -195,12 +197,12 @@ object Dedup {
     val toks = docs.select(col(idCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    // Materialized once (PrefixBlocks.stage — persist+count with the
-    // deterministic next-call release): the prefix table feeds the
-    // grouping decision below AND both sides of the candidate join,
-    // and at 100 TB the candidate join re-shuffles this exact data
-    // anyway — recomputing the df-rank window per consumer would triple
-    // the heaviest upstream stage.
+    // Materialized once (PrefixBlocks.stage — eager localCheckpoint
+    // with the deterministic next-call release): the prefix table
+    // feeds the grouping decision below AND both sides of the
+    // candidate join, and at 100 TB the candidate join re-shuffles
+    // this exact data anyway — recomputing the df-rank window per
+    // consumer would triple the heaviest upstream stage.
     val prefix = PrefixBlocks.stage(
       rankedPrefix(toks, idCol, dfreq, threshold, "inner")
         .select(col(idCol), col("__tok"), col("__r"), col("__sz")))
