@@ -23,13 +23,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pattern, applied across calls). [[release]] frees the last call's
   * set immediately for sessions done deduping.
   *
-  * Storage is `localCheckpoint(true)` row blocks with the backing
-  * RDD handle kept for release — NOT a CacheManager `persist`: the
-  * columnar cache's write + per-consumer read conversion measured
-  * +0.7 s per call at sf0.1 on the collapse's text-carrying tables
-  * (A/B, min-of-4), and these are single-call scratch tables, not
-  * long-lived hot caches, so recompute-on-release buys nothing the
-  * consume-before-next-call contract doesn't already give.
+  * Storage format is PER TABLE SHAPE — both A/B-measured:
+  *  - [[stageRows]] (`localCheckpoint(true)` row blocks, backing-RDD
+  *    handle kept for release): the collapse's text-carrying tables.
+  *    The columnar cache's write + per-consumer read conversion
+  *    measured +0.7 s/call at sf0.1 on them (min-of-4 A/B) — full
+  *    rows are what every consumer reads anyway.
+  *  - [[stageColumnar]] (CacheManager `persist`): the big EXPLODED
+  *    narrow prefix table, whose five consumers each read a column
+  *    subset. Row blocks deserialize full rows per consumer and
+  *    measured 12.2 s vs 2.4 s on the 10× replica corpus's
+  *    dedup_prefix — column pruning + compression win with ~10⁷
+  *    exploded rows, and the gap WIDENS with scale, so columnar is
+  *    the 100 TB-side default.
   *
   * Nested entry points (the collapse calls the pair join, which calls
   * the candidate stage) share ONE scope via a thread-local depth: the
@@ -37,8 +43,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * groups/reps tables.
   */
 object PrefixBlocks {
+  // release thunks (a Dataset.unpersist or a backing-RDD unpersist)
   private val live =
-    scala.collection.mutable.Map.empty[SparkSession, List[org.apache.spark.rdd.RDD[_]]]
+    scala.collection.mutable.Map.empty[SparkSession, List[() => Unit]]
   private val depth = new ThreadLocal[Int] { override def initialValue = 0 }
 
   /** Run `body` as one prefix-pipeline call scope: retire the previous
@@ -56,10 +63,11 @@ object PrefixBlocks {
       } finally depth.set(0)
     }
 
-  /** Materialize `df` once (eager localCheckpoint — every downstream
-    * consumer reads the row blocks) and track its backing RDD for
-    * release at the next top-level prefix-dedup call. */
-  private[pipeline] def stage(df: DataFrame): DataFrame = {
+  /** Materialize `df` once as ROW blocks (eager localCheckpoint) and
+    * track its backing RDD for release at the next top-level
+    * prefix-dedup call. For text-carrying tables whose consumers read
+    * full rows. */
+  private[pipeline] def stageRows(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(true)
     // the checkpointed Dataset's plan is a LogicalRDD leaf over the
     // persisted InternalRow RDD — THAT handle is what unpersists the
@@ -69,19 +77,33 @@ object PrefixBlocks {
     val backing = c.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
-    synchronized {
-      live(c.sparkSession) =
-        backing.toList ::: live.getOrElse(c.sparkSession, Nil)
-    }
+    track(c.sparkSession,
+      backing.map(r => () => { r.unpersist(blocking = false); () }).toList)
     c
   }
+
+  /** Materialize `df` once in the COLUMNAR cache (persist + count) and
+    * track it for release at the next top-level prefix-dedup call.
+    * For wide-fan-out narrow tables whose consumers each read a column
+    * subset (pruned, compressed scans). Bonus vs row blocks: a
+    * retained plan re-executed after release recomputes instead of
+    * throwing (CacheManager, replayable). */
+  private[pipeline] def stageColumnar(df: DataFrame): DataFrame = {
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.count()
+    track(c.sparkSession, List(() => { c.unpersist(blocking = false); () }))
+    c
+  }
+
+  private def track(s: SparkSession, thunks: List[() => Unit]): Unit =
+    synchronized { live(s) = thunks ::: live.getOrElse(s, Nil) }
 
   /** Free the most recent prefix-dedup call's staged blocks now
     * (idempotent) — for sessions done deduping that don't want to wait
     * for their next call. */
   def release(s: SparkSession): Unit = {
-    val rdds = synchronized { live.remove(s).getOrElse(Nil) }
-    rdds.foreach(_.unpersist(blocking = false))
+    val thunks = synchronized { live.remove(s).getOrElse(Nil) }
+    thunks.foreach(_.apply())
   }
 
   /** Staged tables currently holding executor blocks (test hook). */

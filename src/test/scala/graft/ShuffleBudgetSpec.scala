@@ -133,21 +133,29 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(end <= base, s"release must free the final set: base=$base now=$end")
   }
 
-  test("a plan retained across prefix-dedup calls is invalidated, not leaked") {
+  test("a plan retained across prefix-dedup calls is released, not leaked") {
     import graft.pipeline.{Dedup, PrefixBlocks}
     val docs = (0 until 200)
       .map(i => (i.toLong, s"a${i % 5} b${i % 9} c${i % 4} d$i"))
       .toDF("doc_id", "text")
-    val first = Dedup.prefixJaccardCandidatePairs(
+    // COLUMNAR-staged tables (the candidate stage's prefix/sig):
+    // release goes through the CacheManager, so a retained plan
+    // re-executed after the next call RECOMPUTES - slower, never wrong
+    val cand = Dedup.prefixJaccardCandidatePairs(
       docs, "doc_id", "text", 0.8, groupFloor = 0)
-    assert(first.count() >= 0) // consumed within its call window: fine
-    // the next call retires `first`'s staged blocks deterministically —
-    // the documented consume-before-next-call contract: re-executing
-    // the stale plan now throws (localCheckpoint blocks are gone and
-    // non-replayable) instead of silently holding executor storage
+    val expected = cand.count()
     Dedup.prefixJaccardCandidatePairs(
       docs, "doc_id", "text", 0.8, groupFloor = 0).count()
-    intercept[org.apache.spark.SparkException] { first.count() }
+    assert(cand.count() == expected)
+    // ROW-BLOCK-staged tables (the collapse's groups/reps): released
+    // localCheckpoint blocks are non-replayable, so the documented
+    // consume-before-next-call contract applies - the stale plan
+    // throws instead of silently holding executor storage
+    val collapsed = Dedup.prefixJaccardPairsCollapsed(
+      docs, "doc_id", "text", 0.8)
+    assert(collapsed.count() >= 0) // consumed within its call window
+    Dedup.prefixJaccardPairsCollapsed(docs, "doc_id", "text", 0.8).count()
+    intercept[org.apache.spark.SparkException] { collapsed.count() }
     PrefixBlocks.release(spark)
   }
 
