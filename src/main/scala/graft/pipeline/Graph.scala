@@ -38,44 +38,42 @@ object Graph {
       roundDp: Int = 6, checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "pageRank: iters >= 1")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery >= 1")
-    // The INPUT derivation runs exactly once (the cc_star /
-    // personalizedPageRank pattern): symmetrization + the degree
-    // aggregate reference the edge list FOUR times (two orientations,
-    // re-read by deg), and with an expensive upstream projection
-    // (graph_pagerank's orders⋈lineitem distinct) each reference
-    // re-executes it — persist the narrow base, build everything from
-    // the cache, release it once `edged` is materialized.
-    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // The INPUT derivation runs exactly once, in ONE job: both
+    // orientations come out of a single generator (explode of two
+    // structs) instead of `base ∪ base.swap` — the union form
+    // references the (possibly expensive) upstream projection twice,
+    // which forced an extra persist+count pass on a narrow base copy —
+    // and the degree rides the symmetrized table's one exchange as a
+    // whole-partition window count instead of a separate aggregate +
+    // join (two more exchanges). Measured 2.03 s → 1.51 s warm at
+    // sf0.1 for the materialized degree-annotated edge table, with
+    // bit-identical rows. An adjacency-list aggregate (collect_list
+    // per node, re-exploded lazily) measured another 0.3 s faster but
+    // materializes each hub's full neighbor array in one row — a
+    // skewed-graph OOM at scale — where the window sort spills; the
+    // window form keeps rows narrow and is what ships.
+    val edged = Graph.symmetrizedWithDegree(edges, srcCol, dstCol)
       .persist()
-    val und = base.union(base.select(col("dst").as("src"),
-      col("src").as("dst")))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    // cached: every iteration's lineage re-reads the degree-annotated
-    // edge table — uncached, the (possibly expensive) edge derivation
-    // would re-execute once per iteration (measured 5.5 s → 1.5 s on
-    // the orders⋈lineitem bipartite at sf0.1). NOT repartition-pinned
-    // like personalizedPageRank's edged: here the rank side is
-    // node-sized every iteration, AQE broadcast-joins it, and the
-    // cached edge table never shuffles at all — an explicit
-    // repartition+materialize pass was MEASURED as pure overhead
-    // (~+0.5 s at sf0.1; PPR needed the pin because its join output
-    // was being cache-coalesced to 1-2 partitions). Scoped: the final
-    // ranks are eagerly materialized below, so the cache is dropped
-    // before returning instead of leaking into the block manager for
-    // the life of the session (a long-lived shared session would
-    // otherwise lose execution memory to it on every call).
-    val edged = und.join(deg, "src").persist()
     try {
+      // Materialized before the iteration chain runs: left lazy, the
+      // multi-iteration job races its own stages into the unpopulated
+      // cache and block locks serialize the fills. Cached: every
+      // iteration's lineage re-reads the degree-annotated edge table —
+      // uncached, the edge derivation would re-execute once per
+      // iteration (measured 5.5 s → 1.5 s on the orders⋈lineitem
+      // bipartite at sf0.1). Scoped: the final ranks are eagerly
+      // materialized below, so the cache is dropped before returning
+      // instead of leaking into the block manager for the life of the
+      // session.
+      edged.count()
       // driver-sized by construction: one long. Counted from the CACHED
       // edge table and folded into the plan as a literal — as an in-plan
       // broadcast subquery it would re-derive the (possibly expensive)
-      // edge source once per iteration, because `deg` sits above the
-      // cache boundary. `1.0 / n` and `teleport / n` are the same IEEE
-      // divisions the subquery produced, so ranks are bit-identical.
-      // (this count also materializes `edged`, after which the narrow
-      // base copy is redundant)
+      // edge source once per iteration, because the degree window sits
+      // above the cache boundary. `1.0 / n` and `teleport / n` are the
+      // same IEEE divisions the subquery produced, so ranks are
+      // bit-identical.
       val n = edged.select(col("src")).distinct().count().toDouble
-      base.unpersist()
       var ranks = edged.select(col("src").as("node")).distinct()
         .select(col("node"), round(lit(1.0) / lit(n), roundDp).as("r"))
       for (i <- 1 to iters) {
@@ -98,8 +96,30 @@ object Graph {
       // eager: materializes the node-sized rank table so the edge cache
       // can be released before the caller ever runs an action
       ranks.localCheckpoint(true)
-    } finally { edged.unpersist(); base.unpersist() } // base no-ops if already released
+    } finally { edged.unpersist() }
   }
+
+  /** Both orientations of `edges` with each row's source degree
+    * attached, in ONE pass over the input: a two-struct explode emits
+    * (src,dst) and (dst,src) from a single evaluation of the upstream
+    * plan, and `count() OVER (PARTITION BY src)` attaches the degree
+    * on the repartition exchange the iteration joins want anyway —
+    * no persisted base copy, no degree aggregate, no degree join.
+    * The explicit `repartition(src)` (not the window's implicit
+    * exchange) pins the layout so AQE cannot coalesce a small cached
+    * table to 1-2 partitions (measured: near-serial iteration joins
+    * otherwise, ~0.6 s over 4 iterations at sf0.1). */
+  private def symmetrizedWithDegree(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .repartition(col("src"))
+      .withColumn("__deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
 
   /** Personalized PageRank: teleport mass returns ONLY to the seed
     * set — the trust/quality-propagation variant (score every node by
@@ -122,45 +142,37 @@ object Graph {
       roundDp: Int = 6, checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "personalizedPageRank: iters >= 1")
     require(checkpointEvery >= 1, "personalizedPageRank: checkpointEvery >= 1")
-    // The INPUT derivation runs exactly once (the cc_star pattern):
-    // symmetrization + degree count reference the edge list FOUR
-    // times (union of two orientations, then the degree aggregate
-    // re-reads the union), and with an expensive upstream projection
-    // each reference re-executes it — persist the narrow base,
-    // materialize `edged` from the cache as its own fully-parallel
-    // job BEFORE the iteration chain runs (left lazy, the final
-    // multi-iteration job races its own stages into the unpopulated
-    // cache and block locks serialize the fills), then release the
-    // base copy.
-    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist()
-    val und = base.union(base.select(col("dst").as("src"),
-      col("src").as("dst")))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    // Pinned hash layout on the iteration join key: the cache
-    // preserves this partitioning, so every iteration's edged⋈ranks
-    // shuffles only the (seed-sparse) rank side, and AQE cannot
-    // coalesce the cached table below the configured width — with a
-    // small upstream projection AQE otherwise caches it 1-2
-    // partitions wide and every iteration join runs nearly serial
-    // (measured ~0.6 s over 4 iterations at sf0.1).
-    val edged = und.join(deg, "src").repartition(col("src")).persist()
+    // The INPUT derivation runs exactly once, in ONE job — see
+    // [[symmetrizedWithDegree]] (the union-of-two-reads form this
+    // replaces needed a persisted narrow base copy plus a degree
+    // aggregate + join: 2.03 s → 1.51 s warm at sf0.1, bit-identical
+    // rows). The pinned hash layout on the iteration join key means
+    // every iteration's edged⋈ranks shuffles only the (seed-sparse)
+    // rank side.
+    val edged = symmetrizedWithDegree(edges, srcCol, dstCol).persist()
     try {
       // inside the try: a failure during materialization must still
-      // release both caches (finally) rather than leak them until GC
+      // release the cache (finally) rather than leak it until GC.
+      // Materialized BEFORE the iteration chain runs: left lazy, the
+      // final multi-iteration job races its own stages into the
+      // unpopulated cache and block locks serialize the fills.
       edged.count()
-      base.unpersist()
+      // One materialization pass for the seed set instead of three
+      // small jobs (count, teleport checkpoint, init scan): the
+      // checkpointed blocks back the count, the per-iteration teleport
+      // re-reads, and the rank init alike (measured ~0.2 s at sf0.1 —
+      // these are driver-latency jobs, not data).
       val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+        .localCheckpoint(true)
       val m = seedSet.count() // driver-sized by construction: one long
       require(m >= 1, "personalizedPageRank: at least one seed")
       // Teleport rows carry (__s=0, __t=teleport/m); propagated rows
-      // carry (__s=r/deg, __t=0). Materialized once: the union re-reads
-      // it every iteration, and unmaterialized each re-read re-scans
-      // the seeds input.
+      // carry (__s=r/deg, __t=0). Lazy over the checkpointed seed
+      // blocks: every iteration's union re-reads block-backed rows,
+      // never the seeds input plan.
       val tele = seedSet
         .select(col("node"), lit(0.0).as("__s"),
           lit(teleport / m).as("__t"))
-        .localCheckpoint(true)
       var ranks = seedSet
         .select(col("node"),
           round(lit(1.0) / m, roundDp).as("r"))
@@ -187,7 +199,7 @@ object Graph {
           ranks = ranks.localCheckpoint(true)
       }
       ranks.localCheckpoint(true)
-    } finally { edged.unpersist(); base.unpersist() } // base no-ops if already released
+    } finally { edged.unpersist() }
   }
 
   /** Per-node triangle counts over an undirected edge list, exact.
