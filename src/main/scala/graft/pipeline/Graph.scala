@@ -109,7 +109,7 @@ object Graph {
     * exchange) pins the layout so AQE cannot coalesce a small cached
     * table to 1-2 partitions (measured: near-serial iteration joins
     * otherwise, ~0.6 s over 4 iterations at sf0.1). */
-  private def symmetrizedWithDegree(
+  private[graft] def symmetrizedWithDegree(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges
       .select(explode(array(

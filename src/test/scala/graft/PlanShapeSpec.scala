@@ -349,6 +349,34 @@ class PlanShapeSpec extends SparkSpec {
       s"one doc-keyed agg (+ oracle sort) only:\n$p")
   }
 
+  test("pagerank edge build is one pass: one exchange, upstream scanned once") {
+    // Both PageRank variants build the degree-annotated symmetric edge
+    // table via a two-struct explode + whole-partition window count.
+    // Invariants locked: (1) the upstream projection appears ONCE in
+    // the physical plan (the union-of-two-reads form it replaced
+    // evaluated it twice, forcing a persisted base copy); (2) exactly
+    // one shuffle exchange — the window's count rides the repartition
+    // the iteration joins want, with no separate degree aggregate +
+    // join pair.
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("a"),
+        org.apache.spark.sql.functions.col("l_suppkey").as("b"))
+      .distinct()
+    val p = pipeline.Graph.symmetrizedWithDegree(edges, "a", "b")
+      .queryExecution.explainString(FormattedMode)
+    // FormattedMode repeats each node in the detail section — count
+    // scan DETAILS (one Location line per physical scan)
+    assert(countOcc(p, "Location: InMemoryFileIndex") == 1,
+      s"upstream must be evaluated exactly once:\n$p")
+    // the upstream distinct's own exchange + the pinned repartition;
+    // the window must NOT add a third (no degree aggregate + join)
+    assert(shuffles(p) == 2,
+      s"degree must ride the repartition exchange:\n$p")
+    assert(countOcc(p, "Window (") == 1 && countOcc(p, "Generate (") == 1,
+      s"one generator pass + window degree:\n$p")
+    assert(!p.contains("Join"), s"no degree join:\n$p")
+  }
+
   test("pagerank: keyed joins and one-row broadcasts only, no cartesian") {
     val p = physical("graph_pagerank")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
