@@ -2550,6 +2550,23 @@ object SparkEntry {
           Seq("hash", "join", "vector"))
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id")),
+    "text_rouge" -> ((s, dir) => {
+      // generation-eval metric: ROUGE-2 with CLIPPED multiset counts
+      // between two overlapping word-slices of every 13th doc (words
+      // 1-30 as the "candidate", words 11-60 as the "reference" — the
+      // 20-word overlap region gives non-trivial clipped counts, and
+      // any within-slice repetition exercises the clipping that
+      // separates ROUGE from set containment). prec/rec/f1 are raw
+      // IEEE divisions of exact integers — never rounded
+      val toks = split(trim(col("text")), "\\s+")
+      val pairs = documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"),
+          array_join(slice(toks, 1, 30), " ").as("cand"),
+          array_join(slice(toks, 11, 50), " ").as("ref"))
+      TextAnalysis.rougeN(pairs, "doc_id", "cand", "ref", n = 2)
+        .orderBy("doc_id")
+    }),
     "cur_table_diff" -> ((s, dir) => {
       // snapshot reconciliation: b mutates every 11th doc, drops every
       // 13th, and re-adds every 17th under a shifted key — the diff
@@ -6914,6 +6931,53 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st)
         |SELECT doc_id, round(sum(s), 6) AS bm25
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // ROUGE-2 with clipped multiset counts; prec/rec are raw integer
+    // IEEE divisions (never rounded), f1 the same 2pr/(p+r) fold
+    "text_rouge" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string(t[1:30], ' ') AS cand,
+        |    array_to_string(t[11:60], ' ') AS ref
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(text), '\s+'),
+        |                      x -> x <> '') AS t
+        |        FROM documents WHERE doc_id % 13 = 0)),
+        |cg AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, 1 AS side
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(cand), '\s+'),
+        |                      x -> x <> '') AS t FROM p),
+        |    UNNEST(range(1, len(t))) AS r(i)),
+        |rg AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, 2 AS side
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(ref), '\s+'),
+        |                      x -> x <> '') AS t FROM p),
+        |    UNNEST(range(1, len(t))) AS r(i)),
+        |pg AS (
+        |  SELECT doc_id, g,
+        |    count(CASE WHEN side = 1 THEN 1 END) AS ca,
+        |    count(CASE WHEN side = 2 THEN 1 END) AS cb
+        |  FROM (SELECT * FROM cg UNION ALL SELECT * FROM rg)
+        |  GROUP BY doc_id, g),
+        |pd AS (
+        |  SELECT doc_id,
+        |    CAST(sum(least(ca, cb)) AS BIGINT) AS clipped,
+        |    CAST(sum(ca) AS BIGINT) AS cand_ngrams,
+        |    CAST(sum(cb) AS BIGINT) AS ref_ngrams
+        |  FROM pg GROUP BY doc_id)
+        |SELECT doc_id, clipped, cand_ngrams, ref_ngrams,
+        |  CASE WHEN cand_ngrams > 0
+        |    THEN CAST(clipped AS DOUBLE) / cand_ngrams END AS prec,
+        |  CASE WHEN ref_ngrams > 0
+        |    THEN CAST(clipped AS DOUBLE) / ref_ngrams END AS rec,
+        |  CASE WHEN clipped > 0
+        |    THEN 2.0 * (CAST(clipped AS DOUBLE) / cand_ngrams)
+        |           * (CAST(clipped AS DOUBLE) / ref_ngrams)
+        |         / ((CAST(clipped AS DOUBLE) / cand_ngrams)
+        |            + (CAST(clipped AS DOUBLE) / ref_ngrams))
+        |    ELSE 0.0 END AS f1
+        |FROM pd ORDER BY doc_id""".stripMargin,
     "cur_table_diff" ->
       """WITH a AS (
         |  SELECT doc_id, md5(concat_ws(chr(1),

@@ -43,7 +43,7 @@ object Stress {
     "auto_mad", "auto_flatline", "ts_rolling", "ts_asof",
     "ts_scd2", "ts_cusum", "ts_ohlc", "text_heavy_hitters",
     "w1_rowid", "m5_approve_unflagged", "a1_progress", "plot_m4", "u1_union",
-    "text_perplexity", "text_chunks", "text_quality_clf",
+    "text_perplexity", "text_chunks", "text_quality_clf", "text_rouge",
     // dedup_semdedup_sharded (not the pinned-k flat query) is the
     // scale-bearing SemDeDup: per-shard k derives from shard counts
     "embed_kmeans", "dedup_semdedup_sharded", "mm_phash", "mm_audio_stats",

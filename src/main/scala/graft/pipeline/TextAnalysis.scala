@@ -593,6 +593,62 @@ object TextAnalysis {
     dfT.join(postings, "token")
   }
 
+  /** ROUGE-N overlap between a candidate and a reference text column
+    * (Lin, "ROUGE: A Package for Automatic Evaluation of Summaries",
+    * ACL 2004 workshop) — the standard n-gram eval metric for
+    * summarization/generation quality, with CLIPPED multiset counts:
+    * each n-gram credits `min(candidate occurrences, reference
+    * occurrences)`, so repeating a reference gram in the candidate
+    * cannot inflate the score. That multiset clipping is what
+    * separates ROUGE from set-based containment
+    * ([[Dedup.containmentPairs]]).
+    *
+    * `prec`/`rec` are exact-integer IEEE divisions (never rounded —
+    * the suite's small-integer-ratio convention); `f1 = 2pr/(p+r)` is
+    * the same double fold both engines compute from those quotients,
+    * 0 by definition when nothing overlaps, and a side with no
+    * n-grams yields a NULL for its ratio (guarded division). A pair
+    * whose sides BOTH produce no n-gram yields no row.
+    *
+    * Scale shape: the two gram streams union with a side tag and fold
+    * in ONE (id, gram)-keyed conditional-sum aggregate — not a join
+    * of two aggregates — then one id-keyed rollup: two keyed
+    * exchanges total, map-side combined, state bounded by distinct
+    * grams per document, nothing all-pairs.
+    *
+    * @return (idCol, clipped, cand_ngrams, ref_ngrams, prec, rec, f1) */
+  def rougeN(
+      pairs: org.apache.spark.sql.DataFrame,
+      idCol: String, candCol: String, refCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "rougeN: n must be >= 1")
+    val cand = pairs.select(col(idCol),
+      explode(graft.functions.wordNgrams(col(candCol), n)).as("__g"),
+      lit(1).as("__side"))
+    val ref = pairs.select(col(idCol),
+      explode(graft.functions.wordNgrams(col(refCol), n)).as("__g"),
+      lit(2).as("__side"))
+    val perGram = cand.unionByName(ref)
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(when(col("__side") === 1, 1)).as("__ca"),
+        count(when(col("__side") === 2, 1)).as("__cb"))
+    perGram.groupBy(col(idCol))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("clipped"),
+        sum(col("__ca")).as("cand_ngrams"),
+        sum(col("__cb")).as("ref_ngrams"))
+      .select(col(idCol), col("clipped"), col("cand_ngrams"),
+        col("ref_ngrams"),
+        when(col("cand_ngrams") > 0,
+          col("clipped").cast("double") / col("cand_ngrams")).as("prec"),
+        when(col("ref_ngrams") > 0,
+          col("clipped").cast("double") / col("ref_ngrams")).as("rec"))
+      .withColumn("f1",
+        when(col("clipped") > 0,
+          lit(2.0) * col("prec") * col("rec") /
+            (col("prec") + col("rec")))
+          .otherwise(lit(0.0)))
+  }
+
   /** BM25 relevance scores (Robertson/Spärck Jones; the Lucene
     * `k1`/`b` parameterization with the +1-smoothed idf) of every
     * document against a fixed term set: `Σ_t ln(1 + (N−df+0.5)/(df+

@@ -349,6 +349,16 @@ class PlanShapeSpec extends SparkSpec {
       s"one doc-keyed agg (+ oracle sort) only:\n$p")
   }
 
+  test("rouge folds both gram streams in one keyed aggregate, no join") {
+    // union + side tag + conditional sums: the per-gram counts of the
+    // candidate and reference streams must come from ONE aggregate,
+    // not a join of two — allowed exchanges: (id, gram) agg, id agg,
+    // oracle sort
+    val p = plan("text_rouge")
+    assert(!p.contains("Join"), s"no join of two gram aggregates:\n$p")
+    assert(shuffles(p) <= 3, s"two keyed aggs + oracle sort only:\n$p")
+  }
+
   test("pagerank edge build is one pass: one exchange, upstream scanned once") {
     // Both PageRank variants build the degree-annotated symmetric edge
     // table via a two-struct explode + whole-partition window count.

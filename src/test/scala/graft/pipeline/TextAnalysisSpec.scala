@@ -293,6 +293,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(1)._2 - score(1, 2)) < 1e-12, s"got ${got(1)}")
   }
 
+  test("rougeN clips multiset counts and guards empty sides") {
+    // unigram case with real clipping: cand "a a a b" {a:3, b:1},
+    // ref "a a c" {a:2, c:1} -> clipped = min(3,2) = 2,
+    // prec = 2/4, rec = 2/3, f1 = 2*(1/2)*(2/3)/((1/2)+(2/3)) — the
+    // EXPECTED value replays the same IEEE fold (≠ 4.0/7 by one ulp)
+    val docs = Seq(
+      (1L, "a a a b", "a a c"),
+      (2L, "x y", ""), // empty ref: rec NULL, f1 0 by definition
+      (3L, "", "")) // no grams on either side: no row at all
+      .toDF("doc_id", "cand", "ref")
+    val got = TextAnalysis.rougeN(docs, "doc_id", "cand", "ref", n = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), s"got $got")
+    assert(got(0) == ((1L, 2L, 4L, 3L, Some(0.5), Some(2.0 / 3),
+      2.0 * 0.5 * (2.0 / 3) / (0.5 + 2.0 / 3))), s"got ${got(0)}")
+    assert(got(1) == ((2L, 0L, 2L, 0L, Some(0.0), None, 0.0)),
+      s"got ${got(1)}")
+    // bigram clipping: cand "a b a b a b" {ab:3, ba:2}, ref "a b a b"
+    // {ab:2, ba:1} -> clipped 3, prec 3/5, rec 3/3
+    val bi = TextAnalysis.rougeN(
+        Seq((1L, "a b a b a b", "a b a b")).toDF("doc_id", "cand", "ref"),
+        "doc_id", "cand", "ref", n = 2)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(bi == Seq((1L, 3L, 5L, 3L, Some(0.6), Some(1.0),
+      2.0 * 0.6 * 1.0 / (0.6 + 1.0))), s"got $bi")
+  }
+
   test("bpeEncode applies trained merges in rank order") {
     // corpus: "aa"x3, "ab"x1. merge1 = (a, </w>) (count 3, beats
     // (a,a)=3 lexicographically since '<' < 'a'); merge2 = (a, a</w>).
