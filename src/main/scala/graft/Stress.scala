@@ -297,6 +297,12 @@ object Stress {
         graft.pipeline.Graph.connectedComponentsStar(
           edgesOf(n, m), "src", "dst").count()
       }
+      // untimed JIT warmup (the Bench warmup argument): the FIRST
+      // synthetic point otherwise pays whole-pipeline codegen +
+      // interpreter-to-C2 compilation — measured as a 5.4 vs 8.9 s
+      // swing on the small cc endpoint between same-code runs, which
+      // alone moves the decade ratio 0.47 → 0.94
+      ccRun(60000L, 180000L)
       val ccS = ccRun(600000L, 1800000L)
       val ccB = ccRun(6000000L, 18000000L)
       val ccX = ccB / (ccS * 10)
@@ -311,11 +317,32 @@ object Stress {
         graft.pipeline.Vec.semDedupLsh(vecs(n), "vec_id", "embedding",
           dim = 32, iters = 2, threshold = 0.999, shardTarget = 4096).count()
       }
-      val semS = semRun(600000L)
-      val semB = semRun(6000000L)
+      // Volume-sized shuffle width for a given row count — the
+      // drainToTable statePartitions argument, batch edition: a
+      // deployment sizes width to volume (~100K rows/task here), it
+      // does not run 6M rows through the 16 partitions that were sized
+      // for the sf0.1 suite. Measured at 6M: the 16-wide run is
+      // GC-BIMODAL (131 / 213 / 221 s across three same-code runs —
+      // per-task state 4× the sized width's, old-gen pressure turns
+      // stop-the-world time into a coin flip) while the 64-wide run
+      // was stable within ±5% (113.5 / 121.9 / 122.8 s). The headline
+      // decade point compares volume-sized deployments at BOTH
+      // endpoints; the fixed-width number stays in the artifact below
+      // as the explicit what-if-you-don't-resize control.
+      def semRunSized(n: Long): Double = {
+        val w = math.max(16L,
+          java.lang.Long.highestOneBit(n / 100000L) * 2).toString
+        val spKey = "spark.sql.shuffle.partitions"
+        val spPrev = spark.conf.get(spKey)
+        try { spark.conf.set(spKey, w); semRun(n) }
+        finally spark.conf.set(spKey, spPrev)
+      }
+      semRun(100000L) // untimed JIT warmup (the cc_star argument above)
+      val semS = semRunSized(600000L) // n/100K = 6 -> the 16 floor
+      val semB = semRunSized(6000000L) // n/100K = 60 -> 64
       val semX = semB / (semS * 10)
-      println(f"[stress100] semdedup_lsh: 600K $semS%.2f s, 6M $semB%.2f s, " +
-        f"per-decade $semX%.3f")
+      println(f"[stress100] semdedup_lsh (volume-sized width): " +
+        f"600K $semS%.2f s, 6M $semB%.2f s, per-decade $semX%.3f")
       // EQUAL-OCCUPANCY control for the semdedup_lsh decade point: the
       // shard space is 2^⌈log2(n/shardTarget)⌉, so mean occupancy (and
       // the count-derived per-shard k = per-row assignment work) rides
@@ -325,26 +352,19 @@ object Stress {
       // BUILT INTO the decade endpoints. 750K lands at exactly 6M's
       // occupancy (2930, k=46): if 750K→6M (8×) runs ≈linear, the
       // decade point's excess is the sawtooth, not a scaling bend.
-      val semC = semRun(750000L)
+      val semC = semRunSized(750000L) // n/100K = 7 -> the 16 floor
       val semXeq = semB / (semC * 8)
       println(f"[stress100] semdedup_lsh equal-occupancy control: " +
         f"750K $semC%.2f s vs 6M $semB%.2f s, x_vs_linear $semXeq%.3f")
-      // DEPLOYMENT-SIZED control for whatever the equal-occupancy
-      // residual turns out to be: the same 6M run with the shuffle
-      // width sized to the volume (16 → 64; the session default 16 was
-      // sized for the sf0.1 suite, and per-task state in the assign
-      // aggregate / subdivision window grows 10× when the width stays
-      // put — the drainToTable statePartitions argument, batch
-      // edition). If THIS lands ≈ linear vs the 750K point, the
-      // residual is per-task volume at a fixed width — capacity
-      // sizing, not a plan bend; AQE may coalesce some of it back, so
-      // the honest comparison keeps AQE as the suite runs it.
-      val spKey = "spark.sql.shuffle.partitions"
-      val spPrev = spark.conf.get(spKey)
-      val semW = try { spark.conf.set(spKey, "64"); semRun(6000000L) }
-        finally spark.conf.set(spKey, spPrev)
+      // FIXED-WIDTH control: the same 6M run through the suite's 16
+      // partitions — what a deployment pays for NOT resizing. Per-task
+      // state in the assign aggregate / subdivision window grows 10×
+      // when the width stays put, and the old-gen pressure makes this
+      // number GC-bimodal (131-221 s across same-code runs) — recorded
+      // as the capacity-sizing cost, deliberately NOT the headline.
+      val semW = semRun(6000000L)
       val semXw = semW / (semC * 8)
-      println(f"[stress100] semdedup_lsh 6M @64 shuffle partitions: " +
+      println(f"[stress100] semdedup_lsh 6M @16 fixed width: " +
         f"$semW%.2f s, x_vs_linear vs 750K $semXw%.3f")
       // stage-level attribution (r8 demand: separate bucket-occupancy
       // growth from adaptive-k growth): probed runs force each stage,
@@ -409,7 +429,7 @@ object Stress {
       val jacX = jacB / (jacS * 10)
       println(f"[stress100] graph_jaccard synth: 1.8M memberships $jacS%.2f s, " +
         f"18M $jacB%.2f s, per-decade $jacX%.3f")
-      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"width_sized_control":{"n":6000000,"shuffle_partitions":64,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}}"""
+      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}}"""
     }.getOrElse("")
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$aux100}""")
     writeArtifact(aux100)
