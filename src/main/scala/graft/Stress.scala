@@ -338,6 +338,20 @@ object Stress {
         finally spark.conf.set(spKey, spPrev)
       }
       semRun(100000L) // untimed JIT warmup (the cc_star argument above)
+      // untimed FULL-SCALE warmup, one run: the FIRST 6M-row execution
+      // in a JVM pays ~2× regardless of shuffle width (measured in one
+      // JVM, same width back-to-back: 200.7 s first, 96.4 s second —
+      // heap expansion to tens of GB plus C2 for the big-partition
+      // paths; a 100K warmup does not touch either). Without this the
+      // decade point measures JVM lifecycle, not the operator, and
+      // WHICH 6M variant ran first silently decided which control
+      // looked slow in earlier artifacts.
+      locally {
+        graft.pipeline.Vec.semDedupLsh(vecs(6000000L), "vec_id",
+          "embedding", dim = 32, iters = 2, threshold = 0.999,
+          shardTarget = 4096).count()
+        spark.catalog.clearCache()
+      }
       val semS = semRunSized(600000L) // n/100K = 6 -> the 16 floor
       val semB = semRunSized(6000000L) // n/100K = 60 -> 64
       val semX = semB / (semS * 10)
