@@ -21,8 +21,14 @@ class BenchDeltaSpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
 
-  private lazy val floor =
-    BenchDelta.parseFlatObject(read("BENCH_FLOOR.json"), "queries")
+  // The floor is FROZEN at its round-9 state alongside the records:
+  // the replay validates the protocol against a known episode, and
+  // the live BENCH_FLOOR.json keeps dropping as the code gets faster
+  // (round 10 cut graph_jaccard 3.85 → 3.07 s, at which point the
+  // round-8 "clean" record legitimately exceeds 1.5× the NEW floor —
+  // a true speedup, not a protocol false-positive).
+  private lazy val floor = BenchDelta.parseFlatObject(
+    read("src/test/resources/bench_floor_r9.json"), "queries")
   private lazy val contendedRuns = BenchDelta.parseRunsObject(
     read("src/test/resources/bench_r8_contended.json"), "runs")
   private lazy val cleanRuns = BenchDelta.parseRunsObject(
