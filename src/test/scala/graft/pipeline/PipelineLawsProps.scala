@@ -223,4 +223,30 @@ object PipelineLawsProps extends Properties("PipelineLaws") {
         .select("r").as[Double].collect()
       math.abs(ranks.sum - 1.0) < 5e-3 && ranks.forall(_ > 0)
     }
+
+  private val wordGen: Gen[String] = Gen.oneOf("a", "b", "c", "dd")
+  private val textGen: Gen[String] =
+    Gen.listOfN(8, wordGen).map(_.mkString(" "))
+
+  property("rougeN: identity scores 1; swapping sides swaps prec/rec") =
+    forAll(textGen, textGen, Gen.choose(1, 3)) { (t1, t2, n) =>
+      import spark.implicits._
+      def run(c: String, r: String) =
+        TextAnalysis.rougeN(Seq((1L, c, r)).toDF("id", "cand", "ref"),
+            "id", "cand", "ref", n)
+          .select("clipped", "cand_ngrams", "ref_ngrams", "prec", "rec", "f1")
+          .as[(Long, Long, Long, Option[Double], Option[Double], Double)]
+          .collect().head
+      val self = run(t1, t1)
+      val fwd = run(t1, t2)
+      val rev = run(t2, t1)
+      // identity: every gram clips to itself -> prec = rec = f1 = 1
+      self._4.contains(1.0) && self._5.contains(1.0) && self._6 == 1.0 &&
+        // clipped count and totals are side-symmetric under swap
+        fwd._1 == rev._1 && fwd._2 == rev._3 && fwd._3 == rev._2 &&
+        fwd._4 == rev._5 && fwd._5 == rev._4 &&
+        // bounds: every ratio sits in [0, 1]
+        Seq(fwd._4, fwd._5).flatten.forall(v => v >= 0.0 && v <= 1.0) &&
+        fwd._6 >= 0.0 && fwd._6 <= 1.0
+    }
 }
