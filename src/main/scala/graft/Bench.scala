@@ -91,9 +91,13 @@ object Bench {
     // unparseable floor is never overwritten (refusing protects the
     // committed history from a parser bug clobbering it).
     val floorText = readFile(floorPath)
-    val floor = floorText
-      .map(BenchDelta.parseFlatObject(_, "queries")).getOrElse(Map.empty)
-      .filter(_._2 > 0)
+    // Some(map) = a well-formed queries object (possibly EMPTY — a
+    // legitimately empty seed or a re-dump whose numbers escaped the
+    // regex is still a valid file to min-merge into); None = the file
+    // exists but carries no parseable queries object (corrupt — never
+    // overwrite it, it may be the committed history mangled by a tool).
+    val floorParsed = floorText.flatMap(BenchDelta.parseFlatObjectOpt(_, "queries"))
+    val floor = floorParsed.getOrElse(Map.empty).filter(_._2 > 0)
     val prevBench = readFile(outPath)
       .map(BenchDelta.parseFlatObject(_, "queries")).getOrElse(Map.empty)
       .filter(_._2 > 0)
@@ -154,10 +158,13 @@ object Bench {
     // not launder itself into the baseline). SLOW-suspect hosts don't
     // touch it; a uniformly FAST run is genuine improvement and DOES
     // min-merge (analysis.floorSafe). An ABSENT floor file is seeded
-    // from the first clean full-suite run; a present-but-unparseable
-    // one (floor empty despite text) is never overwritten.
+    // from the first clean full-suite run; a present file whose queries
+    // object PARSES — even to zero entries (a legitimately empty seed,
+    // or a re-dump whose number format escaped the regex) — may be
+    // min-merged into; only a present-but-unparseable file (no
+    // well-formed queries object at all) is never overwritten.
     if (nameFilter.isEmpty && analysis.floorSafe &&
-        (floor.nonEmpty || floorText.isEmpty)) {
+        (floorParsed.isDefined || floorText.isEmpty)) {
       val merged = (floor.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { k =>
         val cur = results.collectFirst {
           case (n, _, best) if n == k && best >= 0 => best }

@@ -37,11 +37,21 @@ object BenchDelta {
     * trap for any future nested value), parsed as a flat
     * name → number map. Returns empty on absent/malformed input. */
   def parseFlatObject(txt: String, key: String): Map[String, Double] =
+    parseFlatObjectOpt(txt, key).getOrElse(Map.empty)
+
+  /** Like [[parseFlatObject]] but PRESERVES the absent-vs-empty
+    * distinction: `None` = no well-formed `"<key>":{...}` object in the
+    * text (treat as unparseable/corrupt), `Some(empty)` = the object is
+    * there but holds no numeric entries (a legitimately empty seed, or
+    * a tool re-dump whose number format escapes the regex). Bench's
+    * floor-update gate needs the difference — a validly-empty floor
+    * may be min-merged into; a corrupt one must never be overwritten. */
+  def parseFlatObjectOpt(txt: String, key: String): Option[Map[String, Double]] =
     objectBody(txt, key).map { body =>
       "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
         .findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
+    }
 
   /** `"<key>":{"name":[a,b],...}` → name → reps (for replaying a
     * recorded run's full per-rep timings through [[analyze]]). */

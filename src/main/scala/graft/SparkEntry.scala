@@ -150,12 +150,14 @@ object SparkEntry {
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_drain_$tag"
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(hp, true)
         // Only complete (each batch is the whole result → overwrite)
         // and append (batches are disjoint deltas → append) map onto a
         // file sink soundly. UPDATE mode re-emits superseded keys; an
         // append-mode file write would silently KEEP the stale rows, so
-        // refuse loudly rather than return a wrong table.
+        // refuse loudly rather than return a wrong table. Validate
+        // BEFORE the delete below — a refused drain must leave the
+        // tag's previously-drained output intact, not destroy it as a
+        // side effect of failing.
         val wmode = mode match {
           case "complete" => "overwrite"
           case "append" => "append"
@@ -164,6 +166,7 @@ object SparkEntry {
               "update-mode output re-emits keys and a file sink cannot " +
               "retract the superseded rows")
         }
+        fs.delete(hp, true)
         val q = out.writeStream.outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .foreachBatch((df: DataFrame, _: Long) => {

@@ -14,14 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ([[Dedup.prefixJaccardPairs]], [[Dedup.prefixJaccardCandidatePairs]],
   * [[Dedup.prefixJaccardPairsCollapsed]],
   * [[Dedup.incrementalJaccardPairs]]) RELEASES the previous call's
-  * staged blocks before staging its own, so executor storage holds at
-  * most ONE call's block set no matter how many calls a session issues
-  * (ShuffleBudgetSpec locks this). The corollary the caller must
-  * honor: CONSUME a call's result before issuing the next prefix-dedup
-  * call on the same session — a plan retained across calls throws on
+  * staged blocks ON THE SAME (session, thread) before staging its own,
+  * so executor storage holds at most ONE call's block set per calling
+  * thread no matter how many calls it issues (ShuffleBudgetSpec locks
+  * this). Keying by thread, not just session, is what makes concurrent
+  * calls on a shared session safe: a call on thread B never retires
+  * thread A's in-flight blocks. The corollary the caller must honor:
+  * CONSUME a call's result before issuing the next prefix-dedup call
+  * on the same session+thread — a plan retained across calls throws on
   * re-execution once its blocks retire (the cc_star round-release
-  * pattern, applied across calls). [[release]] frees the last call's
-  * set immediately for sessions done deduping.
+  * pattern, applied across calls). [[release]] frees the session's
+  * sets across all threads immediately for sessions done deduping.
   *
   * Storage format is PER TABLE SHAPE — both A/B-measured:
   *  - [[stageRows]] (`localCheckpoint(true)` row blocks, backing-RDD
@@ -43,23 +46,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * groups/reps tables.
   */
 object PrefixBlocks {
-  // release thunks (a Dataset.unpersist or a backing-RDD unpersist)
+  // Release thunks (a Dataset.unpersist or a backing-RDD unpersist),
+  // keyed per (session, CALLING THREAD): Spark explicitly supports
+  // concurrent actions on a shared session, and a session-only key let
+  // a prefix-dedup call on thread B retire thread A's IN-FLIGHT staged
+  // blocks — columnar stages recompute, but stageRows blocks
+  // (localCheckpoint) are non-replayable, so thread A's running job
+  // failed with SparkException. With the thread in the key, scoped()
+  // only ever retires blocks staged by a COMPLETED call on the same
+  // thread; concurrent callers each hold exactly their own one set.
+  // (A WeakHashMap on the session can't replace the stopped-context
+  // sweep below: the thunks close over Datasets/RDDs that reference
+  // the session, so the value would strongly reach the key and the
+  // entry would never collect.)
   private val live =
-    scala.collection.mutable.Map.empty[SparkSession, List[() => Unit]]
+    scala.collection.mutable.Map.empty[(SparkSession, Long), List[() => Unit]]
   private val depth = new ThreadLocal[Int] { override def initialValue = 0 }
 
-  /** Run `body` as one prefix-pipeline call scope: retire the previous
-    * top-level call's blocks, adopt everything staged inside. A failed
-    * call releases its own partial stages (nothing leaks from a
-    * mid-build exception). */
+  /** Run `body` as one prefix-pipeline call scope: retire THIS
+    * THREAD's previous top-level call's blocks, adopt everything staged
+    * inside. A failed call releases its own partial stages (nothing
+    * leaks from a mid-build exception). */
   private[pipeline] def scoped[T](s: SparkSession)(body: => T): T =
     if (depth.get > 0) body
     else {
-      release(s) // the previous call's blocks retire HERE — deterministic
+      releaseKey((s, Thread.currentThread().getId)) // previous call on
+      // THIS thread retires here — deterministic, never cross-thread
       depth.set(1)
       try body
       catch {
-        case scala.util.control.NonFatal(e) => release(s); throw e
+        case scala.util.control.NonFatal(e) =>
+          releaseKey((s, Thread.currentThread().getId)); throw e
       } finally depth.set(0)
     }
 
@@ -96,17 +113,41 @@ object PrefixBlocks {
   }
 
   private def track(s: SparkSession, thunks: List[() => Unit]): Unit =
-    synchronized { live(s) = thunks ::: live.getOrElse(s, Nil) }
+    synchronized {
+      // Opportunistic sweep: a session whose CONTEXT stopped without a
+      // final release would otherwise pin its entry (and the session
+      // object) for the JVM lifetime of a multi-session driver. Its
+      // executor blocks died with the context, so the thunks are just
+      // dropped. Same-context sibling sessions aren't detectable this
+      // way — such drivers call release(s) when done deduping (the
+      // documented contract above).
+      live.keys.filter(_._1.sparkContext.isStopped).toList
+        .foreach(live.remove)
+      val key = (s, Thread.currentThread().getId)
+      live(key) = thunks ::: live.getOrElse(key, Nil)
+    }
 
-  /** Free the most recent prefix-dedup call's staged blocks now
-    * (idempotent) — for sessions done deduping that don't want to wait
-    * for their next call. */
-  def release(s: SparkSession): Unit = {
-    val thunks = synchronized { live.remove(s).getOrElse(Nil) }
+  private def releaseKey(key: (SparkSession, Long)): Unit = {
+    val thunks = synchronized { live.remove(key).getOrElse(Nil) }
     thunks.foreach(_.apply())
   }
 
-  /** Staged tables currently holding executor blocks (test hook). */
+  /** Free the session's staged blocks now, across ALL calling threads
+    * (idempotent) — for sessions done deduping that don't want to wait
+    * for each thread's next call. Only safe once no prefix-dedup
+    * result plan from this session is still being consumed. */
+  def release(s: SparkSession): Unit = {
+    val thunks = synchronized {
+      val keys = live.keys.filter(_._1 eq s).toList
+      keys.flatMap(k => live.remove(k).getOrElse(Nil))
+    }
+    thunks.foreach(_.apply())
+  }
+
+  /** Staged tables currently holding executor blocks, all threads
+    * (test hook). */
   def liveCount(s: SparkSession): Int =
-    synchronized { live.get(s).map(_.size).getOrElse(0) }
+    synchronized {
+      live.collect { case ((ss, _), ts) if ss eq s => ts.size }.sum
+    }
 }

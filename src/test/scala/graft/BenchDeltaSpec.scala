@@ -142,6 +142,23 @@ class BenchDeltaSpec extends AnyFunSuite {
       .get("b").contains(2.0))
   }
 
+  test("parseFlatObjectOpt: absent/corrupt is None, present-but-empty is Some") {
+    // the floor-update gate keys on this distinction: a validly-empty
+    // queries object (fresh seed, or a re-dump whose number format the
+    // regex skips) may be min-merged into; a file with NO well-formed
+    // queries object is corrupt and must never be overwritten
+    assert(BenchDelta.parseFlatObjectOpt("""{"other":{"a":1}}""", "queries").isEmpty)
+    assert(BenchDelta.parseFlatObjectOpt("""{"queries":{"a":1""", "queries").isEmpty,
+      "an unterminated object is corrupt, not empty")
+    assert(BenchDelta.parseFlatObjectOpt("""{"queries":{}}""", "queries")
+      .contains(Map.empty[String, Double]))
+    assert(BenchDelta.parseFlatObjectOpt(
+      """{"queries":{"a":"1,5"}}""", "queries") // number format the regex skips
+      .contains(Map.empty[String, Double]))
+    assert(BenchDelta.parseFlatObjectOpt("""{"queries":{"a":1.5}}""", "queries")
+      .contains(Map("a" -> 1.5)))
+  }
+
   test("parseRunsObject reads per-rep arrays") {
     val txt = """{"runs":{"q1":[1.5,0.9],"q2":[0.3]}}"""
     assert(BenchDelta.parseRunsObject(txt, "runs") ==

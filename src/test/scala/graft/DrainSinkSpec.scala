@@ -56,6 +56,34 @@ class DrainSinkSpec extends SparkSpec {
     } finally sys.props.remove("graft.drain.sink")
   }
 
+  test("a refused update-mode drain leaves the tag's previous output intact") {
+    import org.apache.spark.sql.functions._
+    // FileStreamSource wants a DIRECTORY source; stage the fixture
+    val src = java.nio.file.Files.createTempDirectory("graft_drain_src").toString
+    spark.read.parquet(s"$dir/documents.parquet").write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def stream = spark.readStream.schema(schema).parquet(src)
+      .withColumn("ts", timestamp_seconds(lit(86400L)))
+      .withWatermark("ts", "1 hour")
+      .groupBy("ts").count()
+    try {
+      sys.props("graft.drain.sink") = "parquet"
+      val tag = "spec_refusal_keeps_prior"
+      val good = SparkEntry.drainToTable(spark, stream, "complete", tag)
+        .collect().map(_.mkString("|")).toSet
+      assert(good.nonEmpty, "the first drain must produce rows")
+      intercept[IllegalArgumentException] {
+        SparkEntry.drainToTable(spark, stream, "update", tag)
+      }
+      // mode validation must run BEFORE the sink-path delete: the
+      // refused drain may not have destroyed the prior drained table
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_drain_$tag"
+      assert(spark.read.parquet(path).collect()
+        .map(_.mkString("|")).toSet == good,
+        "refused update-mode drain destroyed the previous output")
+    } finally sys.props.remove("graft.drain.sink")
+  }
+
   test("zero-batch parquet drain returns an empty table with the query schema") {
     import org.apache.spark.sql.functions._
     // a file source over an empty directory produces NO micro-batches,

@@ -159,6 +159,37 @@ class ShuffleBudgetSpec extends SparkSpec {
     PrefixBlocks.release(spark)
   }
 
+  test("a prefix-dedup call on another thread never retires this thread's blocks") {
+    import graft.pipeline.{Dedup, PrefixBlocks}
+    PrefixBlocks.release(spark)
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"a${i % 5} b${i % 9} c${i % 4} d$i"))
+      .toDF("doc_id", "text")
+    // This thread's collapse stages non-replayable ROW blocks
+    // (localCheckpoint): under the old session-only registry a call on
+    // ANY other thread released them and this plan's next count threw
+    // SparkException mid-consumption — the registry is keyed per
+    // (session, thread) exactly so concurrent callers on a shared
+    // session (which Spark supports) each retire only their own
+    // completed calls' blocks.
+    val mine = Dedup.prefixJaccardPairsCollapsed(docs, "doc_id", "text", 0.8)
+    val expected = mine.count()
+    var otherFailure: Option[Throwable] = None
+    val t = new Thread(() => {
+      try Dedup.prefixJaccardPairsCollapsed(docs, "doc_id", "text", 0.8).count()
+      catch { case e: Throwable => otherFailure = Some(e) }
+    })
+    t.start(); t.join()
+    assert(otherFailure.isEmpty, s"other thread's call failed: $otherFailure")
+    assert(mine.count() == expected,
+      "another thread's call must not invalidate this thread's in-flight result")
+    // both threads' sets are live until their owners' next call...
+    assert(PrefixBlocks.liveCount(spark) > 0)
+    // ...and the all-threads release clears everything
+    PrefixBlocks.release(spark)
+    assert(PrefixBlocks.liveCount(spark) == 0)
+  }
+
   test("NB training shuffles bounded by buckets and doc-bucket pairs, not tokens") {
     // 2000 docs × 40 occurrences of ≤ 8 distinct tokens: the model
     // aggregate must partial-combine to ≤ buckets × partitions and the
