@@ -3094,17 +3094,23 @@ object SparkEntry {
           col("plan.out_h").cast("long").as("out_h"))
         .orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
-      // rows-only (xxhash64 family has no DuckDB twin); the unit suite
-      // locks determinism + unit norm, and sim_ann covers consumption.
-      // posexplode'd to scalar rows (doc_id, pos, value): the driver's
-      // pandas compare can't sort an array column.
+      // FULLY SQL-oracled: the payload scan is FNV-1a 64 (the fnvSql
+      // family's replayable hash) and the per-component splitmix64
+      // finalizer + L1 quantization are replayed step-for-step in
+      // DuckDB 128-bit arithmetic (see the oracle). posexplode'd to
+      // scalar rows (doc_id, pos, q): the driver's pandas compare
+      // can't sort an array column. Components ship as HALF_UP
+      // micro-units `floor(v·1e6 + 0.5)` — both engines compute the
+      // floor on the SAME IEEE double (component/norm arithmetic is
+      // order-pinned), so there is no round(double, dp) half-ulp tie
+      // class (the hits/gap_stats integer-space recipe).
       documents(s, dir)
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id"),
           posexplode(Multimodal.hashFeatures(col("payload"), 16))
             .as(Seq("pos", "value")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          round(col("value"), 6).as("value"))
+          floor(col("value") * lit(1000000.0) + lit(0.5)).as("q"))
         .orderBy("doc_id", "pos")),
     "mm_frames" -> ((s, dir) =>
       // synthetic frame counts (the corpus has no real video); the
@@ -3319,6 +3325,73 @@ object SparkEntry {
        |        xor((h_ % 256)::BIGINT, b_::BIGINT)::HUGEINT)
        |       * 1099511628211::HUGEINT
        |       % 18446744073709551616::HUGEINT) AS u_))""".stripMargin
+
+  /** `mm_features` replayed in SQL: [[graft.functions.HashFeaturesExpr]]
+    * step for step in DuckDB 128-bit arithmetic — one unsigned FNV-1a
+    * pass over the text (the [[fnvSql]] fold minus its sign
+    * conversion), then per component i ∈ [0,16): the splitmix64
+    * finalizer over `seed ⊕ i·golden-gamma`, the HALF_UP floorMod
+    * quantization into (-1, 1], the order-pinned left-to-right L2
+    * norm (ordered list_reduce), and the final `floor(v·1e6 + 0.5)`
+    * micro-unit — every double op in the same IEEE order as the
+    * engine, so the integer output matches exactly with NO rounding
+    * contract. 64-bit unsigned tricks: HUGEINT carries values in
+    * [0, 2^64); xor drops to signed BIGINT and back (bit-identical);
+    * `>>> k` is unsigned division by 2^k; the 64×64 multiply splits
+    * the left operand into 32-bit halves so no intermediate exceeds
+    * HUGEINT's 127-bit headroom:
+    * (a·b) mod 2^64 = (a_lo·b + ((a_hi·b) mod 2^32)·2^32) mod 2^64. */
+  private lazy val MmFeaturesOracle: String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    def ux(a: String) = // unsigned HUGEINT → the same 64 bits as signed BIGINT
+      s"(CASE WHEN $a >= 9223372036854775808::HUGEINT THEN ($a - $M)::BIGINT ELSE ($a)::BIGINT END)"
+    def sx(b: String) = // signed BIGINT → unsigned HUGEINT
+      s"(CASE WHEN $b < 0 THEN ($b)::HUGEINT + $M ELSE ($b)::HUGEINT END)"
+    def xor64(a: String, b: String) = sx(s"xor(${ux(a)}, ${ux(b)})")
+    def mul64(a: String, b: String) =
+      s"((($a % 4294967296::HUGEINT) * $b + (($a // 4294967296::HUGEINT) * $b % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M)"
+    val fnvU =
+      """list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(range(1, length(text) + 1),
+        |        i_ -> ord(substr(text, i_, 1))::HUGEINT)),
+        |    (h_, b_) -> ((h_ - (h_ % 256)) +
+        |       xor((h_ % 256)::BIGINT, b_::BIGINT)::HUGEINT)
+        |      * 1099511628211::HUGEINT
+        |      % 18446744073709551616::HUGEINT)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id, $fnvU AS u FROM documents),
+       |p AS (
+       |  SELECT doc_id, u, r.pos FROM f, range(0, 16) r(pos)),
+       |g AS (
+       |  SELECT doc_id, pos,
+       |    ${xor64("u", s"((pos::HUGEINT * 11400714819323198485::HUGEINT) % $M)")} AS z0
+       |  FROM p),
+       |g1 AS (SELECT doc_id, pos,
+       |  ${xor64("z0", "(z0 // 1073741824::HUGEINT)")} AS x1 FROM g),
+       |s1 AS (SELECT doc_id, pos,
+       |  ${mul64("x1", "13787848793156543929::HUGEINT")} AS z1 FROM g1),
+       |g2 AS (SELECT doc_id, pos,
+       |  ${xor64("z1", "(z1 // 134217728::HUGEINT)")} AS x2 FROM s1),
+       |s2 AS (SELECT doc_id, pos,
+       |  ${mul64("x2", "10723151780598845931::HUGEINT")} AS z2 FROM g2),
+       |s3 AS (SELECT doc_id, pos,
+       |  ${xor64("z2", "(z2 // 2147483648::HUGEINT)")} AS z3 FROM s2),
+       |c AS (
+       |  SELECT doc_id, pos,
+       |    (((${ux("z3")} % 2000001) + 2000001) % 2000001 - 1000000) / 1000000.0 AS comp
+       |  FROM s3),
+       |n AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(comp * comp ORDER BY pos)),
+       |      (a_, b_) -> a_ + b_) AS n2
+       |  FROM c GROUP BY doc_id)
+       |SELECT c.doc_id, c.pos::BIGINT AS pos,
+       |  CAST(floor((CASE WHEN n.n2 > 0 THEN c.comp * (1.0 / sqrt(n.n2))
+       |              ELSE c.comp END) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |FROM c JOIN n USING (doc_id)
+       |ORDER BY doc_id, pos""".stripMargin
+  }
 
   /** Shared CTE chain for the `dedup_strip_spans` family over an
     * arbitrary corpus SQL: whitespace tokenization, 8-token spans
@@ -3801,9 +3874,8 @@ object SparkEntry {
       |ORDER BY probe_id, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for mm_features (JVM media
-    * decode by design) and s8_manifest (file-level op) → driver
-    * records a rows-only check; those are locked down by the
+    * the same parquet tables. Omitted only for s8_manifest (file-level
+    * op) → driver records a rows-only check; it is locked down by the
     * scalatest suite instead. The entire FNV-1a hash family
     * (fingerprint / winnow / simhash / minhash-LSH) IS replayed —
     * see [[fnvSql]]. */
@@ -7557,5 +7629,6 @@ object SparkEntry {
         |SELECT doc_id, w, h,
         |  CAST(greatest(floor(w * s), 1) AS BIGINT) AS out_w,
         |  CAST(greatest(floor(h * s), 1) AS BIGINT) AS out_h
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "mm_features" -> MmFeaturesOracle)
 }

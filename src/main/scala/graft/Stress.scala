@@ -443,7 +443,46 @@ object Stress {
       val jacX = jacB / (jacS * 10)
       println(f"[stress100] graph_jaccard synth: 1.8M memberships $jacS%.2f s, " +
         f"18M $jacB%.2f s, per-decade $jacX%.3f")
-      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}}"""
+      // text-model family 100× points (r10 demand #8): the two slowest
+      // non-graph non-dedup queries are model-train + corpus-score
+      // shapes whose MODEL side is bounded by construction (vocab-sized
+      // bigram counts; 6 merge literals) — the claim under test is that
+      // the corpus side stays linear: the bigram scoring join ships the
+      // broadcast model to a scan-bound map, and BPE encode is literal
+      // replace calls + one doc-keyed aggregate. Deterministic synth:
+      // 30 tokens/doc from a 1000-word vocab (id-hash), so vocabulary —
+      // and with it the model size — is CONSTANT across scales while
+      // the corpus grows a clean decade.
+      def texts(n: Long) = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => concat(lit("w"), pmod(xxhash64(col("id") * 31 + i), lit(1000)))))
+          .as("text"))
+      def ppxRun(n: Long): Double = minOf2 {
+        graft.pipeline.TextAnalysis.bigramCrossEntropy(
+          texts(n), "doc_id", "text").count()
+      }
+      ppxRun(100000L) // untimed JIT warmup (the cc_star argument)
+      val ppxS = ppxRun(600000L)
+      val ppxB = ppxRun(6000000L)
+      val ppxX = ppxB / (ppxS * 10)
+      println(f"[stress100] text_perplexity synth: 600K docs $ppxS%.2f s, " +
+        f"6M $ppxB%.2f s, per-decade $ppxX%.3f")
+      def bpeRun(n: Long): Double = minOf2 {
+        val docs = texts(n)
+        val merges = graft.pipeline.TextAnalysis.bpeTrain(docs, "text", merges = 6)
+        graft.pipeline.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+          .count()
+      }
+      bpeRun(100000L) // untimed JIT warmup
+      val bpeS = bpeRun(600000L)
+      val bpeB = bpeRun(6000000L)
+      val bpeX = bpeB / (bpeS * 10)
+      println(f"[stress100] text_bpe_encode synth: 600K docs $bpeS%.2f s, " +
+        f"6M $bpeB%.2f s, per-decade $bpeX%.3f")
+      val textAux =
+        s""","text_perplexity_synth":{"docs_small":600000,"sec_small":${f"$ppxS%.2f"},"docs_big":6000000,"sec_big":${f"$ppxB%.2f"},"x_per_decade":${f"$ppxX%.3f"}},"text_bpe_encode_synth":{"docs_small":600000,"sec_small":${f"$bpeS%.2f"},"docs_big":6000000,"sec_big":${f"$bpeB%.2f"},"x_per_decade":${f"$bpeX%.3f"}}"""
+      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}$textAux}"""
     }.getOrElse("")
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$aux100}""")
     writeArtifact(aux100)

@@ -99,6 +99,25 @@ object Graph {
     } finally { edged.unpersist() }
   }
 
+  /** Both orientations of `edges` in ONE pass over the input: the
+    * two-struct explode emits (src,dst) and (dst,src) from a single
+    * evaluation of the upstream plan. The `base ∪ base.swap` union
+    * form references the (possibly expensive) upstream projection
+    * TWICE; ReuseExchange dedupes the copies only when the plan
+    * happens to funnel both into one identical exchange (lpa's
+    * distinct does, bfs's join+agg loop does not — measured 3.17 →
+    * 2.69 s warm, 5.8 → 3.5 s cold for graph_bfs at sf0.1). The
+    * explode form is one-scan by CONSTRUCTION, so it doesn't depend
+    * on the optimizer spotting the reuse — the property that matters
+    * at 100 TB, where the upstream scan dominates. */
+  private[graft] def symmetrized(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
   /** Both orientations of `edges` with each row's source degree
     * attached, in ONE pass over the input: a two-struct explode emits
     * (src,dst) and (dst,src) from a single evaluation of the upstream
@@ -280,14 +299,14 @@ object Graph {
       checkpointEvery: Int = 5): DataFrame = {
     require(maxHops >= 0, "bfsHops: maxHops >= 0")
     // NOT persisted: the frontier side is node-sized every hop, so
-    // AQE broadcast-joins it and the edge table never shuffles; the
-    // hop plans' repeated edge subtrees end in the same exchange, so
-    // ReuseExchange computes the (possibly expensive) upstream
-    // projection once within the single action. An explicit
-    // persist+materialize pass was MEASURED as pure overhead here
-    // (~+1 s at sf0.1, the labelPropagation result as well).
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // AQE broadcast-joins it and the edge table never shuffles (an
+    // explicit persist+materialize pass was MEASURED as pure overhead
+    // here, ~+1 s at sf0.1). Symmetrized via the one-pass explode
+    // head — the union form re-executed the upstream projection per
+    // orientation because nothing in this loop funnels the copies
+    // into a reusable exchange (see [[symmetrized]]; 3.17 → 2.69 s
+    // warm at sf0.1 on the co-supplier graph).
+    val und = symmetrized(edges, srcCol, dstCol)
     var known = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("hops"))
     for (i <- 1 to maxHops) {
@@ -380,12 +399,20 @@ object Graph {
     * roundDp ≥ 12) — ANSI overflow headroom allows it up to
     * |edges|·10^roundDp < 2^63.
     *
-    * Scale shape: per iteration two broadcast-join+sum passes over
-    * the CACHED edge list — the node-sized score table broadcasts, so
-    * the edge list never shuffles; partial sums combine map-side.
-    * Each raw score table is eagerly materialized before normalizing
-    * (the L1 step reads it twice: total + divide), so the
-    * hubs→auths→hubs chain never re-executes upstream. The
+    * Scale shape: per iteration two join+sum passes over the
+    * row-block-staged edge list — below `broadcastNodeLimit` nodes the score table
+    * broadcasts, so the edge list never shuffles and partial sums
+    * combine map-side; ABOVE it (≥10^8-node graphs, where the
+    * broadcast would bind driver/executor memory first) the hint is
+    * dropped and Spark shuffles both sides into a sort-merge/shuffled
+    * hash join — more wire traffic, no OOM cliff. Each raw score
+    * table is eagerly materialized before normalizing (the L1 step
+    * reads it twice: total + divide), and the L1 total + node count
+    * ride that SAME materialization job as observed metrics
+    * (`Dataset.observe`) — exact integer sums, ZERO extra driver
+    * round-trips: one job per half-iteration, where a separate scalar
+    * collect used to double the driver syncs and latency-bind the
+    * loop as iterations grow (GraphSpec pins the job count). The
     * per-iteration write is node-sized, the cheapest thing in the
     * loop — which is why there is deliberately no `checkpointEvery`
     * knob here.
@@ -393,7 +420,8 @@ object Graph {
     * Returns `(node, side, score)` with side ∈ {'hub','auth'}. */
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      roundDp: Int = 6): DataFrame = {
+      roundDp: Int = 6,
+      broadcastNodeLimit: Long = 50L * 1000 * 1000): DataFrame = {
     require(iters >= 1, "hits: iters >= 1")
     require(roundDp >= 1 && roundDp <= 15, "hits: roundDp in [1,15]")
     // Scores are INTEGER micro-units (×10^roundDp, carried as longs):
@@ -406,34 +434,66 @@ object Graph {
     // recipe). Overflow headroom under ANSI: Σ ≤ |edges|·10^roundDp,
     // so dp=6 is safe to ~9×10^12 edges — lower roundDp past that.
     val scale = math.pow(10, roundDp).toLong
+    // plain distinct, deliberately NOT pre-repartitioned by dst: the
+    // map-side partial dedup inside distinct shuffles only deduped
+    // rows, whereas a repartition(dst) head would move every raw edge
+    // (A/B-measured equal at sf0.1, strictly worse at higher dup rates).
+    // Staged as ROW blocks (eager localCheckpoint), not the columnar
+    // cache: both iteration sides read both columns, so pruning buys
+    // nothing, and compression over near-random long pairs costs far
+    // more than it saves — A/B at sf0.1: 3.04 → 2.05 s warm for the
+    // whole call (7.7 → 3.1 cold). Blocks spill to disk like the cache
+    // and are released in the finally below.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
+    // the checkpointed plan is a LogicalRDD leaf over the persisted
+    // block RDD — that handle is what releases the blocks
+    // (Dataset.unpersist only talks to the CacheManager)
+    val eBlocks = e.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
     try {
-      def l1(df: DataFrame, c: String): DataFrame = {
+      // (materialized score table, its node count) per half-iteration
+      def l1(df: DataFrame, c: String): (DataFrame, Long) = {
+        // driver-sized by construction: ONE long (the L1 total) plus
+        // the node count, OBSERVED on the materialization job itself —
+        // a separate `mat.agg(...).head` scalar collect doubled the
+        // driver round-trips per half-iteration (latency-bound as
+        // iterations grow), and an in-plan broadcast subquery added a
+        // broadcast exchange + an extra job (the pageRank N pattern).
+        // Integer sums observe exactly; the total folds back in as a
+        // literal — the same exact integer either way.
+        val obs = df.observe("graft_hits_l1",
+          sum(col(c)).as("tot"), count(lit(1)).as("n"))
         // node-sized eager cut BEFORE the double read (total + divide)
-        val mat = df.localCheckpoint(true)
-        // driver-sized by construction: ONE long (the L1 total).
-        // Collected as a scalar and folded in as a literal — as an
-        // in-plan broadcast subquery it added a broadcast exchange +
-        // an extra job to every half-iteration (the pageRank N
-        // pattern); the literal is the same exact integer.
-        val tot = mat.agg(sum(col(c))).head.getLong(0)
-        if (tot == 0L) mat
-        else mat.select(col("node"),
-          floor(col(c) / lit(tot) * scale + 0.5).as(c))
+        val mat = obs.localCheckpoint(true)
+        val m = obs.queryExecution.observedMetrics("graft_hits_l1")
+        val tot = if (m.isNullAt(0)) 0L else m.getLong(0)
+        val scored =
+          if (tot == 0L) mat
+          else mat.select(col("node"),
+            floor(col(c) / lit(tot) * scale + 0.5).as(c))
+        (scored, m.getLong(1))
       }
+      // The score table is node-sized (≤ a few bytes per node) and
+      // BROADCAST while it credibly fits: each half-iteration is then
+      // a scan of the cached edge list + broadcast hash join +
+      // map-side-combined sum — no edge shuffle at all. Without the
+      // hint the checkpointed score table has no stats and Spark
+      // sort-merge-joins the full edge list twice per iteration
+      // (measured 10.3 s → ~5 s on the 6M-edge bipartite at sf0.1).
+      // At ≥10^8-node graphs the broadcast binds memory first — the
+      // observed node count gates the hint, falling back to the
+      // shuffled join above `broadcastNodeLimit` (GraphSpec pins
+      // result equality across the two shapes).
+      def hinted(t: DataFrame, n: Long): DataFrame =
+        if (n <= broadcastNodeLimit) broadcast(t) else t
       var hubs: DataFrame = null
+      var hubsN = 0L
       var auths: DataFrame = null
+      var authsN = 0L
       for (i <- 1 to iters) {
-        // the score table is node-sized (≤ a few bytes per node) and
-        // BROADCAST: each half-iteration is then a scan of the cached
-        // edge list + broadcast hash join + map-side-combined sum —
-        // no edge shuffle at all. Without the hint the checkpointed
-        // score table has no stats and Spark sort-merge-joins the
-        // full edge list twice per iteration (measured 10.3 s → ~5 s
-        // on the 6M-edge bipartite at sf0.1). At ≥10^8-node graphs
-        // the broadcast would bind first — drop the hint there.
-        auths = l1(
+        val (a, an) = l1(
           if (i == 1)
             // first pass: Σ over a CONSTANT init score is exactly
             // scale·indegree in integer space — a plain count agg, no
@@ -441,13 +501,15 @@ object Graph {
             e.groupBy(col("dst").as("node"))
               .agg((count(lit(1)) * scale).as("a"))
           else
-            e.join(broadcast(hubs), e("src") === hubs("node"))
+            e.join(hinted(hubs, hubsN), e("src") === hubs("node"))
               .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
           "a")
-        hubs = l1(
-          e.join(broadcast(auths), e("dst") === auths("node"))
+        auths = a; authsN = an
+        val (h, hn) = l1(
+          e.join(hinted(auths, authsN), e("dst") === auths("node"))
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
           "h")
+        hubs = h; hubsN = hn
       }
       // micro-units → score doubles only at the edge of the loop
       // eager: materializes the node-sized result so the edge cache
@@ -457,7 +519,7 @@ object Graph {
         .union(auths.select(col("node"), lit("auth").as("side"),
           (col("a") / scale.toDouble).as("score")))
         .localCheckpoint(true)
-    } finally e.unpersist()
+    } finally eBlocks.foreach(_.unpersist(blocking = false))
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
@@ -640,15 +702,14 @@ object Graph {
       checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, "labelPropagation: iters >= 1")
     // NOT persisted: the label side is node-sized every iteration, so
-    // AQE broadcast-joins it and the edge table never shuffles; the
-    // iterations' repeated edge subtrees end in the same distinct
-    // exchange, so ReuseExchange computes the (possibly expensive)
-    // upstream projection once within the single action. An explicit
-    // persist+pin+materialize pass was MEASURED as pure overhead here
-    // (2.7 → 4.0 s at sf0.1).
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
+    // AQE broadcast-joins it and the edge table never shuffles (an
+    // explicit persist+pin+materialize pass was MEASURED as pure
+    // overhead here, 2.7 → 4.0 s at sf0.1). Symmetrized via the
+    // one-pass explode head: A/B-equal at sf0.1 (the distinct below
+    // funnels the union form's two upstream copies into one reusable
+    // exchange), but one-scan by construction rather than by optimizer
+    // courtesy — see [[symmetrized]].
+    val und = symmetrized(edges, srcCol, dstCol).distinct()
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iters) {

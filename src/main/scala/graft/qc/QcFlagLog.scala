@@ -70,23 +70,46 @@ object QcFlagLog {
   /** Fold the event log onto the base table: for every flagged variable
     * with events, the final flag is the base flag threaded through the
     * row's applicable events in `seq` order, guards evaluated against
-    * the running state. Rows without events pass through untouched. */
+    * the running state. Rows without events pass through untouched.
+    *
+    * `broadcastEventLimit` bounds the broadcast hints: point/window
+    * event tables broadcast only while the variable's event count for
+    * that scope stays under it — a year-long interactive history (or a
+    * replayed audit log) can exceed broadcast limits, and an
+    * unconditional hint would OOM the driver instead of degrading to a
+    * shuffle join. Above the limit the join runs un-hinted
+    * (sort-merge/shuffled-hash on rowid/win_id — the scale-safe
+    * shape); results are identical. (Compacting the folded state into
+    * a new base — [[LoggedQcSession.done]] + re-open — is the
+    * complementary lever when the log itself gets unwieldy; the
+    * fallback makes the fold correct either way.) */
   def fold(
       base: DataFrame,
       log: DataFrame,
       idCol: String = QcWindows.RowIdCol,
       winIdCol: String = QcWindows.WinIdCol,
-      suffix: String = AutoSuffix): DataFrame = {
+      suffix: String = AutoSuffix,
+      broadcastEventLimit: Long = 5L * 1000 * 1000): DataFrame = {
     val sfx = resolveSuffix(base, suffix)
     // driver-sized by construction: distinct flagged-variable NAMES —
     // schema-sized, not data-sized (each must resolve to a flag column
     // of `base`, so the require below bounds it by base's width)
     val vars = log.select("variable").distinct().collect().map(_.getString(0))
+    // driver-sized by construction: ≤ |vars| × 3 scope rows. One tiny
+    // aggregate decides every broadcast hint below — the grouped event
+    // tables are at most event-count-sized, so the per-(variable,
+    // scope) event count is a sound upper bound for the hint decision.
+    val eventCounts = log.groupBy(col("variable"), col("scope")).count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
 
     vars.foldLeft(base) { (df, v) =>
       val f = flagCol(v, sfx)
       require(df.schema.fieldNames.contains(f), s"fold: no flag column $f")
       val lv = log.filter(col("variable") === v)
+      def hinted(t: DataFrame, scope: Int): DataFrame =
+        if (eventCounts.getOrElse((v, scope), 0L) <= broadcastEventLimit)
+          broadcast(t)
+        else t
 
       val pt = lv.filter(col("scope") === ScopePoint)
         .groupBy(col("rowid").as(idCol))
@@ -101,10 +124,13 @@ object QcFlagLog {
         .agg(collect_list(col("__g")).as("__ge"))
 
       val hasWin = df.schema.fieldNames.contains(winIdCol)
-      val joined0 = df.join(broadcast(pt), Seq(idCol), "left")
+      val joined0 = df.join(hinted(pt, ScopePoint), Seq(idCol), "left")
       val joined1 =
-        if (hasWin) joined0.join(broadcast(wn), Seq(winIdCol), "left")
+        if (hasWin) joined0.join(hinted(wn, ScopeWindow), Seq(winIdCol), "left")
         else joined0.withColumn("__we", lit(null))
+      // globals aggregate to ONE row (a collect_list of the global
+      // events) — always broadcastable as a table; its ROW size is
+      // bounded by session compaction, not by this hint
       val joined = joined1.crossJoin(broadcast(gl))
 
       val emptyEv = array().cast("array<struct<seq:bigint,new_flag:int,guard:int>>")

@@ -221,6 +221,53 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(auths.values.sum - 1.0) < 1e-3)
   }
 
+  test("hits above the broadcast node limit falls back to a shuffled join, same result") {
+    // limit 0 forces the fallback every iteration — the 100 TB shape
+    // for ≥10^8-node graphs where broadcasting the score table would
+    // OOM. Integer micro-unit arithmetic is order-exact, so the two
+    // join strategies must agree BIT-identically, not approximately.
+    val edges = Seq(("u1", "x"), ("u1", "y"), ("u2", "y"),
+      ("u3", "y"), ("u3", "z"), ("u4", "x"), ("u4", "z"))
+    val df = edges.toDF("src", "dst")
+    def run(limit: Long) =
+      Graph.hits(df, "src", "dst", 3, broadcastNodeLimit = limit)
+        .as[(String, String, Double)].collect().toSet
+    assert(run(0L) == run(Long.MaxValue),
+      "join strategy must not change HITS scores")
+  }
+
+  test("hits runs ONE driver sync per half-iteration (no scalar L1 job)") {
+    // The L1 total + node count ride the materialization job as
+    // observed metrics; a reintroduced `agg(...).head` scalar collect
+    // would add 2 jobs per half-iteration (AQE runs the scalar agg's
+    // shuffle stage + result as separate jobs). Count jobs around a
+    // 2-iteration vs 4-iteration run: the DELTA isolates per-iteration
+    // cost from session/persist noise. Measured composition per
+    // half-iteration: broadcast-relation build + AQE shuffle stage +
+    // checkpoint materialization = 3 jobs → 6 per iteration; the
+    // scalar collect pushes that to ≥8.
+    val edges = Seq(("u1", "x"), ("u1", "y"), ("u2", "y"), ("u3", "z"))
+      .toDF("src", "dst")
+    def countJobs(iters: Int): Int = {
+      // public status-tracker API: job-group membership is recorded at
+      // job submission on the driver, so the count is complete once
+      // the run's actions have all returned
+      val group = s"graft_hits_jobcount_$iters"
+      spark.sparkContext.setJobGroup(group, "hits job-count pin")
+      try {
+        Graph.hits(edges, "src", "dst", iters).collect()
+        spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    val j2 = countJobs(2)
+    val j4 = countJobs(4)
+    val perIteration = (j4 - j2) / 2.0
+    assert(perIteration <= 6.0,
+      s"expected <=6 jobs per iteration (broadcast build + AQE stage + " +
+        s"materialization per half-iteration), got $perIteration " +
+        s"(j2=$j2, j4=$j4) - a per-half-iteration scalar collect is back")
+  }
+
   test("kCore/hits argument guards reject degenerate parameters") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException] {

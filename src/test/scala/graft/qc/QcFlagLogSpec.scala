@@ -88,6 +88,49 @@ class QcFlagLogSpec extends SparkSpec {
     assert(logged.log.count() == 3, "2 point events + 1 window event")
   }
 
+  test("over-limit point-event history folds through a shuffle join, same result") {
+    // a replayed year-long interactive history can exceed broadcast
+    // limits: above broadcastEventLimit the rowid join must run
+    // UN-hinted (no BroadcastHashJoin on the point-event side) and
+    // still produce the identical fold
+    val n = 60
+    val events =
+      (0 until n).map(i => // one approve per row, then a flag on evens
+        (i + 1L, "v", ScopePoint, Some(i.toLong), Option.empty[Long],
+          FlagSchema.Approved, GuardNotOrigNA)) ++
+        (0 until n by 2).map(i =>
+          (n + i + 1L, "v", ScopePoint, Some(i.toLong), Option.empty[Long],
+            FlagSchema.ManualFlag, GuardNotOrigNA))
+    val log = toLogDf(events)
+    val hintedResult = QcFlagLog.fold(base, log)
+      .orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").as[Int].collect().toSeq
+    // -1 puts every scope over the limit (even empty ones, count 0)
+    val fallback = QcFlagLog.fold(base, log, broadcastEventLimit = -1L)
+    val fallbackResult = fallback
+      .orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").as[Int].collect().toSeq
+    assert(hintedResult == fallbackResult,
+      "join strategy must not change the folded flags")
+    // plan shape: with the optimizer's own size-based broadcast choice
+    // disabled, any BroadcastHashJoin left can only come from a HINT —
+    // over the limit the hint must be gone (the planner/AQE may still
+    // broadcast from observed sizes in normal operation, which is the
+    // desired degrade-don't-OOM behavior; the hazard was the
+    // unconditional hint that size stats cannot override)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val unhinted = QcFlagLog.fold(base, log, broadcastEventLimit = -1L)
+        .queryExecution.executedPlan.toString
+      assert(!unhinted.contains("BroadcastHashJoin"),
+        s"over-limit fold must not hint event-table broadcasts:\n$unhinted")
+      val hinted = QcFlagLog.fold(base, log)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        "under-limit fold should keep the broadcast hint")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("empty log is identity; rows without events untouched") {
     val folded = QcFlagLog.fold(base, emptyLog(spark))
     assert(folded.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq ==
