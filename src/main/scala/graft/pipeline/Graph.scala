@@ -52,21 +52,25 @@ object Graph {
     // materializes each hub's full neighbor array in one row — a
     // skewed-graph OOM at scale — where the window sort spills; the
     // window form keeps rows narrow and is what ships.
-    val edged = Graph.symmetrizedWithDegree(edges, srcCol, dstCol)
-      .persist()
+    // Staged EAGERLY as row blocks (localCheckpoint), not the columnar
+    // cache: every iteration's lineage re-reads the degree-annotated
+    // edge table (unstaged, the edge derivation would re-execute once
+    // per iteration — measured 5.5 s → 1.5 s on the orders⋈lineitem
+    // bipartite at sf0.1), all three long columns are read by the
+    // iteration join so pruning buys nothing, and the columnar build's
+    // compression over near-random longs was pure cost — A/B at sf0.1:
+    // 4.99 → 3.22 s warm for the whole call (10.6 → 4.7 cold), the
+    // same result as hits' edge staging. Eager staging also means the
+    // multi-iteration job can't race its own stages into an
+    // unpopulated cache. The checkpoint preserves the repartition(src)
+    // layout (LogicalRDD carries outputPartitioning), so iteration
+    // joins still see the pinned hash layout. Scoped: the final ranks
+    // are eagerly materialized below, so the blocks are released
+    // before returning instead of leaking for the life of the session.
+    val (edged, releaseEdged) =
+      Graph.stageRowBlocks(Graph.symmetrizedWithDegree(edges, srcCol, dstCol))
     try {
-      // Materialized before the iteration chain runs: left lazy, the
-      // multi-iteration job races its own stages into the unpopulated
-      // cache and block locks serialize the fills. Cached: every
-      // iteration's lineage re-reads the degree-annotated edge table —
-      // uncached, the edge derivation would re-execute once per
-      // iteration (measured 5.5 s → 1.5 s on the orders⋈lineitem
-      // bipartite at sf0.1). Scoped: the final ranks are eagerly
-      // materialized below, so the cache is dropped before returning
-      // instead of leaking into the block manager for the life of the
-      // session.
-      edged.count()
-      // driver-sized by construction: one long. Counted from the CACHED
+      // driver-sized by construction: one long. Counted from the STAGED
       // edge table and folded into the plan as a literal — as an in-plan
       // broadcast subquery it would re-derive the (possibly expensive)
       // edge source once per iteration, because the degree window sits
@@ -93,10 +97,26 @@ object Graph {
         if (i % checkpointEvery == 0 && i < iters)
           ranks = ranks.localCheckpoint(true)
       }
-      // eager: materializes the node-sized rank table so the edge cache
-      // can be released before the caller ever runs an action
+      // eager: materializes the node-sized rank table so the edge
+      // blocks can be released before the caller ever runs an action
       ranks.localCheckpoint(true)
-    } finally { edged.unpersist() }
+    } finally releaseEdged()
+  }
+
+  /** Eager row-block staging for iteration-scoped edge tables
+    * (localCheckpoint + the backing-RDD release handle): the graph
+    * loops re-read their edge table once per iteration side with NO
+    * column pruning opportunity, where the columnar cache's build
+    * (compression over near-random longs) was measured pure cost —
+    * hits 3.04 → 2.05 s, pageRank 4.99 → 3.22 s warm at sf0.1.
+    * Dataset.unpersist only talks to the CacheManager, so release
+    * goes through the checkpointed plan's LogicalRDD leaf. */
+  private def stageRowBlocks(df: DataFrame): (DataFrame, () => Unit) = {
+    val staged = df.localCheckpoint(true)
+    val backing = staged.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    (staged, () => backing.foreach(_.unpersist(blocking = false)))
   }
 
   /** Both orientations of `edges` in ONE pass over the input: the
@@ -168,6 +188,15 @@ object Graph {
     // rows). The pinned hash layout on the iteration join key means
     // every iteration's edged⋈ranks shuffles only the (seed-sparse)
     // rank side.
+    // COLUMNAR persist here, unlike [[pageRank]]'s row-block staging:
+    // A/B at sf0.1 is scale-split (row blocks 4.7 vs 7.9 s cold,
+    // columnar 3.9 vs 5.0 warm) because the seed-sparse workload runs
+    // on the ~10× smaller co-supplier projection, where the columnar
+    // build is cheap and — more important — the InMemoryRelation's
+    // accurate size stats let the planner pick join strategy from the
+    // real table size instead of LogicalRDD's no-stats default. The
+    // 12M-row bipartite in pageRank is past broadcast range either
+    // way, so only the build cost matters there.
     val edged = symmetrizedWithDegree(edges, srcCol, dstCol).persist()
     try {
       // inside the try: a failure during materialization must still
@@ -444,14 +473,8 @@ object Graph {
     // more than it saves — A/B at sf0.1: 3.04 → 2.05 s warm for the
     // whole call (7.7 → 3.1 cold). Blocks spill to disk like the cache
     // and are released in the finally below.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
-    // the checkpointed plan is a LogicalRDD leaf over the persisted
-    // block RDD — that handle is what releases the blocks
-    // (Dataset.unpersist only talks to the CacheManager)
-    val eBlocks = e.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
+    val (e, releaseE) = stageRowBlocks(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     try {
       // (materialized score table, its node count) per half-iteration
       def l1(df: DataFrame, c: String): (DataFrame, Long) = {
@@ -519,7 +542,7 @@ object Graph {
         .union(auths.select(col("node"), lit("auth").as("side"),
           (col("a") / scale.toDouble).as("score")))
         .localCheckpoint(true)
-    } finally eBlocks.foreach(_.unpersist(blocking = false))
+    } finally releaseE()
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
