@@ -80,6 +80,7 @@ object Graph {
       val n = edged.select(col("src")).distinct().count().toDouble
       var ranks = edged.select(col("src").as("node")).distinct()
         .select(col("node"), round(lit(1.0) / lit(n), roundDp).as("r"))
+      var releaseRanks: () => Unit = () => ()
       for (i <- 1 to iters) {
         ranks = edged.join(ranks, edged("src") === ranks("node"))
           .groupBy(col("dst"))
@@ -91,15 +92,24 @@ object Graph {
         // previous plan, so at tens of iterations analysis/optimization
         // cost grows superlinearly and can dwarf execution. A periodic
         // eager localCheckpoint truncates the plan to a block-backed
-        // leaf (cleaned by the ContextCleaner once unreachable) without
-        // changing any value — values are already 6-dp rounded, so the
-        // cut is bit-exact.
-        if (i % checkpointEvery == 0 && i < iters)
-          ranks = ranks.localCheckpoint(true)
+        // leaf without changing any value — values are already 6-dp
+        // rounded, so the cut is bit-exact. The SUPERSEDED checkpoint's
+        // blocks are released as soon as the new one materializes
+        // (eager → safe: nothing references the old leaf afterwards):
+        // waiting for the ContextCleaner's GC pins one node-sized copy
+        // per cap in executor storage — a real footprint on a 10^9-node
+        // run with a 128 GiB heap that may not GC for the whole job.
+        if (i % checkpointEvery == 0 && i < iters) {
+          val (staged, rel) = stageRowBlocks(ranks)
+          releaseRanks(); ranks = staged; releaseRanks = rel
+        }
       }
       // eager: materializes the node-sized rank table so the edge
-      // blocks can be released before the caller ever runs an action
-      ranks.localCheckpoint(true)
+      // blocks (and the last in-loop checkpoint) can be released
+      // before the caller ever runs an action
+      val out = ranks.localCheckpoint(true)
+      releaseRanks()
+      out
     } finally releaseEdged()
   }
 
@@ -338,13 +348,20 @@ object Graph {
     val und = symmetrized(edges, srcCol, dstCol)
     var known = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("hops"))
+    // superseded lineage-cap checkpoints are released as soon as the
+    // next one materializes (eager → nothing reads the old leaf);
+    // the FINAL checkpoint backs the lazily-returned frontier, so it
+    // stays for the caller and the ContextCleaner retires it.
+    var releaseKnown: () => Unit = () => ()
     for (i <- 1 to maxHops) {
       val expanded = und.join(known, und("src") === known("node"))
         .select(und("dst").as("node"), (col("hops") + 1L).as("hops"))
       known = known.union(expanded)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-      if (i % checkpointEvery == 0 && i < maxHops)
-        known = known.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < maxHops) {
+        val (staged, rel) = stageRowBlocks(known)
+        releaseKnown(); known = staged; releaseKnown = rel
+      }
     }
     known
   }
@@ -382,13 +399,17 @@ object Graph {
       rounds: Int): DataFrame = {
     require(k >= 1, "kCore: k >= 1")
     require(rounds >= 1, "kCore: rounds >= 1")
-    // canonical undirected simple edges: unordered pair once, no loops
-    var canon = edges
+    // canonical undirected simple edges: unordered pair once, no loops.
+    // Each round's surviving edge set is EDGE-sized, so the superseded
+    // round's blocks are released the moment the new round's eager
+    // checkpoint materializes — left to the ContextCleaner, a
+    // `rounds`-round peel would pin up to `rounds` copies of the edge
+    // set in executor storage (spilling the lot to disk at scale).
+    var (canon, releaseCanon) = stageRowBlocks(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     def und(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
     for (_ <- 1 to rounds) {
@@ -396,13 +417,19 @@ object Graph {
         .agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
         .select(col("node"))
-      canon = canon
+      val (next, rel) = stageRowBlocks(canon
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .select(col("a"), col("b")))
+      releaseCanon(); canon = next; releaseCanon = rel
     }
-    und(canon).groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // eager node-sized result so the final edge-set copy is released
+    // before the caller ever runs an action (the pageRank/hits pattern)
+    val out = und(canon).groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    releaseCanon()
+    out
   }
 
   /** HITS hubs & authorities over a DIRECTED edge list (Kleinberg),
@@ -476,8 +503,9 @@ object Graph {
     val (e, releaseE) = stageRowBlocks(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     try {
-      // (materialized score table, its node count) per half-iteration
-      def l1(df: DataFrame, c: String): (DataFrame, Long) = {
+      // (materialized score table, its node count, block release
+      // handle) per half-iteration
+      def l1(df: DataFrame, c: String): (DataFrame, Long, () => Unit) = {
         // driver-sized by construction: ONE long (the L1 total) plus
         // the node count, OBSERVED on the materialization job itself —
         // a separate `mat.agg(...).head` scalar collect doubled the
@@ -489,14 +517,14 @@ object Graph {
         val obs = df.observe("graft_hits_l1",
           sum(col(c)).as("tot"), count(lit(1)).as("n"))
         // node-sized eager cut BEFORE the double read (total + divide)
-        val mat = obs.localCheckpoint(true)
+        val (mat, rel) = stageRowBlocks(obs)
         val m = obs.queryExecution.observedMetrics("graft_hits_l1")
         val tot = if (m.isNullAt(0)) 0L else m.getLong(0)
         val scored =
           if (tot == 0L) mat
           else mat.select(col("node"),
             floor(col(c) / lit(tot) * scale + 0.5).as(c))
-        (scored, m.getLong(1))
+        (scored, m.getLong(1), rel)
       }
       // The score table is node-sized (≤ a few bytes per node) and
       // BROADCAST while it credibly fits: each half-iteration is then
@@ -515,8 +543,15 @@ object Graph {
       var hubsN = 0L
       var auths: DataFrame = null
       var authsN = 0L
+      // superseded half-iteration score tables are released the moment
+      // their replacement materializes: auths(i-1)'s last reader is
+      // hubs(i-1) (already eager), so by the time auths(i) exists the
+      // old blocks are dead — GC-deferred cleanup would pin 2·iters
+      // node-sized copies in executor storage.
+      var relHubs: () => Unit = () => ()
+      var relAuths: () => Unit = () => ()
       for (i <- 1 to iters) {
-        val (a, an) = l1(
+        val (a, an, ra) = l1(
           if (i == 1)
             // first pass: Σ over a CONSTANT init score is exactly
             // scale·indegree in integer space — a plain count agg, no
@@ -527,21 +562,24 @@ object Graph {
             e.join(hinted(hubs, hubsN), e("src") === hubs("node"))
               .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
           "a")
-        auths = a; authsN = an
-        val (h, hn) = l1(
+        relAuths(); auths = a; authsN = an; relAuths = ra
+        val (h, hn, rh) = l1(
           e.join(hinted(auths, authsN), e("dst") === auths("node"))
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
           "h")
-        hubs = h; hubsN = hn
+        relHubs(); hubs = h; hubsN = hn; relHubs = rh
       }
       // micro-units → score doubles only at the edge of the loop
       // eager: materializes the node-sized result so the edge cache
-      // can be released before the caller ever runs an action
-      hubs.select(col("node"), lit("hub").as("side"),
+      // and the final score tables can be released before the caller
+      // ever runs an action
+      val out = hubs.select(col("node"), lit("hub").as("side"),
           (col("h") / scale.toDouble).as("score"))
         .union(auths.select(col("node"), lit("auth").as("side"),
           (col("a") / scale.toDouble).as("score")))
         .localCheckpoint(true)
+      relHubs(); relAuths()
+      out
     } finally releaseE()
   }
 

@@ -309,4 +309,31 @@ class GraphSpec extends SparkSpec {
     assert(out.length == 401)
     assert(out.forall(_._2 == 0L), "one component rooted at the minimum")
   }
+
+  test("iterative ops release superseded blocks: storage holds ≤ result") {
+    import spark.implicits._
+    def cached(): Int = spark.sparkContext.getPersistentRDDs.size
+    // unpersist(blocking=false) drains asynchronously — poll down
+    def awaitAtMost(n: Int): Int = {
+      val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+      var c = cached()
+      while (c > n && System.nanoTime < deadline) { Thread.sleep(50); c = cached() }
+      c
+    }
+    val base = awaitAtMost(0)
+    val edges = (0L until 500L).map(i => (i, (i * 7 + 1) % 500)).toDF("src", "dst")
+    // enough iterations/rounds that GC-deferred cleanup WOULD pile up:
+    // pageRank takes 2 in-loop caps (25/10), hits 10 half-iteration
+    // tables, kCore 6 edge-set rounds — each op may leave ONLY its
+    // eagerly-materialized result behind.
+    Graph.pageRank(edges, "src", "dst", iters = 25).count()
+    val afterPr = awaitAtMost(base + 1)
+    assert(afterPr <= base + 1, s"pageRank leaked blocks: base=$base now=$afterPr")
+    Graph.hits(edges, "src", "dst", iters = 5).count()
+    val afterHits = awaitAtMost(base + 2)
+    assert(afterHits <= base + 2, s"hits leaked blocks: now=$afterHits")
+    Graph.kCore(edges, "src", "dst", k = 2, rounds = 6).count()
+    val afterKc = awaitAtMost(base + 3)
+    assert(afterKc <= base + 3, s"kCore leaked blocks: now=$afterKc")
+  }
 }
