@@ -220,8 +220,8 @@ object Graph {
       // checkpointed blocks back the count, the per-iteration teleport
       // re-reads, and the rank init alike (measured ~0.2 s at sf0.1 —
       // these are driver-latency jobs, not data).
-      val seedSet = seeds.select(col(seedCol).as("node")).distinct()
-        .localCheckpoint(true)
+      val (seedSet, releaseSeeds) =
+        stageRowBlocks(seeds.select(col(seedCol).as("node")).distinct())
       val m = seedSet.count() // driver-sized by construction: one long
       require(m >= 1, "personalizedPageRank: at least one seed")
       // Teleport rows carry (__s=0, __t=teleport/m); propagated rows
@@ -234,6 +234,10 @@ object Graph {
       var ranks = seedSet
         .select(col("node"),
           round(lit(1.0) / m, roundDp).as("r"))
+      // superseded lineage-cap checkpoints release on replacement —
+      // the pageRank pattern (GC-deferred cleanup pins one node-sized
+      // copy per cap for the life of the driver heap)
+      var releaseRanks: () => Unit = () => ()
       for (i <- 1 to iters) {
         // Teleport mass FOLDED INTO the aggregate as union rows: the
         // previous full_outer join against the teleport table cost a
@@ -253,10 +257,14 @@ object Graph {
         ranks = contrib.groupBy(col("node"))
           .agg(round(sum(col("__t")) +
             lit(damping) * sum(col("__s")), roundDp).as("r"))
-        if (i % checkpointEvery == 0 && i < iters)
-          ranks = ranks.localCheckpoint(true)
+        if (i % checkpointEvery == 0 && i < iters) {
+          val (staged, rel) = stageRowBlocks(ranks)
+          releaseRanks(); ranks = staged; releaseRanks = rel
+        }
       }
-      ranks.localCheckpoint(true)
+      val out = ranks.localCheckpoint(true)
+      releaseRanks(); releaseSeeds()
+      out
     } finally { edged.unpersist() }
   }
 
@@ -773,6 +781,9 @@ object Graph {
     val und = symmetrized(edges, srcCol, dstCol).distinct()
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+    // superseded lineage-cap checkpoints release on replacement (the
+    // bfsHops pattern); the final one backs the lazily-returned labels
+    var releaseLabels: () => Unit = () => ()
     for (i <- 1 to iters) {
       // modal neighbor label; tie → smallest label. max of
       // (cnt, NEGATED rank of label) picks highest count then smallest
@@ -787,8 +798,10 @@ object Graph {
         .agg(min_by(col("label"),
           struct((-col("cnt")).as("neg"), col("label"))).as("label"))
         .select(col("src").as("node"), col("label"))
-      if (i % checkpointEvery == 0 && i < iters)
-        labels = labels.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters) {
+        val (staged, rel) = stageRowBlocks(labels)
+        releaseLabels(); labels = staged; releaseLabels = rel
+      }
     }
     labels
   }

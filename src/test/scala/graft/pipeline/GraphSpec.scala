@@ -335,5 +335,16 @@ class GraphSpec extends SparkSpec {
     Graph.kCore(edges, "src", "dst", k = 2, rounds = 6).count()
     val afterKc = awaitAtMost(base + 3)
     assert(afterKc <= base + 3, s"kCore leaked blocks: now=$afterKc")
+    // ppr: seed-set blocks + 2 in-loop caps (25/10) must all retire
+    val seeds = Seq(0L, 7L).toDF("node")
+    Graph.personalizedPageRank(edges, "src", "dst", seeds, "node", iters = 25)
+      .count()
+    val afterPpr = awaitAtMost(base + 4)
+    assert(afterPpr <= base + 4, s"ppr leaked blocks: now=$afterPpr")
+    // lpa returns lazily off its FINAL cap (iters=12 → caps at 5 and
+    // 10; the first must retire, the second backs the result)
+    Graph.labelPropagation(edges, "src", "dst", iters = 12).count()
+    val afterLpa = awaitAtMost(base + 5)
+    assert(afterLpa <= base + 5, s"lpa leaked blocks: now=$afterLpa")
   }
 }
