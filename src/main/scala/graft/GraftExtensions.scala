@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharNgramsExpr, DotProductExpr, HashFeaturesExpr, L2SqExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, WinnowExpr, WordNgramsExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, HashFeaturesExpr, L2SqExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr, TokenSetExpr, ValueCountsExpr, WinnowExpr, WordNgramsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -88,6 +88,9 @@ object GraftExtensions {
         HashFeaturesExpr(exprs.head,
           litNum("hash_features", exprs, 1, 16L).toInt)
       }),
+    ("value_counts", classOf[ValueCountsExpr].getName,
+      exprs => { arity("value_counts", exprs, 1, 1)
+        ValueCountsExpr(exprs.head) }),
     ("winnow", classOf[WinnowExpr].getName,
       // optional literal args: k, w
       exprs => {

@@ -58,6 +58,14 @@ package object functions {
     GraftColumnBridge.column(
       HashFeaturesExpr(GraftColumnBridge.expression(bin), dim))
 
+  /** Per-row value counts of a string-array column as a sorted
+    * `(item, cnt)` struct array (native expression — see
+    * [[ValueCountsExpr]]): the within-row aggregate that turns a
+    * corpus-sized `explode + groupBy(id, gram)` shuffle into a narrow
+    * map whose output is vocabulary-bounded per row. */
+  def valueCounts(arr: Column): Column =
+    GraftColumnBridge.column(ValueCountsExpr(GraftColumnBridge.expression(arr)))
+
   /** FNV-1a 64 of a string column (native expression — see
     * [[Fnv64Expr]]): the package's shared byte-fold hash as a scalar,
     * chosen where an external engine must replay the hash exactly. */

@@ -466,7 +466,17 @@ object TextAnalysis {
     * any script mix), broadcast back onto the exploded bigram stream;
     * scoring is then one doc-keyed hash aggregate with map-side
     * combine. Two corpus scans, zero corpus-sized shuffles — the same
-    * shape at 100 TB, where the model stays kilobytes. */
+    * shape at 100 TB, where the model stays kilobytes. The
+    * `groupBy(doc, gram)` exchange is NOT corpus-sized despite the
+    * per-character explode feeding it: a document's exploded rows are
+    * partition-contiguous, so the partial aggregate collapses them to
+    * vocabulary-bounded counts map-side, and the exchange is reused
+    * by both the model branch and the scoring branch (the regex
+    * normalization runs once). Quiet-host A/B confirmed this shape:
+    * 10×-replica ratio 0.93 vs linear, and the within-row
+    * `value_counts` alternative measured SLOWER at both scales (see
+    * [[graft.functions.ValueCountsExpr]]) — the round-11 1.55×
+    * reading was host contention, not a plan bend. */
   def bigramCrossEntropy(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
