@@ -80,36 +80,40 @@ object Graph {
       val n = edged.select(col("src")).distinct().count().toDouble
       var ranks = edged.select(col("src").as("node")).distinct()
         .select(col("node"), round(lit(1.0) / lit(n), roundDp).as("r"))
+      // released in the finally: on success the final ranks are eager
+      // by then, on a mid-loop failure the in-flight cap releases too
+      // (not just the GC-deferred ContextCleaner backstop)
       var releaseRanks: () => Unit = () => ()
-      for (i <- 1 to iters) {
-        ranks = edged.join(ranks, edged("src") === ranks("node"))
-          .groupBy(col("dst"))
-          .agg(sum(col("r") / col("__deg")).as("__s"))
-          .select(col("dst").as("node"),
-            round(lit(teleport) / lit(n) +
-              lit(damping) * col("__s"), roundDp).as("r"))
-        // lineage cap: each iteration nests one more join+agg under the
-        // previous plan, so at tens of iterations analysis/optimization
-        // cost grows superlinearly and can dwarf execution. A periodic
-        // eager localCheckpoint truncates the plan to a block-backed
-        // leaf without changing any value — values are already 6-dp
-        // rounded, so the cut is bit-exact. The SUPERSEDED checkpoint's
-        // blocks are released as soon as the new one materializes
-        // (eager → safe: nothing references the old leaf afterwards):
-        // waiting for the ContextCleaner's GC pins one node-sized copy
-        // per cap in executor storage — a real footprint on a 10^9-node
-        // run with a 128 GiB heap that may not GC for the whole job.
-        if (i % checkpointEvery == 0 && i < iters) {
-          val (staged, rel) = stageRowBlocks(ranks)
-          releaseRanks(); ranks = staged; releaseRanks = rel
+      try {
+        for (i <- 1 to iters) {
+          ranks = edged.join(ranks, edged("src") === ranks("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("r") / col("__deg")).as("__s"))
+            .select(col("dst").as("node"),
+              round(lit(teleport) / lit(n) +
+                lit(damping) * col("__s"), roundDp).as("r"))
+          // lineage cap: each iteration nests one more join+agg under
+          // the previous plan, so at tens of iterations
+          // analysis/optimization cost grows superlinearly and can
+          // dwarf execution. A periodic eager localCheckpoint truncates
+          // the plan to a block-backed leaf without changing any value
+          // — values are already 6-dp rounded, so the cut is bit-exact.
+          // The SUPERSEDED checkpoint's blocks are released as soon as
+          // the new one materializes (eager → safe: nothing references
+          // the old leaf afterwards): waiting for the ContextCleaner's
+          // GC pins one node-sized copy per cap in executor storage — a
+          // real footprint on a 10^9-node run with a 128 GiB heap that
+          // may not GC for the whole job.
+          if (i % checkpointEvery == 0 && i < iters) {
+            val (staged, rel) = stageRowBlocks(ranks)
+            releaseRanks(); ranks = staged; releaseRanks = rel
+          }
         }
-      }
-      // eager: materializes the node-sized rank table so the edge
-      // blocks (and the last in-loop checkpoint) can be released
-      // before the caller ever runs an action
-      val out = ranks.localCheckpoint(true)
-      releaseRanks()
-      out
+        // eager: materializes the node-sized rank table so the edge
+        // blocks (and the last in-loop checkpoint) can be released
+        // before the caller ever runs an action
+        ranks.localCheckpoint(true)
+      } finally releaseRanks()
     } finally releaseEdged()
   }
 
@@ -126,8 +130,19 @@ object Graph {
     val backing = staged.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+    // a missing leaf silently degrades EVERY release below to the
+    // GC-deferred lifecycle this staging exists to replace — surface
+    // a Spark-upgrade plan-shape change once instead of hiding it
+    if (backing.isEmpty && leafWarned.compareAndSet(false, true))
+      System.err.println(
+        "[graft] Graph.stageRowBlocks: no LogicalRDD leaf under " +
+          "localCheckpoint — deterministic block release is DISABLED " +
+          "(GC-freed lifecycle); a Spark upgrade likely changed the " +
+          "checkpoint plan shape")
     (staged, () => backing.foreach(_.unpersist(blocking = false)))
   }
+
+  private val leafWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Both orientations of `edges` in ONE pass over the input: the
     * two-struct explode emits (src,dst) and (dst,src) from a single
@@ -238,6 +253,7 @@ object Graph {
       // the pageRank pattern (GC-deferred cleanup pins one node-sized
       // copy per cap for the life of the driver heap)
       var releaseRanks: () => Unit = () => ()
+      try {
       for (i <- 1 to iters) {
         // Teleport mass FOLDED INTO the aggregate as union rows: the
         // previous full_outer join against the teleport table cost a
@@ -262,9 +278,11 @@ object Graph {
           releaseRanks(); ranks = staged; releaseRanks = rel
         }
       }
-      val out = ranks.localCheckpoint(true)
-      releaseRanks(); releaseSeeds()
-      out
+      // eager result, then BOTH the last in-loop cap and the seed set
+      // release — in a finally, so a mid-loop failure frees the
+      // in-flight blocks too instead of waiting on the ContextCleaner
+      ranks.localCheckpoint(true)
+      } finally { releaseRanks(); releaseSeeds() }
     } finally { edged.unpersist() }
   }
 
@@ -361,17 +379,24 @@ object Graph {
     // the FINAL checkpoint backs the lazily-returned frontier, so it
     // stays for the caller and the ContextCleaner retires it.
     var releaseKnown: () => Unit = () => ()
-    for (i <- 1 to maxHops) {
-      val expanded = und.join(known, und("src") === known("node"))
-        .select(und("dst").as("node"), (col("hops") + 1L).as("hops"))
-      known = known.union(expanded)
-        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-      if (i % checkpointEvery == 0 && i < maxHops) {
-        val (staged, rel) = stageRowBlocks(known)
-        releaseKnown(); known = staged; releaseKnown = rel
+    try {
+      for (i <- 1 to maxHops) {
+        val expanded = und.join(known, und("src") === known("node"))
+          .select(und("dst").as("node"), (col("hops") + 1L).as("hops"))
+        known = known.union(expanded)
+          .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        if (i % checkpointEvery == 0 && i < maxHops) {
+          val (staged, rel) = stageRowBlocks(known)
+          releaseKnown(); known = staged; releaseKnown = rel
+        }
       }
+      known
+    } catch {
+      // the final cap backs the RETURNED plan, so success must NOT
+      // release it (the ContextCleaner retires it with the plan) — but
+      // a mid-loop failure returns nothing, so the in-flight cap frees
+      case scala.util.control.NonFatal(e) => releaseKnown(); throw e
     }
-    known
   }
 
   /** k-core: the maximal subgraph in which every node has degree ≥ k
@@ -420,24 +445,26 @@ object Graph {
       .distinct())
     def und(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
-    for (_ <- 1 to rounds) {
-      val keep = und(canon).groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("__deg"))
-        .filter(col("__deg") >= k)
-        .select(col("node"))
-      val (next, rel) = stageRowBlocks(canon
-        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")))
-      releaseCanon(); canon = next; releaseCanon = rel
-    }
-    // eager node-sized result so the final edge-set copy is released
-    // before the caller ever runs an action (the pageRank/hits pattern)
-    val out = und(canon).groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    releaseCanon()
-    out
+    try {
+      for (_ <- 1 to rounds) {
+        val keep = und(canon).groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") >= k)
+          .select(col("node"))
+        val (next, rel) = stageRowBlocks(canon
+          .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+        releaseCanon(); canon = next; releaseCanon = rel
+      }
+      // eager node-sized result so the final edge-set copy is released
+      // before the caller ever runs an action (the pageRank/hits
+      // pattern); release sits in the finally so a mid-peel failure
+      // frees the in-flight round's edge set too
+      und(canon).groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+    } finally releaseCanon()
   }
 
   /** HITS hubs & authorities over a DIRECTED edge list (Kleinberg),
@@ -558,6 +585,7 @@ object Graph {
       // node-sized copies in executor storage.
       var relHubs: () => Unit = () => ()
       var relAuths: () => Unit = () => ()
+      try {
       for (i <- 1 to iters) {
         val (a, an, ra) = l1(
           if (i == 1)
@@ -581,13 +609,15 @@ object Graph {
       // eager: materializes the node-sized result so the edge cache
       // and the final score tables can be released before the caller
       // ever runs an action
-      val out = hubs.select(col("node"), lit("hub").as("side"),
+      // release sits in the finally: on success the result is eager by
+      // then; a mid-loop failure frees the in-flight half-iteration
+      // score tables instead of pinning them until driver GC
+      hubs.select(col("node"), lit("hub").as("side"),
           (col("h") / scale.toDouble).as("score"))
         .union(auths.select(col("node"), lit("auth").as("side"),
           (col("a") / scale.toDouble).as("score")))
         .localCheckpoint(true)
-      relHubs(); relAuths()
-      out
+      } finally { relHubs(); relAuths() }
     } finally releaseE()
   }
 
@@ -784,6 +814,7 @@ object Graph {
     // superseded lineage-cap checkpoints release on replacement (the
     // bfsHops pattern); the final one backs the lazily-returned labels
     var releaseLabels: () => Unit = () => ()
+    try {
     for (i <- 1 to iters) {
       // modal neighbor label; tie → smallest label. max of
       // (cnt, NEGATED rank of label) picks highest count then smallest
@@ -804,5 +835,10 @@ object Graph {
       }
     }
     labels
+    } catch {
+      // final cap backs the returned plan (keep on success); a
+      // mid-loop failure returns nothing, so free the in-flight cap
+      case scala.util.control.NonFatal(e) => releaseLabels(); throw e
+    }
   }
 }

@@ -83,21 +83,47 @@ object PrefixBlocks {
   /** Materialize `df` once as ROW blocks (eager localCheckpoint) and
     * track its backing RDD for release at the next top-level
     * prefix-dedup call. For text-carrying tables whose consumers read
-    * full rows. */
+    * full rows.
+    *
+    * The returned plan carries a [[RetiredStageGuardRDD]] shim: row
+    * blocks are non-replayable, so a result plan RETAINED across the
+    * next top-level call (the contract violation documented above)
+    * used to die on re-execution with an opaque block-manager
+    * SparkException from deep inside Spark — the guard rethrows it
+    * naming the contract, so the caller learns what to fix instead of
+    * chasing a storage bug. The guard costs one iterator indirection
+    * per partition and preserves the checkpoint's partitioning
+    * (rebuilt via `LogicalRDD.fromDataset`, the constructor
+    * `Dataset.checkpoint` itself uses). */
   private[pipeline] def stageRows(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(true)
     // the checkpointed Dataset's plan is a LogicalRDD leaf over the
     // persisted InternalRow RDD — THAT handle is what unpersists the
     // blocks (Dataset.unpersist only talks to the CacheManager). A
-    // plan shape without the leaf (never observed) would just degrade
-    // that one table to the old GC-freed lifecycle.
+    // plan shape without the leaf would silently degrade every staged
+    // table to the old GC-freed lifecycle, so it's surfaced once (a
+    // Spark upgrade changing the checkpoint plan shape must show up
+    // in a test run, not hide as quiet re-pinning).
     val backing = c.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+    if (backing.isEmpty && leafWarned.compareAndSet(false, true))
+      System.err.println(
+        "[graft] PrefixBlocks.stageRows: no LogicalRDD leaf under " +
+          "localCheckpoint — deterministic block release is DISABLED " +
+          "(GC-freed lifecycle); a Spark upgrade likely changed the " +
+          "checkpoint plan shape")
+    val retired = new java.util.concurrent.atomic.AtomicBoolean(false)
     track(c.sparkSession,
-      backing.map(r => () => { r.unpersist(blocking = false); () }).toList)
-    c
+      backing.map(r => () => {
+        retired.set(true); r.unpersist(blocking = false); ()
+      }).toList)
+    if (backing.isEmpty) c
+    else org.apache.spark.sql.GraftColumnBridge.mapCheckpointRdd(
+      c, r => new RetiredStageGuardRDD(r, retired))
   }
+
+  private val leafWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Materialize `df` once in the COLUMNAR cache (persist + count) and
     * track it for release at the next top-level prefix-dedup call.

@@ -150,12 +150,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     // ROW-BLOCK-staged tables (the collapse's groups/reps): released
     // localCheckpoint blocks are non-replayable, so the documented
     // consume-before-next-call contract applies - the stale plan
-    // throws instead of silently holding executor storage
+    // throws instead of silently holding executor storage, and the
+    // error NAMES the contract (RetiredStageGuardRDD) instead of
+    // surfacing the block manager's opaque "Checkpoint block not
+    // found" from deep inside Spark
     val collapsed = Dedup.prefixJaccardPairsCollapsed(
       docs, "doc_id", "text", 0.8)
     assert(collapsed.count() >= 0) // consumed within its call window
     Dedup.prefixJaccardPairsCollapsed(docs, "doc_id", "text", 0.8).count()
-    intercept[org.apache.spark.SparkException] { collapsed.count() }
+    val ex = intercept[org.apache.spark.SparkException] { collapsed.count() }
+    val chain = Iterator.unfold(ex: Throwable)(t =>
+      Option(t).map(t => (Option(t.getMessage).getOrElse(""), t.getCause)))
+      .mkString("\n")
+    assert(chain.contains(
+      "prefix-dedup result consumed after a subsequent prefix-dedup call"),
+      s"retained-plan failure must name the contract, got:\n$chain")
     PrefixBlocks.release(spark)
   }
 

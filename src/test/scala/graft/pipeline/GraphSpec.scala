@@ -320,7 +320,13 @@ class GraphSpec extends SparkSpec {
       while (c > n && System.nanoTime < deadline) { Thread.sleep(50); c = cached() }
       c
     }
-    val base = awaitAtMost(0)
+    // base captured WITHOUT polling to zero: earlier tests' eager
+    // result checkpoints legitimately stay registered until driver GC,
+    // so a poll-to-0 burned its full 15 s deadline every run. The
+    // assertions below are relative and ≤-based, so a nonzero base is
+    // fine; mid-test ContextCleaner activity can only shrink counts
+    // (false-pass, never false-fail).
+    val base = cached()
     val edges = (0L until 500L).map(i => (i, (i * 7 + 1) % 500)).toDF("src", "dst")
     // enough iterations/rounds that GC-deferred cleanup WOULD pile up:
     // pageRank takes 2 in-loop caps (25/10), hits 10 half-iteration
