@@ -101,20 +101,51 @@ final case class QcSession(
   * on [[LoggedQcSession.current]]/[[LoggedQcSession.done]] via
   * [[QcFlagLog.fold]]. The log is the audit trail and can be
   * persisted/replayed; plan depth stays constant no matter how long
-  * the session runs. */
+  * the session runs.
+  *
+  * The log self-bounds: once it reaches `autoCompactEvents` events,
+  * the next append triggers [[compact]] — the folded state becomes a
+  * new materialized base and the in-session log empties, so the
+  * driver-side event Seq, the fold's per-(variable, scope) event
+  * tables, and therefore the fold's broadcast hints all stay small no
+  * matter how long the session runs (the fold's un-hinted shuffle
+  * fallback still exists for a REPLAYED oversized external log —
+  * compaction is the in-session lever, the fallback the defensive
+  * one). Compaction folds the audit trail into the base: a caller
+  * keeping the full audit persists [[log]] before it fires (or on
+  * every action — events are tiny); `compactedEvents` records how
+  * many events each base already absorbed, and `nextSeq` keeps
+  * counting across compactions so persisted audit seqs stay unique. */
 final case class LoggedQcSession(
     base: DataFrame,
     y: String,
     events: Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)],
     nextSeq: Long = 1L,
-    suffix: String = FlagSchema.AutoSuffix) {
+    suffix: String = FlagSchema.AutoSuffix,
+    autoCompactEvents: Int = LoggedQcSession.DefaultAutoCompactEvents,
+    compactedEvents: Long = 0L) {
 
   import QcFlagLog._
 
   private def append(
       es: Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)],
-      steps: Long = 1L): LoggedQcSession =
-    copy(events = events ++ es, nextSeq = nextSeq + steps)
+      steps: Long = 1L): LoggedQcSession = {
+    val next = copy(events = events ++ es, nextSeq = nextSeq + steps)
+    if (next.events.sizeIs >= autoCompactEvents) next.compact() else next
+  }
+
+  /** Fold the log into a NEW eagerly-materialized base and clear it:
+    * the event-sourced analogue of [[QcSession.compact]]'s lineage
+    * truncation. Eager (localCheckpoint) so the fold runs once, not
+    * once per later consumer, and the superseded base's plan is
+    * dropped. Idempotent on an empty log. */
+  def compact(): LoggedQcSession =
+    if (events.isEmpty) this
+    else copy(
+      base = QcFlagLog.fold(base, log, suffix = suffix)
+        .localCheckpoint(eager = true),
+      events = Seq.empty,
+      compactedEvents = compactedEvents + events.size)
 
   def flagSelected(ids: Seq[Long]): LoggedQcSession =
     append(pointEvents(nextSeq, y, ids, FlagSchema.ManualFlag))
@@ -150,6 +181,15 @@ final case class LoggedQcSession(
 
   def done(): DataFrame =
     current.drop(QcWindows.RowIdCol, QcWindows.WinIdCol, QcWindows.WinDenseCol)
+}
+
+object LoggedQcSession {
+  /** Default auto-compaction threshold. Sized for the interactive
+    * workload the session models (one event ≈ one reviewer action):
+    * far below [[QcFlagLog.fold]]'s 5M-row broadcast bound — so folds
+    * stay broadcast-joined — and small enough that the driver-side
+    * event Seq stays trivially cheap to copy per action. */
+  val DefaultAutoCompactEvents: Int = 100000
 }
 
 object QcSession {

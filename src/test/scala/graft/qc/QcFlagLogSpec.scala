@@ -131,6 +131,52 @@ class QcFlagLogSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("log auto-compacts at the threshold; subsequent folds broadcast again") {
+    val b = base
+    val s0 = LoggedQcSession(b, "v", Seq.empty, autoCompactEvents = 4)
+    val s1 = s0.flagSelected(Seq(1L, 2L)) // 2 events: below threshold
+    assert(s1.events.size == 2 && s1.compactedEvents == 0L)
+    val s2 = s1.flagSelected(Seq(3L, 4L)) // 4 events: triggers compact
+    assert(s2.events.isEmpty,
+      "reaching autoCompactEvents must fold the log into a new base")
+    assert(s2.compactedEvents == 4L)
+    assert(s2.nextSeq == 3L, "seq numbering continues across compaction")
+    // the compacted base is MATERIALIZED (localCheckpoint leaf), not a
+    // fold plan that would re-execute per consumer
+    assert(s2.base.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty, "compacted base must be an eager checkpoint leaf")
+    // post-compaction actions fold the SAME state as a never-compacted
+    // session and as direct QcActions application
+    val s3 = s2.approveUnflagged(0L)
+    assert(s3.events.size == 1, "post-compaction log restarts tiny")
+    val never = LoggedQcSession(b, "v", Seq.empty)
+      .flagSelected(Seq(1L, 2L)).flagSelected(Seq(3L, 4L)).approveUnflagged(0L)
+    val direct = QcActions.approveUnflagged(
+      QcActions.flagSelected(b, "v",
+        FlagSchema.qcol(".rowid").isin(1L, 2L, 3L, 4L)),
+      "v", col("win_id") === 0L)
+    def flags(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag")
+        .as[Int].collect().toSeq
+    val compacted = flags(s3.current)
+    assert(compacted == flags(never.current),
+      "compaction must not change the folded state")
+    assert(compacted == flags(direct),
+      "compacted session must still equal direct action application")
+    // and the post-compaction fold is broadcast-hinted again: with the
+    // optimizer's own size-based broadcast choice disabled, any
+    // BroadcastHashJoin can only come from the fold's hint
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = s3.current.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"post-compaction fold should broadcast its tiny event table:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("empty log is identity; rows without events untouched") {
     val folded = QcFlagLog.fold(base, emptyLog(spark))
     assert(folded.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq ==
