@@ -443,6 +443,39 @@ object Stress {
       val jacX = jacB / (jacS * 10)
       println(f"[stress100] graph_jaccard synth: 1.8M memberships $jacS%.2f s, " +
         f"18M $jacB%.2f s, per-decade $jacX%.3f")
+      // pageRank/HITS iteration-shape 100× points (r11 demand #4): the
+      // round-11 rework (one-scan symmetrize, eager row-block staging
+      // with deterministic release, observe-based L1) had only 10×
+      // fixture evidence — a synthetic decade pair pins the
+      // per-iteration O(|edges|) claim at the scale the cc_star and
+      // jaccard shapes are already held to. Same generator as cc_star
+      // (node ids grow with the edge count, so degree stays bounded at
+      // both endpoints); iters match the registered queries (5 / 3),
+      // and 6M nodes sit far under hits' 50M broadcastNodeLimit, so
+      // both endpoints run the SAME join strategy (the gated shuffle
+      // fallback's equality is GraphSpec-pinned separately).
+      def prRun(n: Long, m: Long): Double = minOf2 {
+        graft.pipeline.Graph.pageRank(
+          edgesOf(n, m), "src", "dst", iters = 5).count()
+      }
+      prRun(60000L, 180000L) // untimed JIT warmup (the cc_star argument)
+      val prS = prRun(600000L, 1800000L)
+      val prB = prRun(6000000L, 18000000L)
+      val prX = prB / (prS * 10)
+      println(f"[stress100] graph_pagerank synth: 1.8M edges $prS%.2f s, " +
+        f"18M $prB%.2f s, per-decade $prX%.3f")
+      def hitsRun(n: Long, m: Long): Double = minOf2 {
+        graft.pipeline.Graph.hits(
+          edgesOf(n, m), "src", "dst", iters = 3).count()
+      }
+      hitsRun(60000L, 180000L) // untimed JIT warmup
+      val hitS = hitsRun(600000L, 1800000L)
+      val hitB = hitsRun(6000000L, 18000000L)
+      val hitX = hitB / (hitS * 10)
+      println(f"[stress100] graph_hits synth: 1.8M edges $hitS%.2f s, " +
+        f"18M $hitB%.2f s, per-decade $hitX%.3f")
+      val iterAux =
+        s""","graph_pagerank_synth":{"edges_small":1800000,"sec_small":${f"$prS%.2f"},"edges_big":18000000,"sec_big":${f"$prB%.2f"},"x_per_decade":${f"$prX%.3f"}},"graph_hits_synth":{"edges_small":1800000,"sec_small":${f"$hitS%.2f"},"edges_big":18000000,"sec_big":${f"$hitB%.2f"},"x_per_decade":${f"$hitX%.3f"}}"""
       // text-model family 100× points (r10 demand #8): the two slowest
       // non-graph non-dedup queries are model-train + corpus-score
       // shapes whose MODEL side is bounded by construction (vocab-sized
@@ -482,7 +515,7 @@ object Stress {
         f"6M $bpeB%.2f s, per-decade $bpeX%.3f")
       val textAux =
         s""","text_perplexity_synth":{"docs_small":600000,"sec_small":${f"$ppxS%.2f"},"docs_big":6000000,"sec_big":${f"$ppxB%.2f"},"x_per_decade":${f"$ppxX%.3f"}},"text_bpe_encode_synth":{"docs_small":600000,"sec_small":${f"$bpeS%.2f"},"docs_big":6000000,"sec_big":${f"$bpeB%.2f"},"x_per_decade":${f"$bpeX%.3f"}}"""
-      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}$textAux}"""
+      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}$iterAux$textAux}"""
     }.getOrElse("")
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$aux100}""")
     writeArtifact(aux100)
