@@ -70,6 +70,12 @@ object Stress {
     val outDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_stress")
     val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
+    // RECORDED in the artifact: the 6M semdedup point's volume-sized 64
+    // shuffle partitions run 2 waves on 32 threads but 4 on the default
+    // 16 — an invocation at the wrong width exactly doubles the big
+    // endpoint (measured 230.4 vs 114.1 s, same code) and fabricates a
+    // superlinear "bend" in every within-run big-vs-small control.
+    // Scale evidence is only comparable at the recorded thread count.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -223,7 +229,7 @@ object Stress {
     def writeArtifact(extra: String): Unit =
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/STRESS_local.json"),
-        s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$extra}"""
+        s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","cpus":$cpus,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","queries":$qs$aux$semAux$extra}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (sys.env.contains("SPARK_GRAFT_STRESS_100X")) writeArtifact("")
     val aux100 = sys.env.get("SPARK_GRAFT_STRESS_100X").map { _ =>
@@ -517,7 +523,7 @@ object Stress {
         s""","text_perplexity_synth":{"docs_small":600000,"sec_small":${f"$ppxS%.2f"},"docs_big":6000000,"sec_big":${f"$ppxB%.2f"},"x_per_decade":${f"$ppxX%.3f"}},"text_bpe_encode_synth":{"docs_small":600000,"sec_small":${f"$bpeS%.2f"},"docs_big":6000000,"sec_big":${f"$bpeB%.2f"},"x_per_decade":${f"$bpeX%.3f"}}"""
       s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}$iterAux$textAux}"""
     }.getOrElse("")
-    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","queries":$qs$aux$semAux$aux100}""")
+    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","cpus":$cpus,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","queries":$qs$aux$semAux$aux100}""")
     writeArtifact(aux100)
     spark.stop()
   }
