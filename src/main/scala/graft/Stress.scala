@@ -537,7 +537,42 @@ object Stress {
         f"6M $bpeB%.2f s, per-decade $bpeX%.3f")
       val textAux =
         s""","text_perplexity_synth":{"docs_small":600000,"sec_small":${f"$ppxS%.2f"},"docs_big":6000000,"sec_big":${f"$ppxB%.2f"},"x_per_decade":${f"$ppxX%.3f"}},"text_bpe_encode_synth":{"docs_small":600000,"sec_small":${f"$bpeS%.2f"},"docs_big":6000000,"sec_big":${f"$bpeB%.2f"},"x_per_decade":${f"$bpeX%.3f"}}"""
-      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}$iterAux$textAux}"""
+      // MinHash-LSH 100× point — the last headline dedup family with
+      // only 10× evidence. The banding bucket-join is exactly where a
+      // quadratic term would hide (a hot band bucket joins c² pairs);
+      // capBuckets bounds it by construction, and this pins that claim
+      // at a decade. Corpus: `texts`' constant 1000-word vocab (so the
+      // shingle space — and with it bucket occupancy statistics — is
+      // scale-invariant) with a 1-in-10 near-dup rate: doc 10k+1
+      // repeats doc 10k's tokens except the last (28 of 31 shingles
+      // shared, J ≈ 0.81 > 0.5), so TRUE pairs grow exactly linearly
+      // (n/10, verified in the output count) while independent docs
+      // stay far below threshold.
+      def dupTexts(n: Long) = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => concat(lit("w"), pmod(xxhash64(
+            (when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id")))
+              * 31 + i
+              + when(col("id") % 10 === 1 && i === 29, lit(999983L))
+                .otherwise(lit(0L))),
+            lit(1000))))).as("text"))
+      var mhPairs = 0L
+      def mhRun(n: Long): Double = minOf2 {
+        mhPairs = graft.pipeline.Dedup.minHashNearDupPairs(
+          dupTexts(n), "doc_id", "text",
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5).count()
+      }
+      mhRun(60000L) // untimed JIT warmup (the cc_star argument)
+      val mhS = mhRun(600000L); val mhPairsS = mhPairs
+      val mhB = mhRun(6000000L); val mhPairsB = mhPairs
+      val mhX = mhB / (mhS * 10)
+      println(f"[stress100] dedup_minhash synth: 600K docs $mhS%.2f s " +
+        f"($mhPairsS pairs), 6M $mhB%.2f s ($mhPairsB pairs), " +
+        f"per-decade $mhX%.3f")
+      val mhAux =
+        s""","dedup_minhash_synth":{"docs_small":600000,"sec_small":${f"$mhS%.2f"},"pairs_small":$mhPairsS,"docs_big":6000000,"sec_big":${f"$mhB%.2f"},"pairs_big":$mhPairsB,"x_per_decade":${f"$mhX%.3f"}}"""
+      s""","aux_100x":{${corpus.mkString(",")},"graph_cc_star_synth":{"edges_small":1800000,"sec_small":${f"$ccS%.2f"},"edges_big":18000000,"sec_big":${f"$ccB%.2f"},"x_per_decade":${f"$ccX%.3f"}},"semdedup_lsh":{"widths":"volume-sized (~100K rows/task): 600K/750K @16, 6M @64","n_small":600000,"sec_small":${f"$semS%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_per_decade":${f"$semX%.3f"},"equal_occupancy_control":{"n_small":750000,"sec_small":${f"$semC%.2f"},"n_big":6000000,"sec_big":${f"$semB%.2f"},"x_vs_linear":${f"$semXeq%.3f"}},"fixed_width_control":{"n":6000000,"shuffle_partitions":16,"sec":${f"$semW%.2f"},"x_vs_linear_vs_750k":${f"$semXw%.3f"}},"breakdown_600k":${bdJson(bdS)},"breakdown_6m":${bdJson(bdB)}},"graph_jaccard_synth":{"memberships_small":1800000,"sec_small":${f"$jacS%.2f"},"memberships_big":18000000,"sec_big":${f"$jacB%.2f"},"x_per_decade":${f"$jacX%.3f"}}$iterAux$textAux$mhAux}"""
     }.getOrElse("")
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","cpus":$cpus,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","queries":$qs$aux$semAux$aux100}""")
     writeArtifact(aux100)
