@@ -108,10 +108,12 @@ object Bench {
     // ADJUDICATION: transient contention during the suite flags whole
     // IO-bound families as regressions that aren't (round 7 shipped 14
     // such false alarms; round 8's contended driver shipped 9 more).
-    // On a credible host, re-run each candidate TWICE (min-of-2, the
-    // same steady-state protocol as the suite — a single cold re-run
-    // kept sub-second flags alive on plan-compile cost alone) and keep
-    // only those STILL over the bound. On a SUSPECT host (median off
+    // On a credible host, re-run each candidate BenchDelta.RerunReps
+    // times (min-of-3 — a single cold re-run kept sub-second flags
+    // alive on plan-compile cost alone, and min-of-2 still didn't
+    // reliably shed the first-rep staging warmup on checkpoint-heavy
+    // queries: dedup_prefix rep pairs read [2.87, 1.35] on the r12
+    // driver run) and keep only those STILL over the bound. On a SUSPECT host (median off
     // by >1.25×, or more simultaneous flags than one round plausibly
     // regresses), re-running on the same contended machine would just
     // rubber-stamp the noise — candidates are reported but not
@@ -123,7 +125,7 @@ object Bench {
         selected(c.name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 } finally spark.catalog.clearCache()
-      val reruns = Seq.fill(2)(rerunOnce())
+      val reruns = Seq.fill(BenchDelta.RerunReps)(rerunOnce())
       val rerun = if (reruns.exists(_ >= 0)) reruns.filter(_ >= 0).min else -1.0
       val best = if (rerun >= 0) math.min(c.reps.min, rerun) else c.reps.min
       val body = "\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
@@ -152,7 +154,7 @@ object Bench {
     val cores = Runtime.getRuntime.availableProcessors()
     val osArch = System.getProperty("os.arch")
     val deltaJson =
-      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-2 post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off, or >5 simultaneous candidates on an elevated (>1.1x) host); fast-side hosts suppress flags but may still lower the floor","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"rerun_failed":${rerunFailed.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
+      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-${BenchDelta.RerunReps} post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off, or >5 simultaneous candidates on an elevated (>1.1x) host); fast-side hosts suppress flags but may still lower the floor","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"rerun_failed":${rerunFailed.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
     // The floor is monotone: a clean-host full-suite run that beats a
     // query's recorded min lowers it (never raises — a regression must
     // not launder itself into the baseline). SLOW-suspect hosts don't

@@ -119,6 +119,13 @@ object BenchDelta {
   val AbsSlackSec = 0.5
   val HostSuspectX = 1.25
   val MaxCredibleFlags = 5
+  // Adjudication rerun rep count for flagged candidates: checkpoint/
+  // staging-heavy queries carry a first-rep warmup tax that min-of-2
+  // doesn't reliably shed (r12 evidence: dedup_prefix rep pairs
+  // [2.87, 1.35] driver-side and [10.26, 3.79, 2.57] builder-side) —
+  // the rerun is exactly where the protocol needs precision, so it
+  // takes one more rep than the suite pass.
+  val RerunReps = 3
   // The many-candidates gate only fires on an ELEVATED host: with a
   // near-1.0 median, many simultaneous candidates is evidence of a real
   // broad regression (one shared helper can regress a whole family),

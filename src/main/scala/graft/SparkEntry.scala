@@ -3153,6 +3153,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
+    "mm_phash_wide" -> ((s, dir) => {
+      // The SCALE path for perceptual image dedup: 256-bit pHash
+      // (Multimodal.pHashWide) + the wide pigeonhole hamming join.
+      // Same planted fixture as mm_phash (five jittered noise-raster
+      // variants per group), but the wider hash both sharpens the
+      // separation (measured: within-group ≤ 8 bits of 255, cross-
+      // group ≥ 96) and — the reason it exists — keeps the banding
+      // join's bucket space growing with the hash width instead of
+      // shrinking with the allowed distance: 64-bit chunking at
+      // maxHamming 6 is 512 buckets/band (quadratic past ~10⁵ rows),
+      // while the wide join's chunks are 2^16 here and 2^32 in the
+      // scale configuration the 100× stress point times. maxHamming
+      // 15 with 16-bit chunks: the planted ball with margin, still
+      // astronomically below the iid cross-group distance.
+      import s.implicits._
+      val hashed = documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.makeNoisePng(
+            id / 5, (id % 5).toInt * 8, (id % 5).toInt))
+        }
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.map(_._1).zip(Multimodal.pHashWideBatch(batch.map(_._2)))
+              .collect { case (id, h) if h != null => (id, h) }
+          }
+        }
+        .toDF("doc_id", "phash")
+      Dedup.hammingNearDupPairsWide(hashed, "doc_id", "phash",
+          maxHamming = 15, words = 4, chunkBits = 16)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
     "mm_video_dedup" -> ((s, dir) => {
       // REAL frame-fingerprint video dedup: 10-frame synthetic videos
       // (one per doc id < 200 — a BOUNDED fixture, so the decode cost
@@ -4887,6 +4919,13 @@ object SparkEntry {
     // exact planted-recovery oracle: the hamming join must return the
     // within-group pairs and nothing else
     "mm_phash" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same exact planted recovery, wide-hash path: the 256-bit join
+    // must return the within-group pairs and nothing else
+    "mm_phash_wide" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM documents a JOIN documents b
         |  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id

@@ -621,6 +621,32 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** LSH candidate pairs of the MinHash pipeline BEFORE exact-Jaccard
+    * verification — the banding bucket-join's raw work volume: false
+    * positives and capBuckets survivors included, exactly the rows the
+    * verify stage must process. Instrumentation surface for scale
+    * audits: a linear candidate count at two corpus sizes pins the
+    * banding join's candidate VOLUME, which the verified output count
+    * of [[minHashNearDupPairs]] cannot (false-positive candidates and
+    * capped-bucket drops are invisible to it). Same stages, same
+    * defaults as [[minHashNearDupPairs]]. */
+  def minHashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val sig = df.select(
+      col(idCol),
+      minHashSignature(wordShingles(col(textCol), shingleN),
+        numHashes, seed).as("__sig"))
+    lshCandidatePairs(bandsOf(sig, idCol, "__sig", bands, numHashes),
+      idCol, maxBucket)
+  }
+
   /** Full MinHash-LSH near-dup pipeline over a text column: shingle →
     * sign → band → bucket-join → verify candidates with EXACT Jaccard
     * (two broadcast-friendly joins back to the shingle sets) → pairs
@@ -734,6 +760,66 @@ object Dedup {
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** Wide (multi-word) hamming-ball self-join — the 100 TB scale path
+    * for perceptual hashes. `hashCol` is an `array<bigint>` of `words`
+    * 64-bit words ([[Multimodal.pHashWide]] = 4 words / 256 bits);
+    * banding uses the words' `chunkBits`-wide slices as pigeonhole
+    * chunks (`words·64/chunkBits` of them), so any pair within
+    * `maxHamming ≤ chunks − 1` errors agrees on at least one chunk and
+    * the equi-join finds every qualifying pair.
+    *
+    * Why this exists next to [[hammingNearDupPairs]]: pigeonhole
+    * candidate volume is (chunks)·n²/2^(chunkBits). The 64-bit join at
+    * maxHamming 6 buckets on 9-bit chunks — 512 buckets/band, linear
+    * only while n ≪ ~10⁵ (the sf-fixture regime), quadratic past it.
+    * `chunkBits = 32` (the scale default) gives 2^32 buckets/band: iid
+    * bucket occupancy stays ≪ 1 out to billions of rows, so the
+    * candidate set is the true near-pairs plus vanishing collision
+    * noise — candidate count grows linearly in n, which is the
+    * property the 100× stress point pins. `chunkBits = 16` trades
+    * bucket space (65,536/band — linear to ~10⁷ rows) for a wider
+    * guaranteed ball (maxHamming ≤ 4·words − 1). Exact
+    * `bit_count(xor)` verification over the zipped words runs
+    * entirely in codegen'd builtins (zip_with + aggregate). */
+  def hammingNearDupPairsWide(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, words: Int = 4, chunkBits: Int = 32,
+      maxBucket: Int = 10000): DataFrame = {
+    require(words >= 1, "hammingNearDupPairsWide: words must be >= 1")
+    require(chunkBits == 16 || chunkBits == 32 || chunkBits == 64,
+      "hammingNearDupPairsWide: chunkBits must be 16, 32, or 64")
+    val perWord = 64 / chunkBits
+    val nChunks = words * perWord
+    require(maxHamming >= 0 && maxHamming < nChunks,
+      s"hammingNearDupPairsWide: maxHamming must be in [0, $nChunks) " +
+        s"for the $chunkBits-bit-chunk pigeonhole to guarantee recall")
+    val mask = lit(if (chunkBits == 64) -1L else (1L << chunkBits) - 1)
+    val chunks = (0 until nChunks).map { c =>
+      val word = element_at(col(hashCol), c / perWord + 1)
+      val half = shiftright(word, (c % perWord) * chunkBits)
+      struct(lit(c).as("band"), half.bitwiseAND(mask).as("bh"))
+    }
+    val banded = capBuckets(
+      hashed.select(col(idCol), col(hashCol),
+          explode(array(chunks: _*)).as("__bk"))
+        .select(col(idCol), col(hashCol),
+          col("__bk.band").as("band"), col("__bk.bh").as("bh")),
+      maxBucket)
+    val a = banded.select(col("band"), col("bh"),
+      col(idCol).as("id_a"), col(hashCol).as("__ha"))
+    val b = banded.select(col("band"), col("bh"),
+      col(idCol).as("id_b"), col(hashCol).as("__hb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        aggregate(
+          zip_with(col("__ha"), col("__hb"),
+            (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, x) => acc + x))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }

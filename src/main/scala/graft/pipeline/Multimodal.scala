@@ -315,6 +315,56 @@ object Multimodal {
   def pHashBatch(payloads: Seq[Array[Byte]]): Seq[java.lang.Long] =
     payloads.map(pHash64)
 
+  /** 256-bit perceptual hash — the SCALE path for image dedup. Same
+    * decode → 32×32 luma → 2-D DCT front end as [[pHash64]], but
+    * keeping the 255 lowest-frequency AC coefficients (16×16 block
+    * minus DC) thresholded against their own median, packed into 4
+    * longs (bit i → word i/64; bit 255 is always 0 padding).
+    *
+    * Why the width matters at 100 TB: a pigeonhole hamming join over
+    * b-bit hashes with h allowed errors buckets on h+1 chunks of
+    * b/(h+1) bits, so candidate volume grows as (h+1)·n²/2^(b/(h+1)).
+    * At b=64, h=6 that is a 9-bit bucket space (512 buckets/band) —
+    * linear only while n ≪ ~10⁵, quadratic past it. At b=256 the
+    * chunks are 32-bit (4.3e9 buckets/band): iid occupancy stays ≪ 1
+    * per bucket out to billions of rows and the join's candidate set
+    * is the true near-dup pairs plus vanishing collision noise.
+    * Returns null for undecodable payloads. */
+  def pHashWide(b: Array[Byte]): Array[Long] = {
+    val fmt = sniffBytes(b)
+    val img =
+      if (fmt == "png" || fmt == "jpeg" || fmt == "gif")
+        try ImageIO.read(new ByteArrayInputStream(b)) catch { case NonFatal(_) => null }
+      else null
+    if (img == null) return null
+    val coefs = dct32(grayPool32(img))
+    val ac = new Array[Double](255)
+    var i = 0
+    var v = 0
+    while (v < 16) {
+      var u = 0
+      while (u < 16) {
+        if (u != 0 || v != 0) { ac(i) = coefs(v * 32 + u); i += 1 }
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted(127) // 255 values → exact middle order statistic
+    val words = new Array[Long](4)
+    i = 0
+    while (i < 255) {
+      if (ac(i) > median) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    words
+  }
+
+  /** Batch form of [[pHashWide]] for the per-partition seam. */
+  def pHashWideBatch(payloads: Seq[Array[Byte]]): Seq[Array[Long]] =
+    payloads.map(pHashWide)
+
   /** splitmix64 finalizer — the deterministic pixel-noise generator
     * behind [[makeNoisePng]]. */
   private def mix64(z0: Long): Long = {

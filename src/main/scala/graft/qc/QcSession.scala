@@ -112,10 +112,16 @@ final case class QcSession(
   * fallback still exists for a REPLAYED oversized external log —
   * compaction is the in-session lever, the fallback the defensive
   * one). Compaction folds the audit trail into the base: a caller
-  * keeping the full audit persists [[log]] before it fires (or on
-  * every action — events are tiny); `compactedEvents` records how
-  * many events each base already absorbed, and `nextSeq` keeps
-  * counting across compactions so persisted audit seqs stay unique. */
+  * keeping the full audit sets `onCompact` — an audit sink invoked
+  * with the about-to-be-folded [[log]] DataFrame BEFORE the events
+  * clear, on every compaction (auto or explicit), which makes the
+  * "persist the log before it fires" contract enforceable instead of
+  * advisory (auto-compaction fires mid-`append`, at a moment the
+  * caller can't see). `compactedEvents` records how many events each
+  * base already absorbed, and `nextSeq` keeps counting across
+  * compactions so persisted audit seqs stay unique — a sink that
+  * appends every delivered batch therefore reconstructs the complete
+  * ordered trail as sink ⊎ [[log]]. */
 final case class LoggedQcSession(
     base: DataFrame,
     y: String,
@@ -123,7 +129,8 @@ final case class LoggedQcSession(
     nextSeq: Long = 1L,
     suffix: String = FlagSchema.AutoSuffix,
     autoCompactEvents: Int = LoggedQcSession.DefaultAutoCompactEvents,
-    compactedEvents: Long = 0L) {
+    compactedEvents: Long = 0L,
+    onCompact: Option[DataFrame => Unit] = None) {
 
   import QcFlagLog._
 
@@ -138,14 +145,20 @@ final case class LoggedQcSession(
     * the event-sourced analogue of [[QcSession.compact]]'s lineage
     * truncation. Eager (localCheckpoint) so the fold runs once, not
     * once per later consumer, and the superseded base's plan is
-    * dropped. Idempotent on an empty log. */
+    * dropped. Idempotent on an empty log. The `onCompact` audit sink
+    * (if set) receives the folded [[log]] FIRST — a sink failure
+    * aborts the compaction with the events intact, so the audit trail
+    * can never be folded away un-persisted. */
   def compact(): LoggedQcSession =
     if (events.isEmpty) this
-    else copy(
-      base = QcFlagLog.fold(base, log, suffix = suffix)
-        .localCheckpoint(eager = true),
-      events = Seq.empty,
-      compactedEvents = compactedEvents + events.size)
+    else {
+      onCompact.foreach(sink => sink(log))
+      copy(
+        base = QcFlagLog.fold(base, log, suffix = suffix)
+          .localCheckpoint(eager = true),
+        events = Seq.empty,
+        compactedEvents = compactedEvents + events.size)
+    }
 
   def flagSelected(ids: Seq[Long]): LoggedQcSession =
     append(pointEvents(nextSeq, y, ids, FlagSchema.ManualFlag))

@@ -164,4 +164,14 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(BenchDelta.parseRunsObject(txt, "runs") ==
       Map("q1" -> Seq(1.5, 0.9), "q2" -> Seq(0.3)))
   }
+
+  test("flagged-candidate adjudication reruns at least 3 reps") {
+    // Bench's post-suite rerun gate takes its rep count from here:
+    // checkpoint/staging-heavy queries carry a first-rep warmup tax
+    // that min-of-2 doesn't reliably shed (r12: dedup_prefix rep pairs
+    // [2.87, 1.35] driver-side, [10.26, 3.79, 2.57] builder-side), and
+    // the rerun is exactly where the protocol needs precision — the
+    // gate must stay at min-of-3 or stricter.
+    assert(BenchDelta.RerunReps >= 3)
+  }
 }

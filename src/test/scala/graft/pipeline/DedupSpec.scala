@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.subsetOf(truth), "exact-jaccard verification must kill false positives")
   }
 
+  test("minHashCandidatePairs is the pre-verify superset of the " +
+      "verified pairs (the scale-audit instrumentation surface)") {
+    val cand = Dedup.minHashCandidatePairs(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cand),
+      s"every verified pair is a candidate first; missing ${verified -- cand}")
+    assert(cand.forall { case (a, b) => a < b }, "canonical id order")
+  }
+
   test("dropNearDups removes the higher id of each pair") {
     val pairs = Seq((0L, 100L), (1L, 101L)).toDF("id_a", "id_b")
     val out = Dedup.dropNearDups(corpus, pairs, "doc_id")

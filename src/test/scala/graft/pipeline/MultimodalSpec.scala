@@ -156,6 +156,56 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} stray=${got -- want}")
   }
 
+  test("pHashWide: planted variants stay in-ball, distinct rasters far, " +
+      "non-images null") {
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val hs = (0L until 60L).map { id =>
+      Multimodal.pHashWide(Multimodal.makeNoisePng(
+        id / 5, (id % 5).toInt * 8, (id % 5).toInt))
+    }
+    for (i <- hs.indices; j <- (i + 1) until hs.length) {
+      val d = ham(hs(i), hs(j))
+      if (i / 5 == j / 5)
+        assert(d <= 15, s"within-group pair $i/$j out of ball: hamming $d")
+      else
+        assert(d > 40, s"cross-group pair $i/$j too close: hamming $d")
+    }
+    assert(Multimodal.pHashWide("not an image".getBytes) == null)
+    // brightness-only variants are DC-only: the 255 AC bits are exact
+    assert(ham(
+      Multimodal.pHashWide(Multimodal.makeNoisePng(3L, 0, 0)),
+      Multimodal.pHashWide(Multimodal.makeNoisePng(3L, 24, 0))) == 0)
+  }
+
+  test("wide hamming join recovers exactly the planted groups " +
+      "(both chunk widths)") {
+    import spark.implicits._
+    val hashed = (0L until 40L).map { id =>
+      (id, Multimodal.pHashWide(Multimodal.makeNoisePng(
+        id / 5, (id % 5).toInt * 8, (id % 5).toInt)))
+    }.toDF("doc_id", "phash")
+    val want = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L; if a / 5 == b / 5
+    } yield (a, b)).toSet
+    // 16-bit chunks, maxHamming 15 — the oracled query configuration
+    val got16 = Dedup.hammingNearDupPairsWide(hashed, "doc_id", "phash",
+        maxHamming = 15, words = 4, chunkBits = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got16 == want, s"missing=${want -- got16} stray=${got16 -- want}")
+    // 32-bit chunks (the 2^32-bucket scale configuration), ball 7:
+    // pigeonhole recall is exact for every pair within the ball
+    val inBall = Dedup.hammingNearDupPairsWide(hashed, "doc_id", "phash",
+        maxHamming = 15, words = 4, chunkBits = 16)
+      .filter(col("hamming") <= 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got32 = Dedup.hammingNearDupPairsWide(hashed, "doc_id", "phash",
+        maxHamming = 7, words = 4, chunkBits = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got32 == inBall,
+      s"missing=${inBall -- got32} stray=${got32 -- inBall}")
+  }
+
   // ------------------------------------------- committed golden fixtures
 
   private def resource(name: String): Array[Byte] = {

@@ -177,6 +177,36 @@ class QcFlagLogSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("onCompact audit sink: no event is lost across auto-compaction, " +
+      "and a sink failure keeps the log intact") {
+    // the sink appends every delivered batch; the complete trail is
+    // then sink ⊎ in-session log — the enforceable form of the
+    // "persist the log before it fires" contract
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      sunk ++= df.select("seq", "new_flag").as[(Long, Int)].collect()
+    val s0 = LoggedQcSession(base, "v", Seq.empty,
+      autoCompactEvents = 4, onCompact = Some(sink))
+    // 6 actions → auto-compaction fires mid-append at event 4
+    val s1 = s0.flagSelected(Seq(1L, 2L)).flagSelected(Seq(3L, 4L))
+      .approveSelected(Seq(1L)).unflagSelected(Seq(2L))
+    assert(s1.compactedEvents == 4L && sunk.size == 4,
+      s"sink must receive exactly the folded events, got ${sunk.size}")
+    // audit completeness: sink ⊎ current log is the full 6-row trail
+    // (one seq per ACTION — the two point-selections share their seq
+    // across their two rows)
+    val all = (sunk.map(_._1) ++ s1.events.map(_._1)).sorted
+    assert(all == Seq(1L, 1L, 2L, 2L, 3L, 4L),
+      s"sink + log must be the complete ordered trail, got $all")
+    // a failing sink aborts compaction with the events intact
+    val bad = s1.copy(onCompact =
+      Some(_ => throw new RuntimeException("sink down")))
+    val beforeEvents = bad.events
+    intercept[RuntimeException](bad.compact())
+    assert(bad.events == beforeEvents,
+      "failed sink must leave the un-persisted audit trail in place")
+  }
+
   test("empty log is identity; rows without events untouched") {
     val folded = QcFlagLog.fold(base, emptyLog(spark))
     assert(folded.orderBy(FlagSchema.qcol(".rowid")).select("v_qcflag").collect().toSeq ==
