@@ -158,7 +158,7 @@ object Dedup {
     *
     * EAGER/BLOCKING semantics, not lazy composition: calling this
     * runs Spark jobs at call time — the prefix table is materialized
-    * (columnar persist via [[PrefixBlocks.stageColumnar]]), and (unless
+    * (scale-adaptive format via [[PrefixBlocks.stageAdaptive]]), and (unless
     * grouping is disabled, see below) the prefix-signature table is
     * too, plus one driver-side single-row aggregate for the flood
     * decision. Storage bound — DETERMINISTIC, not GC-dependent: both
@@ -197,13 +197,15 @@ object Dedup {
     val toks = docs.select(col(idCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    // Materialized once (COLUMNAR cache, deterministic next-call
-    // release): the prefix table feeds the grouping decision below AND
-    // both sides of the candidate join, each reading a column subset —
-    // pruned compressed scans measured 5× faster than full-row blocks
-    // at the 10× replica corpus (~10⁷ exploded rows), and at 100 TB
-    // the candidate join re-shuffles this exact data anyway.
-    val prefix = PrefixBlocks.stageColumnar(
+    // Materialized once (scale-adaptive format, deterministic
+    // next-call release): the prefix table feeds the grouping decision
+    // below AND both sides of the candidate join, each reading a
+    // column subset — pruned compressed columnar scans measured 5×
+    // faster than full-row blocks at the 10× replica corpus (~10⁷
+    // exploded rows), but the columnar write + eager count tax is a
+    // ~1.3× dead loss at sf0.1 (the r13 staircase bisect), so
+    // stageAdaptive picks by the plan-stats size estimate.
+    val prefix = PrefixBlocks.stageAdaptive(
       rankedPrefix(toks, idCol, dfreq, threshold, "inner")
         .select(col(idCol), col("__tok"), col("__r"), col("__sz")))
     // NEAR-IDENTICAL-PREFIX GROUPING — the template-flood guard the
@@ -281,7 +283,7 @@ object Dedup {
     // it feeds BOTH the bypass decision aggregate and the grouped
     // path's membership join — unmaterialized, the collect_list
     // aggregate over the prefix table would run twice
-    val sig = PrefixBlocks.stageColumnar(prefix.groupBy(col(idCol), col("__sz"))
+    val sig = PrefixBlocks.stageAdaptive(prefix.groupBy(col(idCol), col("__sz"))
       .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
       .select(col(idCol), md5(concat_ws(" ",
         col("__sz").cast("string"), array_join(col("__pt"), " "))
@@ -456,7 +458,7 @@ object Dedup {
     // below, and unmaterialized each side re-runs the token explode +
     // df join + per-doc rank window — the heaviest upstream stage,
     // twice.
-    val prefix = PrefixBlocks.stageColumnar(
+    val prefix = PrefixBlocks.stageAdaptive(
       rankedPrefix(toks, idCol, dfreq, threshold, "inner")
         .select(col(idCol) +: col("__tok") +: col("__r") +: col("__sz") +:
           carryCols.map(col): _*))

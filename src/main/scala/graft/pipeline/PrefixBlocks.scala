@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pattern, applied across calls). [[release]] frees the session's
   * sets across all threads immediately for sessions done deduping.
   *
-  * Storage format is PER TABLE SHAPE — both A/B-measured:
+  * Storage format is PER TABLE SHAPE AND SCALE — all A/B-measured:
   *  - [[stageRows]] (`localCheckpoint(true)` row blocks, backing-RDD
   *    handle kept for release): the collapse's text-carrying tables.
   *    The columnar cache's write + per-consumer read conversion
@@ -38,7 +38,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    measured 12.2 s vs 2.4 s on the 10× replica corpus's
   *    dedup_prefix — column pruning + compression win with ~10⁷
   *    exploded rows, and the gap WIDENS with scale, so columnar is
-  *    the 100 TB-side default.
+  *    the 100 TB-side choice.
+  *  - [[stageAdaptive]] (what the prefix/sig call sites actually use)
+  *    picks between them on the optimizer's size estimate: the
+  *    columnar write + eager count + read-conversion tax that buys
+  *    the pruning win at 10⁷ rows is a dead loss at gate scale — the
+  *    round-13 interleaved staircase bisect isolated the sf0.1
+  *    dedup_prefix bench regression (1.56 → 2.05 s session-min with
+  *    flat q1_agg controls, 3 cycles × 5 trees on one host) to
+  *    exactly the commit that made columnar unconditional. The
+  *    estimate is plan-stats (source-file-size-derived, linear in
+  *    corpus: ~0.9 MB at sf0.1, ~9 MB at the 10× replica), so the
+  *    default 4 MiB threshold splits the two measured regimes with
+  *    a decade of margin on each side.
   *
   * Nested entry points (the collapse calls the pair join, which calls
   * the candidate stage) share ONE scope via a thread-local depth: the
@@ -137,6 +149,43 @@ object PrefixBlocks {
     track(c.sparkSession, List(() => { c.unpersist(blocking = false); () }))
     c
   }
+
+  /** Default [[stageAdaptive]] threshold: the optimizer's estimate is
+    * ~0.9 MB for the sf0.1 prefix table (where row blocks win the A/B)
+    * and ~9 MB at the 10× replica (where columnar wins 12.2 → 2.4 s),
+    * both linear in source bytes — 4 MiB splits the measured regimes
+    * with a decade of margin each side. Overridable for tests and
+    * deployments via `-Dgraft.prefix.columnarMinBytes=N`. */
+  val DefaultColumnarMinBytes: Long = 4L << 20
+
+  private def columnarMinBytes: BigInt = BigInt(
+    sys.props.get("graft.prefix.columnarMinBytes").map(_.toLong)
+      .getOrElse(DefaultColumnarMinBytes))
+
+  // test hooks: how many stagings each format has taken in this JVM
+  private[graft] val columnarStagings = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val rowStagings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Stage `df` in the format its SCALE wants: columnar when the
+    * optimizer's size estimate clears [[DefaultColumnarMinBytes]]
+    * (wide-fan-out pruned scans win and a retained plan recomputes
+    * after release), row blocks below it (the eager-count + columnar
+    * write/read conversion tax outweighs pruning on small tables; a
+    * retained plan then falls under the consume-before-next-call
+    * contract and throws the named [[RetiredStageGuardRDD]] error).
+    * The estimate derives from source file sizes through plan stats —
+    * monotone in corpus scale, free to read, and available BEFORE
+    * materialization (an actual row count would cost the heavy
+    * upstream stage an extra full pass exactly where the choice is
+    * needed). */
+  private[pipeline] def stageAdaptive(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= columnarMinBytes) {
+      columnarStagings.incrementAndGet()
+      stageColumnar(df)
+    } else {
+      rowStagings.incrementAndGet()
+      stageRows(df)
+    }
 
   private def track(s: SparkSession, thunks: List[() => Unit]): Unit =
     synchronized {

@@ -138,15 +138,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     val docs = (0 until 200)
       .map(i => (i.toLong, s"a${i % 5} b${i % 9} c${i % 4} d$i"))
       .toDF("doc_id", "text")
-    // COLUMNAR-staged tables (the candidate stage's prefix/sig):
-    // release goes through the CacheManager, so a retained plan
-    // re-executed after the next call RECOMPUTES - slower, never wrong
-    val cand = Dedup.prefixJaccardCandidatePairs(
-      docs, "doc_id", "text", 0.8, groupFloor = 0)
-    val expected = cand.count()
-    Dedup.prefixJaccardCandidatePairs(
-      docs, "doc_id", "text", 0.8, groupFloor = 0).count()
-    assert(cand.count() == expected)
+    // COLUMNAR-staged tables (the candidate stage's prefix/sig at
+    // SCALE — forced here via the adaptive threshold override, since
+    // a 200-doc corpus sits far below the 4 MiB default): release
+    // goes through the CacheManager, so a retained plan re-executed
+    // after the next call RECOMPUTES - slower, never wrong
+    val key = "graft.prefix.columnarMinBytes"
+    sys.props(key) = "0"
+    try {
+      val cand = Dedup.prefixJaccardCandidatePairs(
+        docs, "doc_id", "text", 0.8, groupFloor = 0)
+      val expected = cand.count()
+      Dedup.prefixJaccardCandidatePairs(
+        docs, "doc_id", "text", 0.8, groupFloor = 0).count()
+      assert(cand.count() == expected)
+    } finally sys.props.remove(key)
     // ROW-BLOCK-staged tables (the collapse's groups/reps): released
     // localCheckpoint blocks are non-replayable, so the documented
     // consume-before-next-call contract applies - the stale plan
@@ -165,6 +171,40 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(chain.contains(
       "prefix-dedup result consumed after a subsequent prefix-dedup call"),
       s"retained-plan failure must name the contract, got:\n$chain")
+    PrefixBlocks.release(spark)
+  }
+
+  test("prefix staging format follows the size estimate: rows at gate " +
+      "scale, columnar above the threshold") {
+    import graft.pipeline.{Dedup, PrefixBlocks}
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"a${i % 5} b${i % 9} c${i % 4} d$i"))
+      .toDF("doc_id", "text")
+    // default threshold (4 MiB): a tiny corpus stages EVERY table as
+    // row blocks — including the sig table, whose estimate flows
+    // through the staged prefix's LogicalRDD leaf (a defaultSizeInBytes
+    // fallback there would silently re-route sig to columnar and
+    // re-open the r13 gate-scale regression this gate closed)
+    val r0 = PrefixBlocks.rowStagings.get; val c0 = PrefixBlocks.columnarStagings.get
+    Dedup.prefixJaccardCandidatePairs(
+      docs, "doc_id", "text", 0.8, groupFloor = 0).count()
+    assert(PrefixBlocks.rowStagings.get - r0 == 2 &&
+      PrefixBlocks.columnarStagings.get - c0 == 0,
+      s"small corpus must stage prefix+sig as row blocks, got " +
+        s"rows=${PrefixBlocks.rowStagings.get - r0} " +
+        s"columnar=${PrefixBlocks.columnarStagings.get - c0}")
+    // threshold forced to 0: the same call stages both columnar (the
+    // 100 TB-side path the 10x replica A/B measured 5x faster)
+    val key = "graft.prefix.columnarMinBytes"
+    sys.props(key) = "0"
+    try {
+      val r1 = PrefixBlocks.rowStagings.get; val c1 = PrefixBlocks.columnarStagings.get
+      Dedup.prefixJaccardCandidatePairs(
+        docs, "doc_id", "text", 0.8, groupFloor = 0).count()
+      assert(PrefixBlocks.columnarStagings.get - c1 == 2 &&
+        PrefixBlocks.rowStagings.get - r1 == 0,
+        "forced threshold must stage prefix+sig columnar")
+    } finally sys.props.remove(key)
     PrefixBlocks.release(spark)
   }
 
