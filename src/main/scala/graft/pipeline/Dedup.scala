@@ -204,10 +204,15 @@ object Dedup {
     // faster than full-row blocks at the 10× replica corpus (~10⁷
     // exploded rows), but the columnar write + eager count tax is a
     // ~1.3× dead loss at sf0.1 (the r13 staircase bisect), so
-    // stageAdaptive picks by the plan-stats size estimate.
+    // stageAdaptive picks by the plan-stats size estimate OR'd with
+    // the corpus doc count (lazy — only counted when bytes are below
+    // threshold, i.e. never at real scale; needed because near-dup
+    // corpora compress so well that bytes under-read rows 3-4×).
+    lazy val corpusDocs = docs.count()
     val prefix = PrefixBlocks.stageAdaptive(
       rankedPrefix(toks, idCol, dfreq, threshold, "inner")
-        .select(col(idCol), col("__tok"), col("__r"), col("__sz")))
+        .select(col(idCol), col("__tok"), col("__r"), col("__sz")),
+      corpusDocs)
     // NEAR-IDENTICAL-PREFIX GROUPING — the template-flood guard the
     // exact-dup collapse ([[prefixJaccardPairsCollapsed]]) cannot
     // provide: replica corpora differ by a suffix token, so their full
@@ -283,11 +288,13 @@ object Dedup {
     // it feeds BOTH the bypass decision aggregate and the grouped
     // path's membership join — unmaterialized, the collect_list
     // aggregate over the prefix table would run twice
-    val sig = PrefixBlocks.stageAdaptive(prefix.groupBy(col(idCol), col("__sz"))
-      .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
-      .select(col(idCol), md5(concat_ws(" ",
-        col("__sz").cast("string"), array_join(col("__pt"), " "))
-        .cast("binary")).as("__g")))
+    val sig: DataFrame = PrefixBlocks.stageAdaptive(
+      prefix.groupBy(col(idCol), col("__sz"))
+        .agg(sort_array(collect_list(col("__tok"))).as("__pt"))
+        .select(col(idCol), md5(concat_ws(" ",
+          col("__sz").cast("string"), array_join(col("__pt"), " "))
+          .cast("binary")).as("__g")),
+      corpusDocs)
     val gsz = sig.groupBy(col("__g")).agg(count(lit(1)).as("__m"))
     val st = gsz.agg(sum(col("__m")),
       sum(col("__m").cast("double") * (col("__m") - 1))).head
@@ -461,7 +468,8 @@ object Dedup {
     val prefix = PrefixBlocks.stageAdaptive(
       rankedPrefix(toks, idCol, dfreq, threshold, "inner")
         .select(col(idCol) +: col("__tok") +: col("__r") +: col("__sz") +:
-          carryCols.map(col): _*))
+          carryCols.map(col): _*),
+      docs.count())
     // Candidate pruning inside the join condition, BEFORE the distinct
     // shuffle — both are THEOREMS from Xiao et al. 2008, so exactness
     // holds (measured on the 10× replica stress corpus, where every

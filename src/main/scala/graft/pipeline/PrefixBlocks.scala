@@ -158,34 +158,65 @@ object PrefixBlocks {
     * deployments via `-Dgraft.prefix.columnarMinBytes=N`. */
   val DefaultColumnarMinBytes: Long = 4L << 20
 
+  /** Second [[stageAdaptive]] signal: corpus row count at which
+    * columnar wins regardless of the bytes estimate. Needed because
+    * SOURCE BYTES ARE NOT A ROW PROXY UNDER COMPRESSION — the r13
+    * stress rerun caught the bytes-only gate choosing row blocks on
+    * the 10× replica (10× the docs compress to only 2.9× the parquet
+    * bytes; near-duplicate text is what a dedup corpus IS), which
+    * re-created the 12 s row-block penalty the columnar path exists
+    * to avoid. 10× replica = 10,710 corpus docs (columnar measured
+    * 5× faster), sf0.1 = 1,071 (rows measured faster): 4,000 splits
+    * them. Overridable via `-Dgraft.prefix.columnarMinDocs=N`. */
+  val DefaultColumnarMinDocs: Long = 4000L
+
   private def columnarMinBytes: BigInt = BigInt(
     sys.props.get("graft.prefix.columnarMinBytes").map(_.toLong)
       .getOrElse(DefaultColumnarMinBytes))
+
+  private def columnarMinDocs: Long =
+    sys.props.get("graft.prefix.columnarMinDocs").map(_.toLong)
+      .getOrElse(DefaultColumnarMinDocs)
 
   // test hooks: how many stagings each format has taken in this JVM
   private[graft] val columnarStagings = new java.util.concurrent.atomic.AtomicLong
   private[graft] val rowStagings = new java.util.concurrent.atomic.AtomicLong
 
-  /** Stage `df` in the format its SCALE wants: columnar when the
-    * optimizer's size estimate clears [[DefaultColumnarMinBytes]]
-    * (wide-fan-out pruned scans win and a retained plan recomputes
-    * after release), row blocks below it (the eager-count + columnar
-    * write/read conversion tax outweighs pruning on small tables; a
-    * retained plan then falls under the consume-before-next-call
-    * contract and throws the named [[RetiredStageGuardRDD]] error).
-    * The estimate derives from source file sizes through plan stats —
-    * monotone in corpus scale, free to read, and available BEFORE
-    * materialization (an actual row count would cost the heavy
-    * upstream stage an extra full pass exactly where the choice is
-    * needed). */
-  private[pipeline] def stageAdaptive(df: DataFrame): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= columnarMinBytes) {
+  /** Stage `df` in the format its SCALE wants: columnar when EITHER
+    * scale signal clears its threshold (wide-fan-out pruned scans win
+    * and a retained plan recomputes after release), row blocks below
+    * both (the eager-count + columnar write/read conversion tax
+    * outweighs pruning on small tables; a retained plan then falls
+    * under the consume-before-next-call contract and throws the named
+    * [[RetiredStageGuardRDD]] error).
+    *
+    * Two OR'd signals, each covering the other's blind spot:
+    *  - the optimizer's size estimate (source-file bytes through plan
+    *    stats): free, available before materialization, and the one
+    *    that catches long-document corpora whose doc COUNT is small —
+    *    but it under-reads highly compressible corpora (near-dup text
+    *    compresses 3-4×, and near-dup text is the dedup workload);
+    *  - `rowsHint` (the caller's corpus doc count, lazily evaluated —
+    *    only paid when the bytes signal is below threshold, so big
+    *    corpora never run the count; for parquet-direct inputs it is
+    *    metadata-only anyway): compression-independent, and the one
+    *    that caught the 10× replica.
+    * `rowsHint < 0` means unknown (bytes-only decision). */
+  private[pipeline] def stageAdaptive(
+      df: DataFrame, rowsHint: => Long = -1L): DataFrame = {
+    val columnar =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >= columnarMinBytes || {
+        val h = rowsHint
+        h >= 0 && h >= columnarMinDocs
+      }
+    if (columnar) {
       columnarStagings.incrementAndGet()
       stageColumnar(df)
     } else {
       rowStagings.incrementAndGet()
       stageRows(df)
     }
+  }
 
   private def track(s: SparkSession, thunks: List[() => Unit]): Unit =
     synchronized {

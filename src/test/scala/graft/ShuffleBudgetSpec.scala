@@ -193,8 +193,8 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"small corpus must stage prefix+sig as row blocks, got " +
         s"rows=${PrefixBlocks.rowStagings.get - r0} " +
         s"columnar=${PrefixBlocks.columnarStagings.get - c0}")
-    // threshold forced to 0: the same call stages both columnar (the
-    // 100 TB-side path the 10x replica A/B measured 5x faster)
+    // bytes threshold forced to 0: the same call stages both columnar
+    // (the 100 TB-side path the 10x replica A/B measured 5x faster)
     val key = "graft.prefix.columnarMinBytes"
     sys.props(key) = "0"
     try {
@@ -203,8 +203,23 @@ class ShuffleBudgetSpec extends SparkSpec {
         docs, "doc_id", "text", 0.8, groupFloor = 0).count()
       assert(PrefixBlocks.columnarStagings.get - c1 == 2 &&
         PrefixBlocks.rowStagings.get - r1 == 0,
-        "forced threshold must stage prefix+sig columnar")
+        "forced bytes threshold must stage prefix+sig columnar")
     } finally sys.props.remove(key)
+    // DOC-COUNT signal alone (bytes threshold at default, far above
+    // this corpus): the second signal exists because near-dup corpora
+    // compress 3-4x, so source bytes under-read rows — the r13 stress
+    // rerun caught the bytes-only gate choosing rows on the 10x
+    // replica and re-creating the 12 s row-block penalty
+    val dkey = "graft.prefix.columnarMinDocs"
+    sys.props(dkey) = "100" // corpus has 200 docs
+    try {
+      val r2 = PrefixBlocks.rowStagings.get; val c2 = PrefixBlocks.columnarStagings.get
+      Dedup.prefixJaccardCandidatePairs(
+        docs, "doc_id", "text", 0.8, groupFloor = 0).count()
+      assert(PrefixBlocks.columnarStagings.get - c2 == 2 &&
+        PrefixBlocks.rowStagings.get - r2 == 0,
+        "doc-count signal alone must stage prefix+sig columnar")
+    } finally sys.props.remove(dkey)
     PrefixBlocks.release(spark)
   }
 
