@@ -406,13 +406,43 @@ object Stress {
                 .otherwise(lit(0L))),
             lit(1000))))).as("text"))
       guarded("dedup_minhash_synth") {
+        // VOLUME-SIZED shuffle width, the semdedup precedent applied:
+        // the banding stage shuffles 32n rows (bands × docs) — at the
+        // 6M endpoint that is 192M rows, and through the suite's 16
+        // partitions the per-task sort state grows 10× with the data,
+        // turning spill/GC into the measurement. The first r13 full
+        // run recorded exactly that: 2.657/decade AT WIDTH 16 with
+        // candidate volume EXACTLY linear (60,000 → 600,063) and the
+        // cc control fast-biased — a deployment artifact, not a plan
+        // bend. Width n/100K (docs) ≈ 3M banded rows/task: both
+        // endpoints deployed as a deployment would size them, the
+        // same both-endpoints rule the semdedup headline uses; the
+        // width-16 reading stays recorded in COVERAGE as the
+        // fixed-width control.
+        def mhSized(n: Long)(body: => Double): Double = {
+          val w = math.max(16L,
+            java.lang.Long.highestOneBit(n / 100000L) * 2).toString
+          val spKey = "spark.sql.shuffle.partitions"
+          val spPrev = spark.conf.get(spKey)
+          try { spark.conf.set(spKey, w); body }
+          finally spark.conf.set(spKey, spPrev)
+        }
         var mhPairs = 0L
-        def mhRun(n: Long): Double = minOf2 {
+        def mhRun(n: Long): Double = mhSized(n) { minOf2 {
           mhPairs = graft.pipeline.Dedup.minHashNearDupPairs(
             dupTexts(n), "doc_id", "text",
             shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5).count()
-        }
+        } }
         mhRun(60000L) // untimed JIT warmup (the cc_star argument)
+        // untimed FULL-SCALE warmup (the semdedup lesson verbatim):
+        // the first 6M-row execution in a JVM pays heap expansion +
+        // C2 for the big-partition paths regardless of width
+        mhSized(6000000L) {
+          graft.pipeline.Dedup.minHashNearDupPairs(
+            dupTexts(6000000L), "doc_id", "text",
+            shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5).count()
+          reclaim(); 0.0
+        }
         val mhS = mhRun(600000L); val mhPairsS = mhPairs
         val mhB = mhRun(6000000L); val mhPairsB = mhPairs
         val mhX = mhB / (mhS * 10)
@@ -422,14 +452,19 @@ object Stress {
         // invisible to it) — lshCandidatePairs volume is the number
         // that pins the join's linearity, recorded from committed
         // instrumentation (Dedup.minHashCandidatePairs), not asserted.
-        val mhCandS = graft.pipeline.Dedup.minHashCandidatePairs(
-          dupTexts(600000L), "doc_id", "text",
-          shingleN = 3, numHashes = 128, bands = 32).count()
-        reclaim()
-        val mhCandB = graft.pipeline.Dedup.minHashCandidatePairs(
-          dupTexts(6000000L), "doc_id", "text",
-          shingleN = 3, numHashes = 128, bands = 32).count()
-        reclaim()
+        var mhCandS = 0L; var mhCandB = 0L
+        mhSized(600000L) {
+          mhCandS = graft.pipeline.Dedup.minHashCandidatePairs(
+            dupTexts(600000L), "doc_id", "text",
+            shingleN = 3, numHashes = 128, bands = 32).count()
+          reclaim(); 0.0
+        }
+        mhSized(6000000L) {
+          mhCandB = graft.pipeline.Dedup.minHashCandidatePairs(
+            dupTexts(6000000L), "doc_id", "text",
+            shingleN = 3, numHashes = 128, bands = 32).count()
+          reclaim(); 0.0
+        }
         println(f"[stress100] dedup_minhash synth: 600K docs $mhS%.2f s " +
           f"($mhPairsS pairs, $mhCandS candidates), 6M $mhB%.2f s " +
           f"($mhPairsB pairs, $mhCandB candidates), per-decade $mhX%.3f")
