@@ -46,7 +46,8 @@ object Stress {
     "text_perplexity", "text_chunks", "text_quality_clf", "text_rouge",
     // dedup_semdedup_sharded (not the pinned-k flat query) is the
     // scale-bearing SemDeDup: per-shard k derives from shard counts
-    "embed_kmeans", "dedup_semdedup_sharded", "mm_phash", "mm_audio_stats",
+    "embed_kmeans", "dedup_semdedup_sharded", "mm_phash", "mm_phash_wide",
+    "mm_audio_stats",
     "grouped_topk", "cdc_apply", "sketch_cms", "sketch_quantile",
     "layout_zorder", "text_bpe_encode", "ts_retention",
     "graph_pagerank", "graph_kcore", "text_bm25", "text_inverted_index",
