@@ -1,6 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** The timing ACTION: execute the optimized plan AS WRITTEN and count
+    * rows executor-side. `df.count()` is NOT that action — Catalyst
+    * wraps the plan in a count(1) aggregate, ColumnPruning then discards
+    * every final projection expression and EliminateSorts removes the
+    * output orderBy, so for map-only expression queries the old bench
+    * measured a bare parquet scan (r13 verdict: text_fingerprint's
+    * full-text FNV fold "floored" at 0.079 s, byte-identical to
+    * text_tokens' 0.077 s and a raw scan) and a regression in ANY
+    * projection-level expression was invisible to the whole perf
+    * protocol. `queryExecution.toRdd` executes the physical plan of the
+    * query itself — projections, final sort and all — and RDD.count()
+    * drains the rows where they are produced; nothing crosses to the
+    * driver. Floors recorded before this change (rounds ≤13) time a
+    * different action and are NOT comparable: BENCH_FLOOR.json was
+    * re-seeded from scratch in round 14 (reset named in COVERAGE.md).
+    * Plan-shape lock: PlanShapeSpec's "bench timing action" tests. */
+  def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,40 +48,6 @@ object Bench {
         sel
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -math.max((System.nanoTime() - t0) / 1e9, 0.001)
-        }
-      }
-      val runs = Seq.fill(reps)(once())
-      // Isolation between queries: a query that caches/persists must
-      // not bill its successors (a leaked cache squeezes execution
-      // memory for every later query — suite numbers then overstate
-      // late-alphabet queries). Library code releases its own caches;
-      // this is belt-and-braces so one bad op can't poison the suite.
-      spark.catalog.clearCache()
-      (name, runs,
-        if (runs.exists(_ < 0)) runs.filter(_ < 0).head else runs.min)
-    }
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // full per-rep record: min-only artifacts made round-over-round
-    // regressions undiagnosable (warm-up vs steady-state is invisible)
-    val runsJson = results.map { case (k, rs, _) =>
-      "\"" + k + "\":" + rs.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
-    val env =
-      s""""reps":$reps,"cpus":$cpus,"filter":${
-        nameFilter.fold("null")(f => "\"" + f + "\"")}"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env,"runs":$runsJson}"""
-    println(line)
     def writeFile(path: String, text: String): Unit =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -98,6 +82,73 @@ object Bench {
     // overwrite it, it may be the committed history mangled by a tool).
     val floorParsed = floorText.flatMap(BenchDelta.parseFlatObjectOpt(_, "queries"))
     val floor = floorParsed.getOrElse(Map.empty).filter(_._2 > 0)
+    // PRE-FLIGHT host probe (decision logic pure in BenchDelta, spec'd
+    // in BenchDeltaSpec): 3 control queries × 2 reps against their
+    // committed floors, BEFORE the suite burns 5 minutes. Rounds 11–13
+    // each ran their full suite on a host whose contention was
+    // measurable inside the first minute; r13 then committed a record
+    // with a 46× stalled entry. A median control ratio > 1.3× refuses
+    // to overwrite the committed record (and blocks the floor merge);
+    // an explicit SPARK_GRAFT_BENCH_OUT target overrides — the caller
+    // named a destination, so they get their artifact, with the probe's
+    // verdict recorded inside it either way. The probe doubles as extra
+    // JIT warmup; with a fresh/empty floor it is inconclusive and never
+    // blocks the bootstrap seeding run.
+    val preflightRuns: Map[String, Seq[Double]] =
+      BenchDelta.PreflightControls.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          n -> Seq.fill(2) {
+            val t0 = System.nanoTime()
+            try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          }
+        }
+      }.toMap
+    val pf = BenchDelta.preflight(preflightRuns, floor)
+    val pfJson = s""""preflight":{"host_x":${
+      pf.hostX.fold("null")(x => f"$x%.3f")},"ok":${pf.ok},"max_x":${
+      BenchDelta.PreflightMaxX},"controls":${
+      preflightRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
+        "\"" + n + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")}}"""
+    if (!pf.ok) System.err.println(
+      s"[bench] PREFLIGHT: host_x ${pf.hostX.fold("?")(x => f"$x%.2f")} > " +
+        s"${BenchDelta.PreflightMaxX} — committed record and floor will NOT " +
+        "be overwritten (set SPARK_GRAFT_BENCH_OUT to force an artifact)")
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -math.max((System.nanoTime() - t0) / 1e9, 0.001)
+        }
+      }
+      val runs = Seq.fill(reps)(once())
+      // Isolation between queries: a query that caches/persists must
+      // not bill its successors (a leaked cache squeezes execution
+      // memory for every later query — suite numbers then overstate
+      // late-alphabet queries). Library code releases its own caches;
+      // this is belt-and-braces so one bad op can't poison the suite.
+      spark.catalog.clearCache()
+      (name, runs,
+        if (runs.exists(_ < 0)) runs.filter(_ < 0).head else runs.min)
+    }
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // full per-rep record: min-only artifacts made round-over-round
+    // regressions undiagnosable (warm-up vs steady-state is invisible)
+    val runsJson = results.map { case (k, rs, _) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
+    val env =
+      s""""reps":$reps,"cpus":$cpus,"filter":${
+        nameFilter.fold("null")(f => "\"" + f + "\"")}"""
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env,$pfJson,"runs":$runsJson}"""
+    println(line)
     val prevBench = readFile(outPath)
       .map(BenchDelta.parseFlatObject(_, "queries")).getOrElse(Map.empty)
       .filter(_._2 > 0)
@@ -105,6 +156,27 @@ object Bench {
     val analysis = BenchDelta.analyze(
       results.map { case (n, rs, _) => n -> rs }.toMap, baseline)
     val hostX = analysis.hostX
+    // Post-suite rerun machinery, shared by candidate adjudication and
+    // anomaly handling (cached so a non-suspect-host anomaly — which is
+    // always also a candidate — reruns once, not twice).
+    val rerunCache = scala.collection.mutable.Map.empty[String, Double]
+    def rerunMin(name: String): Double = rerunCache.getOrElseUpdate(name, {
+      def rerunOnce(): Double = try {
+        val t0 = System.nanoTime()
+        exec(selected(name)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 } finally spark.catalog.clearCache()
+      val reruns = Seq.fill(BenchDelta.RerunReps)(rerunOnce())
+      if (reruns.exists(_ >= 0)) reruns.filter(_ >= 0).min else -1.0
+    })
+    def entryJson(c: BenchDelta.Candidate, rerun: Double): String = {
+      val best = if (rerun >= 0) math.min(c.reps.min, rerun) else c.reps.min
+      "\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
+        ",\"runs\":" + c.reps.map(r => f"$r%.3f").mkString("[", ",", "]") +
+        ",\"rerun\":" + f"$rerun%.3f" +
+        ",\"x_raw\":" + f"${best / c.baseline}%.2f" +
+        ",\"x_host_normalized\":" + f"${best / (c.baseline * hostX)}%.2f" + "}"
+    }
     // ADJUDICATION: transient contention during the suite flags whole
     // IO-bound families as regressions that aren't (round 7 shipped 14
     // such false alarms; round 8's contended driver shipped 9 more).
@@ -117,23 +189,16 @@ object Bench {
     // by >1.25×, or more simultaneous flags than one round plausibly
     // regresses), re-running on the same contended machine would just
     // rubber-stamp the noise — candidates are reported but not
-    // flagged; re-measure on a quiet host instead.
+    // flagged; re-measure on a quiet host instead. EXCEPTION (the r13
+    // graph_hits lesson, a silent 46× entry): an ANOMALY — min rep
+    // > 5× the host-normalized floor, nothing host-shaped on this VM
+    // class explains >5× — ALWAYS gets the rerun and a named
+    // `anomalies` entry, suspect host or not.
     val adjudicated = if (analysis.hostSuspect) Seq.empty
     else analysis.candidates.flatMap { c =>
-      def rerunOnce(): Double = try {
-        val t0 = System.nanoTime()
-        selected(c.name)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 } finally spark.catalog.clearCache()
-      val reruns = Seq.fill(BenchDelta.RerunReps)(rerunOnce())
-      val rerun = if (reruns.exists(_ >= 0)) reruns.filter(_ >= 0).min else -1.0
-      val best = if (rerun >= 0) math.min(c.reps.min, rerun) else c.reps.min
-      val body = "\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
-        ",\"runs\":" + c.reps.map(r => f"$r%.3f").mkString("[", ",", "]") +
-        ",\"rerun\":" + f"$rerun%.3f" +
-        ",\"x_raw\":" + f"${best / c.baseline}%.2f" +
-        ",\"x_host_normalized\":" + f"${best / (c.baseline * hostX)}%.2f" + "}"
-      // A query whose BOTH adjudication reruns threw is a crash, not a
+      val rerun = rerunMin(c.name)
+      val body = entryJson(c, rerun)
+      // A query whose EVERY adjudication rerun threw is a crash, not a
       // timing regression — its suite reps may even be stale successes.
       // Conflating the two made a post-suite-only crash read as a
       // confirmed slowdown; route it to its own artifact key.
@@ -143,6 +208,7 @@ object Bench {
     }
     val flagged = adjudicated.collect { case Right(s) => s }
     val rerunFailed = adjudicated.collect { case Left(s) => s }
+    val anomalies = analysis.anomalies.map(c => entryJson(c, rerunMin(c.name)))
     val suppressed = if (!analysis.hostSuspect) Seq.empty
     else analysis.candidates.map(c =>
       "\"" + c.name + "\":{\"floor\":" + f"${c.baseline}%.3f" +
@@ -154,7 +220,7 @@ object Bench {
     val cores = Runtime.getRuntime.availableProcessors()
     val osArch = System.getProperty("os.arch")
     val deltaJson =
-      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-${BenchDelta.RerunReps} post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off, or >5 simultaneous candidates on an elevated (>1.1x) host); fast-side hosts suppress flags but may still lower the floor","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"rerun_failed":${rerunFailed.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
+      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-${BenchDelta.RerunReps} post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off, or >5 simultaneous candidates on an elevated (>1.1x) host) — EXCEPT anomalies: min rep > ${BenchDelta.AnomalyX}x host-normalized floor forces the rerun and a named anomalies entry even on a suspect host; fast-side hosts suppress flags but may still lower the floor; preflight median control ratio > ${BenchDelta.PreflightMaxX}x refuses to overwrite the committed record","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},$pfJson,"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"rerun_failed":${rerunFailed.mkString("{", ",", "}")},"anomalies":${anomalies.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
     // The floor is monotone: a clean-host full-suite run that beats a
     // query's recorded min lowers it (never raises — a regression must
     // not launder itself into the baseline). SLOW-suspect hosts don't
@@ -164,8 +230,10 @@ object Bench {
     // object PARSES — even to zero entries (a legitimately empty seed,
     // or a re-dump whose number format escaped the regex) — may be
     // min-merged into; only a present-but-unparseable file (no
-    // well-formed queries object at all) is never overwritten.
-    if (nameFilter.isEmpty && analysis.floorSafe &&
+    // well-formed queries object at all) is never overwritten. The
+    // preflight verdict gates it too (belt and braces with floorSafe:
+    // the probe sees contention BEFORE the suite's own median can).
+    if (nameFilter.isEmpty && analysis.floorSafe && pf.ok &&
         (floorParsed.isDefined || floorText.isEmpty)) {
       val merged = (floor.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { k =>
         val cur = results.collectFirst {
@@ -178,8 +246,11 @@ object Bench {
         }
       }
       val floorJson = "{\"note\":\"per-query min steady-state seconds over " +
-        "all recorded clean-state runs (sf0.1, local[32]); the BENCH_DELTA " +
-        "flag baseline - a contended host cannot poison it\",\"sf\":0.1," +
+        "all recorded clean-state runs (sf0.1, local[32]) of the " +
+        "FULL-PLAN action (queryExecution.toRdd.count - projections and " +
+        "final sort execute; re-seeded r14, pre-r14 count()-action floors " +
+        "are not comparable); the BENCH_DELTA flag baseline - a contended " +
+        "host cannot poison it\",\"sf\":0.1," +
         "\"queries\":{" + merged.map { case (k, v) =>
           "\"" + k + "\":" + f"$v%.3f" }.mkString(",") + "}}"
       writeFile(floorPath, floorJson)
@@ -189,16 +260,19 @@ object Bench {
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
     val summary =
       s"""{"total_sec":${f"$total%.3f"},"n_queries":${results.size},"sf":${sfNum.getOrElse("\"" + sfDir + "\"")}}"""
-    if (nameFilter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
-      // Full per-query record: the driver's stdout tail-capture
-      // truncates the per-query map on long runs; the artifact keeps
-      // everything. A FILTERED run must not overwrite the committed
-      // full-suite record (it would silently shrink the delta baseline
-      // for every later run) — it only writes when the caller named an
-      // explicit SPARK_GRAFT_BENCH_OUT target.
+    // Full per-query record: the driver's stdout tail-capture
+    // truncates the per-query map on long runs; the artifact keeps
+    // everything. A FILTERED run must not overwrite the committed
+    // full-suite record (it would silently shrink the delta baseline
+    // for every later run), and neither may a PREFLIGHT-REFUSED run
+    // (the r13 suspect record shipped a 46× stalled entry as the
+    // working-tree truth) — either only writes when the caller named
+    // an explicit SPARK_GRAFT_BENCH_OUT target.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") ||
+        (nameFilter.isEmpty && pf.ok)) {
       writeFile(outPath, line)
     } else System.err.println(
-      s"[bench] filter active and no SPARK_GRAFT_BENCH_OUT: not overwriting $outPath")
+      s"[bench] ${if (!pf.ok) "preflight refused" else "filter active"} and no SPARK_GRAFT_BENCH_OUT: not overwriting $outPath")
     if (nameFilter.isEmpty) {
       writeFile("/root/repo/BENCH_DELTA.json", deltaJson)
       writeFile("/root/repo/BENCH_SUMMARY.json", summary)

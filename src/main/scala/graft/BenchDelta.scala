@@ -106,7 +106,17 @@ object BenchDelta {
       nCommon: Int,
       hostSuspect: Boolean, // flags below are NOT trustworthy
       floorSafe: Boolean, // this run's mins may min-merge into the floor
-      candidates: Seq[Candidate]) // every-rep-over-threshold queries
+      candidates: Seq[Candidate], // every-rep-over-threshold queries
+      // ABSOLUTE-ANOMALY escape hatch (r13: graph_hits recorded 85.4 s
+      // against a 1.85 s floor on a 1.69× host and the suspect-host
+      // suppression reduced a 46× candidate to a silent
+      // suppressed_candidates entry — "n_flagged: 0", no prose). Host
+      // drift on this VM class is 1.2–2×; nothing host-shaped explains
+      // >5×. A candidate whose MIN rep exceeds AnomalyX× the
+      // host-normalized floor lands here and MUST get the min-of-
+      // [[RerunReps]] same-session rerun and a named artifact entry,
+      // suspect host or not.
+      anomalies: Seq[Candidate] = Seq.empty)
 
   /** Per-query flag bound: ratio test, host-normalized, with an
     * absolute slack so min-of-history floors on sub-second queries
@@ -132,6 +142,37 @@ object BenchDelta {
   // not contention — suppressing those would hide exactly the event the
   // delta exists to catch.
   val ElevatedHostX = 1.1
+  // Anomaly bound: min rep > AnomalyX × host-normalized floor (with the
+  // sub-second AbsSlackSec guard, so a 0.08 s floor can't call one
+  // jittered pair of reps a 5× event). See [[Analysis.anomalies]].
+  val AnomalyX = 5.0
+  // Pre-flight host gate: before the suite, [[graft.Bench]] times these
+  // control queries (min of 2 reps each) against their committed floors
+  // and REFUSES to overwrite the committed record when the median ratio
+  // exceeds PreflightMaxX — rounds 11–13 each burned a full ~5-min run
+  // on a host whose contention was measurable in the first minute.
+  val PreflightMaxX = 1.3
+  val PreflightControls = Seq("q1_agg", "text_tokens", "a5_min_time")
+
+  final case class Preflight(hostX: Option[Double], ok: Boolean)
+
+  /** Pre-suite host check, PURE for the spec: median of (min successful
+    * rep / floor) over the control queries. No floor entry for any
+    * control (fresh seed, renamed queries) → inconclusive → ok=true:
+    * the probe must never block the bootstrap seeding run. */
+  def preflight(controls: Map[String, Seq[Double]],
+      floor: Map[String, Double]): Preflight = {
+    val ratios = controls.toSeq.flatMap { case (name, reps) =>
+      val ok = reps.filter(_ >= 0)
+      floor.get(name).filter(_ > 0)
+        .flatMap(f => if (ok.isEmpty) None else Some(ok.min / f))
+    }.sorted
+    if (ratios.isEmpty) Preflight(None, ok = true)
+    else {
+      val med = ratios(ratios.size / 2)
+      Preflight(Some(med), med <= PreflightMaxX)
+    }
+  }
 
   /** @param runs     this run: name → per-rep seconds (negative rep =
     *                 query failed; never flagged here, Bench records
@@ -152,6 +193,11 @@ object BenchDelta {
       case (name, p, reps) if reps.forall(_ > bound(p, hostX)) =>
         Candidate(name, p, reps)
     }
+    val anomalies = pairs.collect {
+      case (name, p, reps)
+          if reps.min > math.max(AnomalyX * hostX * p, p + AbsSlackSec) =>
+        Candidate(name, p, reps)
+    }
     // Slow-side suspicion blocks BOTH flags and floor updates (inflated
     // timings are noise). Fast-side deviation (a suite-wide genuine
     // speedup) still suppresses flags — the hostX-normalized bound would
@@ -162,6 +208,6 @@ object BenchDelta {
       (candidates.size > MaxCredibleFlags && hostX > ElevatedHostX)
     val fastSuspect = hostX < 1.0 / HostSuspectX
     Analysis(hostX, pairs.size, slowSuspect || fastSuspect,
-      floorSafe = !slowSuspect, candidates)
+      floorSafe = !slowSuspect, candidates, anomalies)
   }
 }

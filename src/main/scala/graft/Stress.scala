@@ -107,6 +107,27 @@ object Stress {
     // is the steady-state number a long-lived cluster actually sees.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "2").toInt)
+    // stageAdaptive gate audit (r13 verdict task 6): record which
+    // staging format the prefix pipeline actually CHOSE at each scale,
+    // so "the gate picked columnar at 100×" is a recorded artifact
+    // fact, not a probed claim. Deltas of PrefixBlocks' JVM counters
+    // around the measured reps.
+    val stagingChoice =
+      scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def withStagingAudit[A](name: String, scaleKey: String)(body: => A): A =
+      if (name != "dedup_prefix") body
+      else {
+        val c0 = graft.pipeline.PrefixBlocks.columnarStagings.get()
+        val r0 = graft.pipeline.PrefixBlocks.rowStagings.get()
+        val out = body
+        stagingChoice(scaleKey) = (
+          graft.pipeline.PrefixBlocks.columnarStagings.get() - c0,
+          graft.pipeline.PrefixBlocks.rowStagings.get() - r0)
+        out
+      }
+    def stagingJson(scaleKey: String): String =
+      stagingChoice.get(scaleKey).fold("") { case (c, r) =>
+        s""","columnar_stagings":$c,"row_stagings":$r""" }
     val results = stressNames.map { name =>
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -114,9 +135,12 @@ object Stress {
         // near-dup joins above all) are output-sensitive — dup groups
         // grow with the replica factor, so their output grows ~factor²
         // by construction and time-vs-linear ratios must be read
-        // against rows-vs-linear (per_row_x below)
+        // against rows-vs-linear (per_row_x below).
+        // Bench.exec, not count(): the FULL-PLAN action (projections
+        // and final sort execute; count() let Catalyst prune both —
+        // the r13 verdict's headline defect). Row count is identical.
         try {
-          val n = all(name)(spark, outDir).count()
+          val n = Bench.exec(all(name)(spark, outDir))
           ((System.nanoTime() - t0) / 1e9, n)
         } catch {
           case e: Throwable =>
@@ -124,7 +148,7 @@ object Stress {
             (-math.max((System.nanoTime() - t0) / 1e9, 0.001), -1L)
         }
       }
-      val runs = Seq.fill(reps)(once())
+      val runs = withStagingAudit(name, "10x") { Seq.fill(reps)(once()) }
       spark.catalog.clearCache()
       // any SUCCESSFUL rep wins: a transient first-run failure (cold
       // cache, codegen) must not discard a valid steady-state number —
@@ -146,7 +170,7 @@ object Stress {
     // says whether the PLAN degrades with scale. Counting base rows
     // costs one cheap base-scale run per query.
     val baseRows: Map[String, Long] = results.map { case (name, _) =>
-      name -> (try all(name)(spark, srcDir).count()
+      name -> (try Bench.exec(all(name)(spark, srcDir))
                catch { case _: Throwable => -1L })
     }.toMap
     val qs = results.map { case (k, (v, rows)) =>
@@ -158,7 +182,8 @@ object Stress {
       "\"" + k + "\":{\"sec\":" + v + ",\"rows\":" + rows +
         ",\"rows_base\":" + baseRows.getOrElse(k, -1L) +
         ratio.map(r => ",\"x_vs_linear\":" + f"$r%.3f").getOrElse("") +
-        perRow.map(r => ",\"per_row_x\":" + f"$r%.3f").getOrElse("") + "}"
+        perRow.map(r => ",\"per_row_x\":" + f"$r%.3f").getOrElse("") +
+        (if (k == "dedup_prefix") stagingJson("10x") else "") + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     // candidate-volume audit for the output-sensitive prefix join: the
@@ -241,10 +266,14 @@ object Stress {
     // thread — jobs then hang rather than throw), and without this
     // write a ~30-min 10× measurement would die with it. The final
     // write below replaces this file with the aux_100x-extended line.
+    // Run-level taint: set once any FATAL JVM error (OOM, stack
+    // overflow, linkage) escapes a 100× point — later timings on a
+    // possibly-degraded JVM must not read as clean measurements.
+    var fatalTainted = false
     def writeArtifact(extra: String): Unit =
       java.nio.file.Files.write(
         java.nio.file.Paths.get(artifactPath),
-        s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","cpus":$cpus,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","queries":$qs$aux$semAux$extra}"""
+        s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"base":"$srcDir","cpus":$cpus,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"${if (fatalTainted) ""","tainted":true""" else ""},"queries":$qs$aux$semAux$extra}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (sys.env.contains("SPARK_GRAFT_STRESS_100X")) writeArtifact("")
     val aux100 = sys.env.get("SPARK_GRAFT_STRESS_100X").map { _ =>
@@ -260,10 +289,23 @@ object Stress {
         if (auxParts.isEmpty) "" else s""","aux_100x":{${auxParts.mkString(",")}}"""
       def guarded(name: String)(body: => String): Unit =
         if (pointWanted(name)) {
+          // NonFatal only on the continue-and-mark path: a fatal JVM
+          // error (OOM that killed a dispatcher thread, linkage error)
+          // leaves a degraded JVM whose later timings are fiction —
+          // taint the whole artifact, checkpoint it, and rethrow so
+          // the run dies loudly instead of recording clean-looking
+          // numbers on a broken heap.
           try auxParts += body
-          catch { case e: Throwable =>
-            System.err.println(s"[stress100] $name FAILED: ${e.getMessage}")
-            auxParts += s""""$name":{"failed":true}"""
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[stress100] $name FAILED: ${e.getMessage}")
+              auxParts += s""""$name":{"failed":true}"""
+            case e: Throwable =>
+              System.err.println(s"[stress100] $name FATAL: $e")
+              auxParts += s""""$name":{"failed":true,"fatal":true}"""
+              fatalTainted = true
+              writeArtifact(assembled)
+              throw e
           }
           writeArtifact(assembled)
         }
@@ -290,52 +332,6 @@ object Stress {
         System.gc()
         Thread.sleep(1500) // let the async ContextCleaner drain
       }
-      // size streaming state partitions to the 100× volume, the way a
-      // deployment at that volume would (see drainToTable's doc: the
-      // default 4 is a micro-batch-latency choice for the gate scales
-      // and caps the 100× state stage at 4-way parallelism). The 10×
-      // phase above deliberately keeps the default so its numbers
-      // stay comparable with earlier artifacts. NOTE: the per-decade
-      // ratio below therefore compares a 16-partition 100× run
-      // against a 4-partition 10× baseline — an honest comparison of
-      // "each scale deployed as it would be deployed", not a
-      // fixed-config scaling curve.
-      sys.props("graft.drain.statePartitions") = cpus
-      sys.props("graft.drain.sink") = "parquet"
-      val res = results.toMap
-      val corpus = try corpusNames.map { name =>
-        val t0 = System.nanoTime()
-        val n = try all(name)(spark, dir100).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[stress100] $name FAILED: ${e.getMessage}")
-            -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        reclaim()
-        // a FAILED run gets an explicit marker and NO scaling ratio —
-        // sec is then time-to-failure, and a per-decade number derived
-        // from it would read as a valid scaling point when it isn't
-        val ratio = if (n < 0) None
-          else res.get(name).map(_._1).filter(_ > 0).map(b => t / (b * 10))
-        // output-sensitive ops (the prefix join above all) grow their
-        // OUTPUT superlinearly by construction (dup groups × factor ⇒
-        // pairs × factor²), so the time ratio alone reads as a bend
-        // when per-pair cost is flat — record the per-OUTPUT-row
-        // decade ratio next to it, same as the 10× phase's per_row_x
-        val perRow = for {
-          (b, br) <- res.get(name) if b > 0 && br > 0 && n > 0
-        } yield (t / n) / (b / br) / 10
-        println(f"[stress100] $name%-22s $t%8.2f s  ($n%d rows)" +
-          (if (n < 0) "  FAILED"
-           else ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f") +
-             perRow.fold("")(r => f"  per_row_x_per_decade $r%.3f")))
-        s""""$name":{"sec":${f"$t%.2f"},"rows":$n${
-          if (n < 0) ""","failed":true"""
-          else ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""") +
-            perRow.fold("")(r => s""","per_row_x_per_decade":${f"$r%.3f"}""")}}"""
-      } finally {
-        sys.props.remove("graft.drain.statePartitions")
-        sys.props.remove("graft.drain.sink")
-      }
       // EVERY synthetic scaling point is min-of-2 (the suite's
       // steady-state protocol): single-shot points mixed cold-JIT small
       // runs against warm big runs — round 9's semdedup decade numbers
@@ -349,8 +345,6 @@ object Stress {
         reclaim()
         t
       }.min
-      auxParts ++= corpus
-      if (corpus.nonEmpty) writeArtifact(assembled)
       def edgesOf(n: Long, m: Long) = spark.range(m).select(
         pmod(xxhash64(col("id")), lit(n)).as("src"),
         pmod(xxhash64(col("id") + m), lit(n)).as("dst"))
@@ -358,12 +352,14 @@ object Stress {
         graft.pipeline.Graph.connectedComponentsStar(
           edgesOf(n, m), "src", "dst").count()
       }
-      // cc_star runs FIRST: besides being its own decade point it is
-      // the within-run DRIFT CONTROL for everything after it — its
-      // committed quiet-host value is 0.66/decade, and a run whose
-      // cc control lands far off that band (±0.1) is measuring the
-      // host, not the code (exactly how r12's first minhash timing
-      // was caught and discarded).
+      // cc_star runs FIRST — before the 100× CORPUS queries too (r13
+      // advice: the corpus block, including dedup_prefix, previously
+      // ran ahead of it and so had no drift control): besides being
+      // its own decade point it is the within-run DRIFT CONTROL for
+      // everything after it — its committed quiet-host value is
+      // 0.66/decade, and a run whose cc control lands far off that
+      // band (±0.1) is measuring the host, not the code (exactly how
+      // r12's first minhash timing was caught and discarded).
       var ccControl: Option[Double] = None
       guarded("graph_cc_star_synth") {
         // untimed JIT warmup (the Bench warmup argument): the FIRST
@@ -471,6 +467,74 @@ object Stress {
           f"($mhPairsB pairs, $mhCandB candidates), per-decade $mhX%.3f")
         s""""dedup_minhash_synth":{"docs_small":600000,"sec_small":${f"$mhS%.2f"},"pairs_small":$mhPairsS,"candidates_small":$mhCandS,"docs_big":6000000,"sec_big":${f"$mhB%.2f"},"pairs_big":$mhPairsB,"candidates_big":$mhCandB,"candidate_ratio":${f"${mhCandB.toDouble / mhCandS}%.3f"},"x_per_decade":${f"$mhX%.3f"}$ccControlJson}"""
       }
+      // 100× CORPUS queries — now AFTER the cc drift control (and the
+      // minhash point, which owns the right-after-control slot for its
+      // own r12 reasons): size streaming state partitions to the 100×
+      // volume, the way a deployment at that volume would (see
+      // drainToTable's doc: the default 4 is a micro-batch-latency
+      // choice for the gate scales and caps the 100× state stage at
+      // 4-way parallelism). The 10× phase above deliberately keeps the
+      // default so its numbers stay comparable with earlier artifacts.
+      // NOTE: the per-decade ratio below therefore compares a
+      // 16-partition 100× run against a 4-partition 10× baseline — an
+      // honest comparison of "each scale deployed as it would be
+      // deployed", not a fixed-config scaling curve.
+      sys.props("graft.drain.statePartitions") = cpus
+      sys.props("graft.drain.sink") = "parquet"
+      val res = results.toMap
+      val corpus = try corpusNames.map { name =>
+        val t0 = System.nanoTime()
+        val n = try withStagingAudit(name, "100x") {
+            Bench.exec(all(name)(spark, dir100))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[stress100] $name FAILED: ${e.getMessage}")
+              -1L
+            case e: Throwable => // fatal: taint, checkpoint, die loudly
+              fatalTainted = true
+              writeArtifact(assembled)
+              throw e
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        reclaim()
+        // a FAILED run gets an explicit marker and NO scaling ratio —
+        // sec is then time-to-failure, and a per-decade number derived
+        // from it would read as a valid scaling point when it isn't
+        val ratio = if (n < 0) None
+          else res.get(name).map(_._1).filter(_ > 0).map(b => t / (b * 10))
+        // output-sensitive ops (the prefix join above all) grow their
+        // OUTPUT superlinearly by construction (dup groups × factor ⇒
+        // pairs × factor²), so the time ratio alone reads as a bend
+        // when per-pair cost is flat — record the per-OUTPUT-row
+        // decade ratio next to it, same as the 10× phase's per_row_x
+        val perRow = for {
+          (b, br) <- res.get(name) if b > 0 && br > 0 && n > 0
+        } yield (t / n) / (b / br) / 10
+        // the staging-gate audit made loud: at 100× corpus volume the
+        // adaptive gate choosing ROW blocks would be a silent repeat
+        // of the r12/r13 regression — warn immediately, not at read
+        // time (the artifact fields below are the durable record)
+        if (name == "dedup_prefix")
+          stagingChoice.get("100x").foreach { case (c, r) =>
+            if (c == 0 && r > 0) System.err.println(
+              "[stress100] WARNING: stageAdaptive chose ROW staging at " +
+                s"the 100x corpus (columnar=$c row=$r) — gate misfire")
+          }
+        println(f"[stress100] $name%-22s $t%8.2f s  ($n%d rows)" +
+          (if (n < 0) "  FAILED"
+           else ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f") +
+             perRow.fold("")(r => f"  per_row_x_per_decade $r%.3f")))
+        s""""$name":{"sec":${f"$t%.2f"},"rows":$n${
+          if (n < 0) ""","failed":true"""
+          else ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""") +
+            perRow.fold("")(r => s""","per_row_x_per_decade":${f"$r%.3f"}""")}${
+          if (name == "dedup_prefix") stagingJson("100x") else ""}$ccControlJson}"""
+      } finally {
+        sys.props.remove("graft.drain.statePartitions")
+        sys.props.remove("graft.drain.sink")
+      }
+      auxParts ++= corpus
+      if (corpus.nonEmpty) writeArtifact(assembled)
       // Perceptual-hash image dedup 100× point (the r12 verdict's
       // highest-10×-ratio family without one). The measured pipeline
       // is the real thing end to end: render+PNG-encode a deterministic

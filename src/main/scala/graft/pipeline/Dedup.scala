@@ -128,6 +128,22 @@ object Dedup {
     * sorted-merge Jaccard per surviving pair. Three keyed shuffles,
     * nothing quadratic.
     *
+    * ==Result-lifetime contract (CHANGED in r13 — read at SMALL scale
+    * too)==
+    * Internal tables stage scale-adaptively
+    * ([[PrefixBlocks.stageAdaptive]]): columnar above the scale
+    * thresholds, eager row blocks below them. Row blocks are
+    * NON-REPLAYABLE and released when the NEXT prefix-dedup call on
+    * the same session/thread begins — so CONSUME (collect/write/count)
+    * each result before issuing another prefix-dedup call. A plan
+    * retained across calls used to silently RECOMPUTE under the old
+    * unconditional-columnar staging; at small scale it now throws the
+    * named `RetiredStageGuardRDD` error instead. The failure mode is
+    * deliberately small-scale-only (big corpora stage columnar, which
+    * recomputes), i.e. the opposite of where staging changes usually
+    * get tested — hence this banner. Contract is test-locked in
+    * ShuffleBudgetSpec.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ t
     */
   def prefixJaccardPairs(
@@ -794,7 +810,13 @@ object Dedup {
     * bucket space (65,536/band — linear to ~10⁷ rows) for a wider
     * guaranteed ball (maxHamming ≤ 4·words − 1). Exact
     * `bit_count(xor)` verification over the zipped words runs
-    * entirely in codegen'd builtins (zip_with + aggregate). */
+    * entirely in codegen'd builtins (zip_with + aggregate).
+    *
+    * Input contract: NULL hash rows are FILTERED (a failed decode has
+    * no hash; the pigeonhole equi-join dropped them anyway, this just
+    * makes it explicit); a non-null hash whose array length ≠ `words`
+    * RAISES at execution — silent recall loss from a mis-sized hash
+    * column is worse than a loud failure (DedupSpec-locked). */
   def hammingNearDupPairsWide(
       hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, words: Int = 4, chunkBits: Int = 32,
@@ -813,8 +835,23 @@ object Dedup {
       val half = shiftright(word, (c % perWord) * chunkBits)
       struct(lit(c).as("band"), half.bitwiseAND(mask).as("bh"))
     }
+    // Input hygiene, made LOUD (r13 advice): a hash array with the
+    // wrong word count used to yield null chunk keys past the array
+    // end, which the equi-join silently dropped — a words/width
+    // mismatch became recall loss instead of an error. NULL hash rows
+    // stay a documented FILTER (a failed decode legitimately has no
+    // hash, and the old join dropped them identically); any NON-null
+    // row whose array length ≠ `words` raises.
+    val sized = hashed
+      .filter(col(hashCol).isNotNull)
+      .withColumn(hashCol,
+        when(size(col(hashCol)) === words, col(hashCol))
+          .otherwise(raise_error(concat(
+            lit(s"hammingNearDupPairsWide: $hashCol must hold exactly " +
+              s"$words words, got "),
+            size(col(hashCol)).cast("string")))))
     val banded = capBuckets(
-      hashed.select(col(idCol), col(hashCol),
+      sized.select(col(idCol), col(hashCol),
           explode(array(chunks: _*)).as("__bk"))
         .select(col(idCol), col(hashCol),
           col("__bk.band").as("band"), col("__bk.bh").as("bh")),

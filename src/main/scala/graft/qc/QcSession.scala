@@ -134,6 +134,15 @@ final case class LoggedQcSession(
 
   import QcFlagLog._
 
+  /** MID-APPEND FAILURE SEMANTICS (r13 advice): when this append
+    * crosses `autoCompactEvents` and the auto-compaction's `onCompact`
+    * sink THROWS, the whole append throws — the triggering action's
+    * events then exist NOWHERE: not in the sink (it failed before
+    * persisting), not in any returned session (none was returned).
+    * The receiver (`this`) is immutable and unchanged, so the caller's
+    * recovery is: fix/replace the sink, then RETRY THE ACTION on the
+    * session value they already hold. Do not assume the action was
+    * recorded merely because the mutation method was called. */
   private def append(
       es: Seq[(Long, String, Int, Option[Long], Option[Long], Int, Int)],
       steps: Long = 1L): LoggedQcSession = {
@@ -148,7 +157,11 @@ final case class LoggedQcSession(
     * dropped. Idempotent on an empty log. The `onCompact` audit sink
     * (if set) receives the folded [[log]] FIRST — a sink failure
     * aborts the compaction with the events intact, so the audit trail
-    * can never be folded away un-persisted. */
+    * can never be folded away un-persisted. NOTE: when compaction was
+    * triggered by a mutation crossing `autoCompactEvents`, that
+    * mutation's own events are NOT applied on a sink failure — see
+    * `append`'s failure-semantics doc (retry the action after the
+    * sink recovers). */
   def compact(): LoggedQcSession =
     if (events.isEmpty) this
     else {

@@ -122,6 +122,67 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(a.hostSuspect && !a.floorSafe)
   }
 
+  test("r13 graph_hits replay: a 46x entry on a suspect host is a named " +
+      "ANOMALY, not a silent suppressed candidate") {
+    // The exact failure mode the escape hatch closes: the committed
+    // r13 record ran graph_hits at [101.0, 85.4] s against its 1.85 s
+    // floor on a 1.55-1.69x suspect host — the suppression protocol
+    // reduced a 46x event to "n_flagged: 0" with no named entry
+    // anywhere. Synthesize the same shape: a uniformly ~1.6x host
+    // (suspect, many candidates) plus the stalled query.
+    val base = (1 to 20).map(i => s"q$i" -> 2.0).toMap + ("graph_hits" -> 1.85)
+    val runs = (1 to 20).map(i => s"q$i" -> Seq(3.2, 3.3)).toMap +
+      ("graph_hits" -> Seq(101.0, 85.4))
+    val a = BenchDelta.analyze(runs, base)
+    assert(a.hostSuspect, s"hostX=${a.hostX}") // flags ARE suppressed...
+    assert(a.anomalies.map(_.name) == Seq("graph_hits"), // ...this is not
+      s"anomalies=${a.anomalies.map(_.name)}")
+    // the host-shaped 1.6x entries stay below the 5x anomaly bound
+    assert(!a.anomalies.exists(_.name.startsWith("q")))
+    // and the bound is host-NORMALIZED: 85.4 > 5 * 1.6 * 1.85 = 14.8
+    assert(85.4 > BenchDelta.AnomalyX * a.hostX * 1.85)
+  }
+
+  test("anomaly bound carries the sub-second slack: jittered tiny reps " +
+      "are not 5x events") {
+    val base = (1 to 11).map(i => s"q$i" -> 2.0).toMap + ("tiny" -> 0.08)
+    // clean host; tiny query's two reps both land at 0.45 s (scheduler
+    // jitter on a 0.08 s floor = 5.6x ratio but only +0.37 s absolute)
+    val runs = (1 to 11).map(i => s"q$i" -> Seq(2.0, 2.05)).toMap +
+      ("tiny" -> Seq(0.45, 0.47))
+    val a = BenchDelta.analyze(runs, base)
+    assert(a.anomalies.isEmpty, s"anomalies=${a.anomalies.map(_.name)}")
+    // but a genuinely stalled tiny query (past floor+slack AND 5x) is
+    val runs2 = runs + ("tiny" -> Seq(0.9, 1.0))
+    assert(BenchDelta.analyze(runs2, base).anomalies.map(_.name) == Seq("tiny"))
+  }
+
+  test("preflight: quiet host passes, contended host refuses, " +
+      "fresh floor is inconclusive") {
+    val floor = Map("q1_agg" -> 0.2, "text_tokens" -> 0.1,
+      "a5_min_time" -> 0.15)
+    // quiet: min-of-reps within 1.3x of floor
+    val quiet = Map("q1_agg" -> Seq(0.22, 0.21), "text_tokens" -> Seq(0.11, 0.12),
+      "a5_min_time" -> Seq(0.18, 0.17))
+    val pq = BenchDelta.preflight(quiet, floor)
+    assert(pq.ok && pq.hostX.exists(_ <= BenchDelta.PreflightMaxX))
+    // contended: the r11-r13 pattern, ~1.6x on every control — REFUSE
+    val busy = quiet.map { case (k, v) => k -> v.map(_ * 1.6) }
+    val pb = BenchDelta.preflight(busy, floor)
+    assert(!pb.ok, s"hostX=${pb.hostX}")
+    // one stalled control among quiet ones: the MEDIAN keeps a single
+    // outlier control from refusing a genuinely quiet host
+    val oneBad = quiet + ("text_tokens" -> Seq(5.0, 4.8))
+    assert(BenchDelta.preflight(oneBad, floor).ok)
+    // fresh/empty floor (the r14 reset bootstrap): inconclusive, never
+    // blocks the seeding run
+    val pf = BenchDelta.preflight(quiet, Map.empty)
+    assert(pf.ok && pf.hostX.isEmpty)
+    // all controls failed (negative reps): also inconclusive
+    val failed = quiet.map { case (k, _) => k -> Seq(-1.0, -1.0) }
+    assert(BenchDelta.preflight(failed, floor).ok)
+  }
+
   test("objectBody skips braces inside string values") {
     // the floor file carries a free-text note; a brace in it must not
     // shift or truncate the queries object

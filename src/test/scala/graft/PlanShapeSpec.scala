@@ -500,4 +500,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"interval merge must not gather to one partition:\n$p")
   }
+
+  test("bench timing action executes the plan AS WRITTEN: final " +
+      "projection and sort survive; count() pruned both") {
+    // The r13 verdict's headline defect: Bench timed `df.count()`,
+    // under which ColumnPruning discards every final projection
+    // expression and EliminateSorts drops the output orderBy — the
+    // map-only expression family's floors were a bare scan band
+    // (text_fingerprint's FNV fold at 0.079 s ≡ text_tokens ≡ a scan)
+    // and a codegen break in any projection Expr was invisible to the
+    // whole perf protocol. Bench.exec runs queryExecution.toRdd — the
+    // plan of the query itself. Lock BOTH directions: the action's
+    // plan keeps the work, and the old action's plan provably didn't
+    // (so this test fails loudly if a Spark upgrade changes either).
+    import org.apache.spark.sql.functions.{col, sha2}
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .orderBy(col("fp"))
+    val asWritten = df.queryExecution.explainString(FormattedMode)
+    assert(asWritten.contains("Sort ("),
+      s"the output sort must be in the timed plan:\n$asWritten")
+    assert(asWritten.contains("sha2("),
+      s"the projection expression must be in the timed plan:\n$asWritten")
+    val counted = df.groupBy().count().queryExecution
+      .explainString(FormattedMode)
+    assert(!counted.contains("Sort (") && !counted.contains("sha2("),
+      s"count() really does prune projection+sort (else the old action " +
+        s"was fine and this lock is stale):\n$counted")
+    // and the action itself: executes without collecting, row count
+    // matches the query's own cardinality
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(Bench.exec(df) == n)
+  }
+
+  test("bench map-only floors rank by expression cost under the full-" +
+      "plan action (scan-band fiction is gone)") {
+    // Under count(), text_fingerprint (full-text FNV fold) timed
+    // byte-identical to a bare scan. Under exec, its plan must retain
+    // the fold. Cheap structural check, not a timing assertion: the
+    // fingerprint expression appears in the executed plan.
+    val p = plan("text_fingerprint")
+    assert(p.toLowerCase.contains("fnv") || p.contains("aggregate("),
+      s"the fingerprint fold must be in the timed plan:\n$p")
+  }
 }

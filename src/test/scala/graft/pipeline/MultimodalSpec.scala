@@ -206,6 +206,33 @@ class MultimodalSpec extends SparkSpec {
       s"missing=${inBall -- got32} stray=${got32 -- inBall}")
   }
 
+  test("wide hamming join input contract: null hashes filter, " +
+      "mis-sized hashes fail LOUDLY") {
+    import spark.implicits._
+    val h = Multimodal.pHashWide(Multimodal.makeNoisePng(1L, 0, 0))
+    // null hash rows (failed decodes) are documented drops, not errors
+    // — and must not suppress the real pairs around them
+    val withNull = Seq(
+      (0L, h), (1L, h), (2L, null.asInstanceOf[Array[Long]]))
+      .toDF("doc_id", "phash")
+    val pairs = Dedup.hammingNearDupPairsWide(withNull, "doc_id", "phash",
+      maxHamming = 7, words = 4, chunkBits = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+    // a words/width mismatch used to become SILENT recall loss (null
+    // chunk keys drop out of the equi-join); it now raises at execution
+    val misSized = Seq((0L, h), (1L, h.take(3))).toDF("doc_id", "phash")
+    val e = intercept[Exception] {
+      Dedup.hammingNearDupPairsWide(misSized, "doc_id", "phash",
+        maxHamming = 7, words = 4, chunkBits = 32).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exactly 4 words")),
+      s"expected the loud width error, got: $e")
+  }
+
   // ------------------------------------------- committed golden fixtures
 
   private def resource(name: String): Array[Byte] = {
