@@ -83,17 +83,22 @@ object Bench {
     val floorParsed = floorText.flatMap(BenchDelta.parseFlatObjectOpt(_, "queries"))
     val floor = floorParsed.getOrElse(Map.empty).filter(_._2 > 0)
     // PRE-FLIGHT host probe (decision logic pure in BenchDelta, spec'd
-    // in BenchDeltaSpec): 3 control queries × 2 reps against their
-    // committed floors, BEFORE the suite burns 5 minutes. Rounds 11–13
-    // each ran their full suite on a host whose contention was
-    // measurable inside the first minute; r13 then committed a record
-    // with a 46× stalled entry. A median control ratio > 1.3× refuses
-    // to overwrite the committed record (and blocks the floor merge);
-    // an explicit SPARK_GRAFT_BENCH_OUT target overrides — the caller
-    // named a destination, so they get their artifact, with the probe's
-    // verdict recorded inside it either way. The probe doubles as extra
-    // JIT warmup; with a fresh/empty floor it is inconclusive and never
-    // blocks the bootstrap seeding run.
+    // in BenchDeltaSpec — see the calibration notes on
+    // BenchDelta.PreflightMaxX): 3 control queries × 2 reps, BEFORE
+    // the suite burns 5 minutes, compared against the RECORDED COLD
+    // baselines in the floor file's "preflight" object (cold-vs-cold:
+    // a cold JVM reads 1.5–4× the warm-suite floors, so warm floors
+    // are not a valid reference). Rounds 11–13 each ran their full
+    // suite on a host whose contention was measurable inside the
+    // first minute; this probe makes that first minute a recorded
+    // WARNING. The committed-record overwrite decision itself is
+    // post-suite (BenchDelta.recordWritable on the 248-query median —
+    // strictly better evidence than 3 cold queries). The probe doubles
+    // as extra JIT warmup; with a fresh/empty floor it is inconclusive
+    // and never warns on the bootstrap seeding run.
+    val coldBase = floorText
+      .flatMap(BenchDelta.parseFlatObjectOpt(_, "preflight"))
+      .getOrElse(Map.empty).filter(_._2 > 0)
     val preflightRuns: Map[String, Seq[Double]] =
       BenchDelta.PreflightControls.flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>
@@ -104,17 +109,19 @@ object Bench {
           }
         }
       }.toMap
-    val pf = BenchDelta.preflight(preflightRuns, floor)
-    val pfJson = s""""preflight":{"host_x":${
+    val pf = BenchDelta.preflight(preflightRuns, coldBase)
+    val pfJson = s""""preflight":{"host_x_cold":${
       pf.hostX.fold("null")(x => f"$x%.3f")},"ok":${pf.ok},"max_x":${
       BenchDelta.PreflightMaxX},"controls":${
       preflightRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
         "\"" + n + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")}}"""
     if (!pf.ok) System.err.println(
-      s"[bench] PREFLIGHT: host_x ${pf.hostX.fold("?")(x => f"$x%.2f")} > " +
-        s"${BenchDelta.PreflightMaxX} — committed record and floor will NOT " +
-        "be overwritten (set SPARK_GRAFT_BENCH_OUT to force an artifact)")
+      s"[bench] PREFLIGHT WARNING: cold-control median ${
+        pf.hostX.fold("?")(x => f"$x%.2f")}x the recorded cold baseline " +
+        s"(bound ${BenchDelta.PreflightMaxX}) — this host looks contended; " +
+        "the suite will still run, but a slow-suspect verdict will refuse " +
+        "the committed-record overwrite and the floor merge")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -220,7 +227,7 @@ object Bench {
     val cores = Runtime.getRuntime.availableProcessors()
     val osArch = System.getProperty("os.arch")
     val deltaJson =
-      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-${BenchDelta.RerunReps} post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off, or >5 simultaneous candidates on an elevated (>1.1x) host) — EXCEPT anomalies: min rep > ${BenchDelta.AnomalyX}x host-normalized floor forces the rerun and a named anomalies entry even on a suspect host; fast-side hosts suppress flags but may still lower the floor; preflight median control ratio > ${BenchDelta.PreflightMaxX}x refuses to overwrite the committed record","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},$pfJson,"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"rerun_failed":${rerunFailed.mkString("{", ",", "}")},"anomalies":${anomalies.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
+      s"""{"threshold_x":${BenchDelta.ThresholdX},"rule":"all reps AND a min-of-${BenchDelta.RerunReps} post-suite rerun > max(1.5x host-normalized floor, floor+0.5s); floor = committed per-query min-of-history; no flags from a suspect host (median >1.25x off, or >5 simultaneous candidates on an elevated (>1.1x) host) — EXCEPT anomalies: min rep > ${BenchDelta.AnomalyX}x host-normalized floor forces the rerun and a named anomalies entry even on a suspect host; fast-side hosts suppress flags but may still lower the floor; preflight cold-control median > ${BenchDelta.PreflightMaxX}x the recorded cold baseline WARNS pre-suite; a slow-suspect suite verdict refuses the committed-record overwrite (recordWritable)","baseline":"floor","host_x_median":${f"$hostX%.3f"},"host":{"cores":$cores,"arch":"$osArch","cpus_env":"$cpus"},"host_x_suspect":${analysis.hostSuspect},$pfJson,"n_common":${analysis.nCommon},"n_flagged":${flagged.size},"regressions":${flagged.mkString("{", ",", "}")},"rerun_failed":${rerunFailed.mkString("{", ",", "}")},"anomalies":${anomalies.mkString("{", ",", "}")},"suppressed_candidates":${suppressed.mkString("{", ",", "}")}}"""
     // The floor is monotone: a clean-host full-suite run that beats a
     // query's recorded min lowers it (never raises — a regression must
     // not launder itself into the baseline). SLOW-suspect hosts don't
@@ -245,12 +252,29 @@ object Bench {
           case _ => None
         }
       }
+      // cold-start preflight baselines ride in the same file, min-merged
+      // the same way (cold-vs-cold is the only valid probe comparison —
+      // see BenchDelta.PreflightMaxX)
+      val coldMerged = (coldBase.keySet ++ preflightRuns.keySet).toSeq.sorted
+        .flatMap { k =>
+          val cur = preflightRuns.get(k)
+            .map(_.filter(_ >= 0)).filter(_.nonEmpty).map(_.min)
+          (coldBase.get(k), cur) match {
+            case (Some(f), Some(b)) => Some(k -> math.min(f, b))
+            case (Some(f), None) => Some(k -> f)
+            case (None, Some(b)) => Some(k -> b)
+            case _ => None
+          }
+        }
       val floorJson = "{\"note\":\"per-query min steady-state seconds over " +
         "all recorded clean-state runs (sf0.1, local[32]) of the " +
         "FULL-PLAN action (queryExecution.toRdd.count - projections and " +
         "final sort execute; re-seeded r14, pre-r14 count()-action floors " +
         "are not comparable); the BENCH_DELTA flag baseline - a contended " +
-        "host cannot poison it\",\"sf\":0.1," +
+        "host cannot poison it; preflight = recorded COLD-start control " +
+        "mins for the pre-suite probe\",\"sf\":0.1," +
+        "\"preflight\":{" + coldMerged.map { case (k, v) =>
+          "\"" + k + "\":" + f"$v%.3f" }.mkString(",") + "}," +
         "\"queries\":{" + merged.map { case (k, v) =>
           "\"" + k + "\":" + f"$v%.3f" }.mkString(",") + "}}"
       writeFile(floorPath, floorJson)
@@ -264,15 +288,18 @@ object Bench {
     // truncates the per-query map on long runs; the artifact keeps
     // everything. A FILTERED run must not overwrite the committed
     // full-suite record (it would silently shrink the delta baseline
-    // for every later run), and neither may a PREFLIGHT-REFUSED run
+    // for every later run), and neither may a SLOW-SUSPECT-host run
     // (the r13 suspect record shipped a 46× stalled entry as the
-    // working-tree truth) — either only writes when the caller named
-    // an explicit SPARK_GRAFT_BENCH_OUT target.
-    if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") ||
-        (nameFilter.isEmpty && pf.ok)) {
+    // working-tree truth; rule pure in BenchDelta.recordWritable) —
+    // either only writes when the caller named an explicit
+    // SPARK_GRAFT_BENCH_OUT target.
+    val explicitOut = sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    if (explicitOut || (nameFilter.isEmpty &&
+        BenchDelta.recordWritable(analysis, explicitOut))) {
       writeFile(outPath, line)
     } else System.err.println(
-      s"[bench] ${if (!pf.ok) "preflight refused" else "filter active"} and no SPARK_GRAFT_BENCH_OUT: not overwriting $outPath")
+      s"[bench] ${if (nameFilter.nonEmpty) "filter active"
+        else "slow-suspect host"} and no SPARK_GRAFT_BENCH_OUT: not overwriting $outPath")
     if (nameFilter.isEmpty) {
       writeFile("/root/repo/BENCH_DELTA.json", deltaJson)
       writeFile("/root/repo/BENCH_SUMMARY.json", summary)

@@ -146,25 +146,42 @@ object BenchDelta {
   // sub-second AbsSlackSec guard, so a 0.08 s floor can't call one
   // jittered pair of reps a 5× event). See [[Analysis.anomalies]].
   val AnomalyX = 5.0
-  // Pre-flight host gate: before the suite, [[graft.Bench]] times these
-  // control queries (min of 2 reps each) against their committed floors
-  // and REFUSES to overwrite the committed record when the median ratio
-  // exceeds PreflightMaxX — rounds 11–13 each burned a full ~5-min run
-  // on a host whose contention was measurable in the first minute.
-  val PreflightMaxX = 1.3
+  // Pre-flight host probe: before the suite, [[graft.Bench]] times
+  // these control queries (min of 2 reps each) and WARNS — loudly, in
+  // the first minute, recorded in the artifact — when the median ratio
+  // against the RECORDED COLD BASELINES exceeds PreflightMaxX. Rounds
+  // 11–13 each burned a full ~5-min run on a host whose contention was
+  // measurable in that first minute. Two calibration facts, both
+  // measured on this repo's quiet r14 seeding hosts, shape the design:
+  //  - the probe runs on a COLD JVM (C2 hasn't compiled the SQL stack)
+  //    where controls read 1.5–4× their warm-suite floors — a quiet
+  //    host measured suite-median 0.974 with a warm-floor probe ratio
+  //    of 4.085, so comparing against the warm floors would refuse
+  //    every run. The baseline must be cold-vs-cold: the floor file
+  //    carries a "preflight" object of recorded cold control mins.
+  //  - cold-start times jitter ~1.4× between equally-quiet runs (JIT
+  //    races, 0.869 vs 1.244 s on back-to-back clean hosts), so the
+  //    threshold is 2.0, not the warm-protocol 1.3.
+  // The probe is an EARLY WARNING; the authority for refusing to
+  // overwrite the committed record is the POST-suite host verdict
+  // ([[recordWritable]]) — a 248-query median is strictly better
+  // evidence than 3 cold queries, and the write decision can wait for
+  // it.
+  val PreflightMaxX = 2.0
   val PreflightControls = Seq("q1_agg", "text_tokens", "a5_min_time")
 
   final case class Preflight(hostX: Option[Double], ok: Boolean)
 
-  /** Pre-suite host check, PURE for the spec: median of (min successful
-    * rep / floor) over the control queries. No floor entry for any
-    * control (fresh seed, renamed queries) → inconclusive → ok=true:
-    * the probe must never block the bootstrap seeding run. */
+  /** Pre-suite host probe, PURE for the spec: median of (min successful
+    * rep / recorded cold baseline) over the control queries. No
+    * baseline for any control (fresh seed, renamed queries) →
+    * inconclusive → ok=true: the probe must never block the bootstrap
+    * seeding run. */
   def preflight(controls: Map[String, Seq[Double]],
-      floor: Map[String, Double]): Preflight = {
+      coldBaseline: Map[String, Double]): Preflight = {
     val ratios = controls.toSeq.flatMap { case (name, reps) =>
       val ok = reps.filter(_ >= 0)
-      floor.get(name).filter(_ > 0)
+      coldBaseline.get(name).filter(_ > 0)
         .flatMap(f => if (ok.isEmpty) None else Some(ok.min / f))
     }.sorted
     if (ratios.isEmpty) Preflight(None, ok = true)
@@ -173,6 +190,16 @@ object BenchDelta {
       Preflight(Some(med), med <= PreflightMaxX)
     }
   }
+
+  /** May this run overwrite the COMMITTED full-suite record
+    * (BENCH_local.json)? The r13 lesson: a slow-suspect-host run
+    * shipped a 46× stalled entry as the working-tree record. Rule:
+    * an explicitly named output target always writes (the caller
+    * asked); otherwise the run must not be slow-suspect (fast-side
+    * deviation is a genuinely good run and DOES write — same polarity
+    * as the floor-merge gate it reuses). */
+  def recordWritable(a: Analysis, explicitOut: Boolean): Boolean =
+    explicitOut || a.floorSafe
 
   /** @param runs     this run: name → per-rep seconds (negative rep =
     *                 query failed; never flagged here, Bench records

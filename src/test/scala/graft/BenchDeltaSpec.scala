@@ -157,30 +157,59 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(BenchDelta.analyze(runs2, base).anomalies.map(_.name) == Seq("tiny"))
   }
 
-  test("preflight: quiet host passes, contended host refuses, " +
-      "fresh floor is inconclusive") {
-    val floor = Map("q1_agg" -> 0.2, "text_tokens" -> 0.1,
-      "a5_min_time" -> 0.15)
-    // quiet: min-of-reps within 1.3x of floor
-    val quiet = Map("q1_agg" -> Seq(0.22, 0.21), "text_tokens" -> Seq(0.11, 0.12),
-      "a5_min_time" -> Seq(0.18, 0.17))
-    val pq = BenchDelta.preflight(quiet, floor)
-    assert(pq.ok && pq.hostX.exists(_ <= BenchDelta.PreflightMaxX))
-    // contended: the r11-r13 pattern, ~1.6x on every control — REFUSE
+  test("preflight: quiet cold start passes, contended host warns, " +
+      "fresh baseline is inconclusive") {
+    // Baselines are recorded COLD-start control mins (the floor file's
+    // "preflight" object), NOT the warm query floors: a cold JVM reads
+    // 1.5-4x the warm floors (measured: a quiet host ran suite-median
+    // 0.974 while a warm-floor probe read 4.085 — it would have
+    // refused every run), and cold-vs-cold still jitters ~1.4x between
+    // equally-quiet runs, hence the 2.0 bound.
+    val cold = Map("q1_agg" -> 0.87, "text_tokens" -> 0.57,
+      "a5_min_time" -> 0.30)
+    // quiet: the measured r14 back-to-back clean-host spread (~1.4x)
+    // must NOT warn
+    val quiet = Map("q1_agg" -> Seq(5.16, 1.24),
+      "text_tokens" -> Seq(1.85, 0.81), "a5_min_time" -> Seq(1.28, 0.42))
+    val pq = BenchDelta.preflight(quiet, cold)
+    assert(pq.ok && pq.hostX.exists(_ <= BenchDelta.PreflightMaxX),
+      s"hostX=${pq.hostX}")
+    // contended: a 1.6x host multiplies the cold reads too — with the
+    // ~1.4x jitter on top, the median clears 2.0 and warns
     val busy = quiet.map { case (k, v) => k -> v.map(_ * 1.6) }
-    val pb = BenchDelta.preflight(busy, floor)
+    val pb = BenchDelta.preflight(busy, cold)
     assert(!pb.ok, s"hostX=${pb.hostX}")
     // one stalled control among quiet ones: the MEDIAN keeps a single
-    // outlier control from refusing a genuinely quiet host
-    val oneBad = quiet + ("text_tokens" -> Seq(5.0, 4.8))
-    assert(BenchDelta.preflight(oneBad, floor).ok)
-    // fresh/empty floor (the r14 reset bootstrap): inconclusive, never
-    // blocks the seeding run
+    // outlier control from warning on a genuinely quiet host
+    val oneBad = quiet + ("text_tokens" -> Seq(15.0, 14.8))
+    assert(BenchDelta.preflight(oneBad, cold).ok)
+    // fresh/empty baseline (the r14 reset bootstrap): inconclusive,
+    // never warns on the seeding run
     val pf = BenchDelta.preflight(quiet, Map.empty)
     assert(pf.ok && pf.hostX.isEmpty)
     // all controls failed (negative reps): also inconclusive
     val failed = quiet.map { case (k, _) => k -> Seq(-1.0, -1.0) }
-    assert(BenchDelta.preflight(failed, floor).ok)
+    assert(BenchDelta.preflight(failed, cold).ok)
+  }
+
+  test("committed-record overwrite: slow-suspect runs refused, clean and " +
+      "fast-side runs allowed, explicit target always allowed") {
+    // replay the r8 contended record (the same class of run that shipped
+    // the r13 46x entry): slow-suspect => NOT writable
+    val contended = BenchDelta.analyze(contendedRuns, floor)
+    assert(!contended.floorSafe)
+    assert(!BenchDelta.recordWritable(contended, explicitOut = false))
+    assert(BenchDelta.recordWritable(contended, explicitOut = true),
+      "a caller who NAMED a target gets their artifact")
+    // the clean record writes
+    val clean = BenchDelta.analyze(cleanRuns, floor)
+    assert(BenchDelta.recordWritable(clean, explicitOut = false))
+    // a uniformly FAST run is a genuinely good record — writable even
+    // though its per-query flags are suppressed
+    val base = (1 to 10).map(i => s"q$i" -> 2.0).toMap
+    val fast = BenchDelta.analyze(
+      (1 to 10).map(i => s"q$i" -> Seq(1.4, 1.45)).toMap, base)
+    assert(fast.hostSuspect && BenchDelta.recordWritable(fast, explicitOut = false))
   }
 
   test("objectBody skips braces inside string values") {
