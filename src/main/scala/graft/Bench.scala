@@ -120,8 +120,9 @@ object Bench {
       s"[bench] PREFLIGHT WARNING: cold-control median ${
         pf.hostX.fold("?")(x => f"$x%.2f")}x the recorded cold baseline " +
         s"(bound ${BenchDelta.PreflightMaxX}) — this host looks contended; " +
-        "the suite will still run, but a slow-suspect verdict will refuse " +
-        "the committed-record overwrite and the floor merge")
+        "the suite will still run; the committed-record overwrite and the " +
+        "floor merge are decided by the post-suite 248-query verdict " +
+        "(floorSafe), which is strictly better evidence than this probe")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -238,9 +239,13 @@ object Bench {
     // or a re-dump whose number format escaped the regex) — may be
     // min-merged into; only a present-but-unparseable file (no
     // well-formed queries object at all) is never overwritten. The
-    // preflight verdict gates it too (belt and braces with floorSafe:
-    // the probe sees contention BEFORE the suite's own median can).
-    if (nameFilter.isEmpty && analysis.floorSafe && pf.ok &&
+    // The preflight verdict does NOT gate it (it did through r14): the
+    // probe is 3 cold queries against accumulated cold minima, the
+    // post-suite floorSafe verdict is a 248-query median — letting the
+    // weaker signal veto the stronger one turned accumulated lucky
+    // cold starts into refused merges on healthy hosts. The probe
+    // stays a recorded WARNING only.
+    if (nameFilter.isEmpty && analysis.floorSafe &&
         (floorParsed.isDefined || floorText.isEmpty)) {
       val merged = (floor.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { k =>
         val cur = results.collectFirst {
@@ -252,19 +257,17 @@ object Bench {
           case _ => None
         }
       }
-      // cold-start preflight baselines ride in the same file, min-merged
-      // the same way (cold-vs-cold is the only valid probe comparison —
-      // see BenchDelta.PreflightMaxX)
+      // cold-start preflight baselines ride in the same file, merged
+      // monotone-downward but DAMPED (BenchDelta.coldMerge: at most
+      // ColdMergeMaxDrop per run) — an all-time min accumulated lucky
+      // JIT races until routine quiet hosts read as warnings
+      // (cold-vs-cold is still the only valid probe comparison — see
+      // BenchDelta.PreflightMaxX)
       val coldMerged = (coldBase.keySet ++ preflightRuns.keySet).toSeq.sorted
         .flatMap { k =>
           val cur = preflightRuns.get(k)
             .map(_.filter(_ >= 0)).filter(_.nonEmpty).map(_.min)
-          (coldBase.get(k), cur) match {
-            case (Some(f), Some(b)) => Some(k -> math.min(f, b))
-            case (Some(f), None) => Some(k -> f)
-            case (None, Some(b)) => Some(k -> b)
-            case _ => None
-          }
+          BenchDelta.coldMerge(coldBase.get(k), cur).map(k -> _)
         }
       val floorJson = "{\"note\":\"per-query min steady-state seconds over " +
         "all recorded clean-state runs (sf0.1, local[32]) of the " +
@@ -282,8 +285,12 @@ object Bench {
     // BENCH_SUMMARY.json — the driver-parse contract (exactly the three
     // keys the judge asked for), plus a numeric sf when derivable.
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
+    // host_x_suspect rides IN the summary: the summary file used to be
+    // overwritten unconditionally, so a contended run's total became
+    // the committed headline even while recordWritable refused the
+    // full record — the same pollution class, one file over.
     val summary =
-      s"""{"total_sec":${f"$total%.3f"},"n_queries":${results.size},"sf":${sfNum.getOrElse("\"" + sfDir + "\"")}}"""
+      s"""{"total_sec":${f"$total%.3f"},"n_queries":${results.size},"sf":${sfNum.getOrElse("\"" + sfDir + "\"")},"host_x_suspect":${analysis.hostSuspect}}"""
     // Full per-query record: the driver's stdout tail-capture
     // truncates the per-query map on long runs; the artifact keeps
     // everything. A FILTERED run must not overwrite the committed
@@ -294,8 +301,12 @@ object Bench {
     // either only writes when the caller named an explicit
     // SPARK_GRAFT_BENCH_OUT target.
     val explicitOut = sys.env.contains("SPARK_GRAFT_BENCH_OUT")
-    if (explicitOut || (nameFilter.isEmpty &&
-        BenchDelta.recordWritable(analysis, explicitOut))) {
+    // recordWritable is the ONE source of truth for the host-verdict
+    // policy (explicitOut OR floorSafe); the caller only adds the
+    // orthogonal filter rule: a filtered run never overwrites the
+    // full-suite record unless the caller named the target.
+    if (BenchDelta.recordWritable(analysis, explicitOut) &&
+        (explicitOut || nameFilter.isEmpty)) {
       writeFile(outPath, line)
     } else System.err.println(
       s"[bench] ${if (nameFilter.nonEmpty) "filter active"

@@ -170,6 +170,28 @@ object BenchDelta {
   val PreflightMaxX = 2.0
   val PreflightControls = Seq("q1_agg", "text_tokens", "a5_min_time")
 
+  // Cold-baseline merge damping: a bare min-merge tightens the
+  // preflight bound toward the best cold start EVER seen — with the
+  // documented ~1.4× cold-start jitter, a few lucky JIT races
+  // accumulate into a baseline no routine quiet host can match, and
+  // the 2.0× warning starts firing on healthy runs. Each clean run
+  // may therefore lower a control's recorded cold baseline by at most
+  // this fraction; repeated genuinely-faster runs still converge, one
+  // outlier cannot set the bar.
+  val ColdMergeMaxDrop = 0.25
+
+  /** Merge one preflight control's recorded cold baseline with this
+    * run's cold min (monotone downward, damped by
+    * [[ColdMergeMaxDrop]]). Absent on either side keeps the other. */
+  def coldMerge(recorded: Option[Double], current: Option[Double]): Option[Double] =
+    (recorded, current) match {
+      case (Some(f), Some(b)) =>
+        Some(math.min(f, math.max(b, f * (1 - ColdMergeMaxDrop))))
+      case (Some(f), None) => Some(f)
+      case (None, Some(b)) => Some(b)
+      case _ => None
+    }
+
   final case class Preflight(hostX: Option[Double], ok: Boolean)
 
   /** Pre-suite host probe, PURE for the spec: median of (min successful

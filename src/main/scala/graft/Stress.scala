@@ -92,7 +92,15 @@ object Stress {
     // warmup (JIT/codegen), untimed
     spark.read.parquet(s"$outDir/lineitem.parquet").count()
 
-    val all = SparkEntry.queries
+    // STRESS keeps the UNSAMPLED exact triangle count: the registered
+    // bench query moved to a node-sampled projection (r14 verdict task
+    // 5 — the bench was measuring the near-complete sf0.1 projection's
+    // ~1.7e8-triangle output volume, not plan quality), but out here
+    // the output-bound O(m^1.5) scaling curve is exactly the claim
+    // under test, so the stress point overrides the registry entry.
+    val all = SparkEntry.queries + ("graph_triangles" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        SparkEntry.exactTriangles(s, d)))
     // optional regex filter (unanchored find) for targeted iteration;
     // output stays in the STRESS_local.json format but only covers the
     // matching subset — don't overwrite a full artifact with one
@@ -482,7 +490,13 @@ object Stress {
       sys.props("graft.drain.statePartitions") = cpus
       sys.props("graft.drain.sink") = "parquet"
       val res = results.toMap
-      val corpus = try corpusNames.map { name =>
+      // Each corpus entry checkpoints INCREMENTALLY (auxParts append +
+      // writeArtifact per completed name, mirroring guarded()): a
+      // mid-loop fatal used to drop every entry the same loop had
+      // already finished — they only joined auxParts after the whole
+      // map — and, unlike guarded()'s fatal path, left no
+      // {"failed":true,"fatal":true} marker for the query that died.
+      try corpusNames.foreach { name =>
         val t0 = System.nanoTime()
         val n = try withStagingAudit(name, "100x") {
             Bench.exec(all(name)(spark, dir100))
@@ -490,7 +504,8 @@ object Stress {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[stress100] $name FAILED: ${e.getMessage}")
               -1L
-            case e: Throwable => // fatal: taint, checkpoint, die loudly
+            case e: Throwable => // fatal: mark, taint, checkpoint, die loudly
+              auxParts += s""""$name":{"failed":true,"fatal":true}"""
               fatalTainted = true
               writeArtifact(assembled)
               throw e
@@ -524,17 +539,16 @@ object Stress {
           (if (n < 0) "  FAILED"
            else ratio.fold("")(r => f"  x_vs_10x_per_decade $r%.3f") +
              perRow.fold("")(r => f"  per_row_x_per_decade $r%.3f")))
-        s""""$name":{"sec":${f"$t%.2f"},"rows":$n${
+        auxParts += s""""$name":{"sec":${f"$t%.2f"},"rows":$n${
           if (n < 0) ""","failed":true"""
           else ratio.fold("")(r => s""","x_vs_10x_per_decade":${f"$r%.3f"}""") +
             perRow.fold("")(r => s""","per_row_x_per_decade":${f"$r%.3f"}""")}${
           if (name == "dedup_prefix") stagingJson("100x") else ""}$ccControlJson}"""
+        writeArtifact(assembled)
       } finally {
         sys.props.remove("graft.drain.statePartitions")
         sys.props.remove("graft.drain.sink")
       }
-      auxParts ++= corpus
-      if (corpus.nonEmpty) writeArtifact(assembled)
       // Perceptual-hash image dedup 100× point (the r12 verdict's
       // highest-10×-ratio family without one). The measured pipeline
       // is the real thing end to end: render+PNG-encode a deterministic

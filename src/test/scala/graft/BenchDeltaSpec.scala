@@ -192,6 +192,26 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(BenchDelta.preflight(failed, cold).ok)
   }
 
+  test("coldMerge: monotone downward but damped — one lucky cold start " +
+      "cannot crater the recorded baseline") {
+    // a routine faster run lowers the baseline normally (within the cap)
+    assert(BenchDelta.coldMerge(Some(1.0), Some(0.9)).contains(0.9))
+    // a 2x-lucky JIT race is capped at ColdMergeMaxDrop per run: with
+    // the documented ~1.4x cold jitter, an uncapped min accumulates
+    // minima no healthy host can match and the 2.0x preflight bound
+    // starts warning on quiet hosts
+    assert(BenchDelta.coldMerge(Some(1.0), Some(0.5)).contains(0.75))
+    // repeated genuinely-faster runs still converge (0.75 then 0.5625)
+    val once = BenchDelta.coldMerge(Some(1.0), Some(0.5)).get
+    assert(BenchDelta.coldMerge(Some(once), Some(0.5)).contains(0.5625))
+    // never raises: a slower run keeps the recorded baseline
+    assert(BenchDelta.coldMerge(Some(1.0), Some(1.8)).contains(1.0))
+    // absent sides: keep whichever exists; both absent stays absent
+    assert(BenchDelta.coldMerge(Some(1.0), None).contains(1.0))
+    assert(BenchDelta.coldMerge(None, Some(0.6)).contains(0.6))
+    assert(BenchDelta.coldMerge(None, None).isEmpty)
+  }
+
   test("committed-record overwrite: slow-suspect runs refused, clean and " +
       "fast-side runs allowed, explicit target always allowed") {
     // replay the r8 contended record (the same class of run that shipped
