@@ -223,7 +223,16 @@ object SparkEntry {
     * TPC-H orders carry a BOUNDED number of lineitems (≤ 7), so the
     * per-order pair fan-out is O(1) and the projection stays linear
     * in |lineitem|. */
-  private def coSupplierEdges(s: SparkSession, dir: String): DataFrame =
+  private def coSupplierEdges(
+      s: SparkSession, dir: String,
+      supplierPred: Option[Column] = None): DataFrame = {
+    // Optional node-induced subgraph (supplierPred on l_suppkey):
+    // filtering LINEITEM before the group is exactly the induced
+    // co-supplier subgraph — edge (a,b) exists iff some order carries
+    // both surviving suppliers — and the predicate pushes to the
+    // parquet scan instead of filtering the built projection.
+    val li0 = lineitem(s, dir)
+    val li = supplierPred.fold(li0)(li0.filter)
     // One scan, not a self-join: group suppliers per order (TPC-H
     // orders carry ≤ 7 lineitems, so the per-group set and its pair
     // fan-out are O(1)-bounded) and explode the sorted in-group pairs.
@@ -239,13 +248,14 @@ object SparkEntry {
     // partitions wide, so the interpreted lambda sat on the critical
     // path — the generator+slice form stays in whole-stage codegen
     // (measured 1.4 → 1.0 s at sf0.1, identical edge set).
-    lineitem(s, dir)
+    li
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_suppkey"))).as("__ss"))
       .select(col("__ss"), posexplode(col("__ss")).as(Seq("i", "a")))
       .select(col("a"),
         explode(expr("slice(__ss, i + 2, size(__ss))")).as("b"))
       .distinct()
+  }
 
   /** The driver's events table has no missing values, so QC scenarios
     * synthesize `value2`: null on event_id % 19 == 0, NaN on % 23 == 0
@@ -384,6 +394,16 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("qc_e2e")(spark, "/root/testdata/sf0.001")
+
+  /** The UNSAMPLED exact triangle count on the full co-supplier
+    * projection — kept OUT of the bench registry (the registered
+    * `graph_triangles` runs on a node-sampled subgraph; at sf0.1 the
+    * full projection's ~1.7e8 triangles made the bench measure output
+    * volume, not plan quality) but still the 10×/100× STRESS point,
+    * where the O(m^1.5) output-bound scaling curve is exactly what's
+    * being pinned. */
+  def exactTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCount(coSupplierEdges(s, dir), "a", "b").orderBy("node")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -880,12 +900,57 @@ object SparkEntry {
         .orderBy("event_type")
     }),
     "s8_manifest" -> ((s, dir) => {
+      // S8 with a Spark-independent content check (r14 verdict task 2):
+      // the manifest's lines are re-derived from scratch — a fresh
+      // directory walk + java.security.MessageDigest over every written
+      // file — and string-compared against what md5Manifest wrote
+      // (reference: R/qc_exports.R:135-145, tools::md5sum). Output is
+      // one verdict row per export dataset plus one for the manifest
+      // text as a whole, so the DuckDB oracle is an exact constant
+      // table: a wrong digest, a missed file, or an extra line flips a
+      // boolean and fails the hash compare — no longer rows-only.
       val tmp = scratch("s8")
       val manifest = QcExport.writeExports(seeded(events(s, dir)), tmp, "ev",
         formats = Seq("parquet", "csv"))
-      s.read.text(manifest)
-        .select(split(col("value"), "  ", 2).getItem(0).as("md5"),
-          split(col("value"), "  ", 2).getItem(1).as("path"))
+      val base = java.nio.file.Paths.get(tmp)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.isFile) Seq(f) else Nil
+      val expected = walk(base.toFile)
+        .filterNot(f => f.toPath.toString == manifest ||
+          f.getName.startsWith(".") || f.getName == "_SUCCESS")
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          s"$hex  ${base.relativize(f.toPath)}"
+        }.sorted
+      val written = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(manifest)).linesIterator.toSeq
+      def dataset(line: String): String =
+        line.split("  ", 2)(1).split("/")(0)
+      val expByDs = expected.groupBy(dataset)
+      val gotByDs = written.groupBy(dataset)
+      val dsNames = Seq("ev_qc.csv", "ev_qc.parquet",
+        "ev_clean.csv", "ev_clean.parquet")
+      import s.implicits._
+      (dsNames.map(ds =>
+        (ds, expByDs.getOrElse(ds, Nil) == gotByDs.getOrElse(ds, Nil))) :+
+        (("_manifest_text", written == expected)))
+        .toDF("dataset", "md5_match").orderBy("dataset")
+    }),
+    "s5_xlsx" -> ((s, dir) => {
+      // S5: XLSX-shaped chunked export (R/qc_exports.R:92-122) — sheet
+      // chunks of ≤2048 data rows in (ts, event_id) order (the Excel
+      // 1,048,576 limit scaled down so every fixture SF exercises
+      // multi-sheet naming), one partitionBy(sheet) CSV write, sheet
+      // index re-derived from the files on disk. maxRows small enough
+      // that sf0.01 yields 5 sheets incl. a ragged tail (10000 = 4×2048
+      // + 1808) — the chunk-boundary arithmetic is what's under test.
+      val tmp = scratch("s5")
+      QcExport.writeXlsxChunked(seeded(events(s, dir)), tmp, "ev_qc",
+        orderCols = Seq("ts", "event_id"), timeCol = Some("ts"),
+        maxRows = 2048L)
     }),
 
     // --- M operators (mutation algebra) ------------------------------
@@ -920,6 +985,41 @@ object SparkEntry {
       val log = ev.toDF("seq", "variable", "scope", "rowid", "win_id",
         "new_flag", "guard")
       QcFlagLog.fold(seededWin(s, dir), log, idCol = "event_id")
+        .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
+    }),
+    "qc_session_e2e" -> ((s, dir) => {
+      // LoggedQcSession end-to-end (r14 verdict task 6): a scripted
+      // eight-action M1-M8 review session over row-id'd data whose
+      // event log CROSSES the auto-compaction threshold mid-script —
+      // append → onCompact audit sink → fold → new materialized base —
+      // then keeps acting on the compacted session. The oracle is the
+      // plain sequential CASE chain over the same actions: compaction
+      // firing mid-script must be semantically invisible
+      // (fold(fold(base, log₁), log₂) ≡ sequential application), and
+      // the audit sink must have received exactly the folded events.
+      // The require makes the threshold crossing load-bearing: if
+      // compaction does NOT fire (or fires twice), the query crashes
+      // rather than passing on the un-compacted path.
+      val base = QcWindows.withRowId(seededWin(s, dir), Seq("ts", "event_id"))
+      val audit = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val opened = LoggedQcSession(base, "value2", Seq.empty,
+        autoCompactEvents = 20,
+        onCompact = Some(log => audit += log.count()))
+      val end = opened
+        .resetAll() //                                    1 event
+        .flagSelected(0L until 1000L by 91L) //          +11 → 12
+        .approveUnflagged(3L) //                          +1 → 13
+        .flagWindow(5L) //                                +1 → 14
+        .unflagSelected(0L until 1000L by 182L) //        +6 → 20 ⇒ compact
+        .flagAndApproveRest(0L until 500L by 97L, 2L) //  +7 →  7
+        .resetWindow(5L) //                               +1 →  8
+        .approveSelected(91L until 800L by 182L) //       +4 → 12
+      require(end.compactedEvents == 20 && audit.toSeq == Seq(20L) &&
+        end.events.size == 12,
+        "qc_session_e2e: auto-compaction did not fire as scripted " +
+          s"(compacted=${end.compactedEvents}, audit=$audit, " +
+          s"log=${end.events.size})")
+      end.done()
         .select(col("event_id"), col("value2_qcflag")).orderBy("event_id")
     }),
 
@@ -1473,10 +1573,21 @@ object SparkEntry {
           "s_suppkey", iters = 4)
         .orderBy("node")),
     "graph_triangles" -> ((s, dir) =>
-      // exact per-supplier triangle counts on the co-supplier graph,
-      // degree-ordered orientation (each triangle found once, at its
-      // lowest-degree corner — the O(m^1.5) bound that survives hubs)
-      Graph.triangleCount(coSupplierEdges(s, dir), "a", "b")
+      // exact per-supplier triangle counts, degree-ordered orientation
+      // (each triangle found once, at its lowest-degree corner — the
+      // O(m^1.5) bound that survives hubs) — on the NODE-SAMPLED
+      // co-supplier projection (suppkey % 5 == 0 induced subgraph).
+      // The full sf0.1 projection is near-complete (~500k edges on 1k
+      // suppliers → ~1.7e8 triangles) and the exact count is
+      // OUTPUT-bound: 59 s of bench budget measured triangle volume,
+      // not plan quality (r14 verdict task 5). The sample keeps every
+      // plan feature — orientation join, wedge self-join, closing
+      // join — at <1% of the output; the UNSAMPLED query stays the
+      // 10×/100× STRESS point ([[exactTriangles]]), where output-bound
+      // scaling IS the claim under test.
+      Graph.triangleCount(
+        coSupplierEdges(s, dir, Some(col("l_suppkey") % 5 === 0)),
+        "a", "b")
         .orderBy("node")),
     "graph_bfs" -> ((s, dir) =>
       // min hop distance from the %100==1 supplier seed set, ≤ 3 hops
@@ -4141,6 +4252,35 @@ object SparkEntry {
          |        THEN 1 ELSE 0 END) AS BIGINT), true
          |  FROM seeded)
          |ORDER BY variant""".stripMargin,
+    // s8's Spark side re-derives every written file's MD5 from scratch
+    // (independent walk + MessageDigest) and compares with the manifest
+    // md5Manifest wrote — the oracle is the exact constant table those
+    // verdicts must equal, so any digest/path/coverage drift fails the
+    // hash compare (r14 verdict task 2: no longer rows-only).
+    "s8_manifest" ->
+      """SELECT * FROM (VALUES
+        |  ('_manifest_text', true),
+        |  ('ev_clean.csv', true),
+        |  ('ev_clean.parquet', true),
+        |  ('ev_qc.csv', true),
+        |  ('ev_qc.parquet', true))
+        |AS t(dataset, md5_match) ORDER BY dataset""".stripMargin,
+    // sheet k holds rows [k*2048, (k+1)*2048) of the (ts, event_id)
+    // row order; counts come from READING BACK the written sheet CSVs,
+    // so the oracle checks the files on disk, not the plan
+    "s5_xlsx" ->
+      """WITH r AS (
+        |  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rid
+        |  FROM events),
+        |s AS (
+        |  SELECT CASE WHEN (SELECT count(*) FROM events) <= 2048
+        |              THEN 'ev_qc'
+        |              ELSE 'ev_qc_' ||
+        |                CAST(CAST(floor(rid / 2048.0) AS BIGINT) + 1 AS VARCHAR)
+        |         END AS sheet
+        |  FROM r)
+        |SELECT sheet, count(*) AS n_rows FROM s
+        |GROUP BY sheet ORDER BY sheet""".stripMargin,
     "a2_consistency" ->
       s"""$SeededCte SELECT 'value2' AS variable,
          |  count(*) FILTER (WHERE value2 IS NULL OR isnan(value2)) AS na_count,
@@ -4260,6 +4400,38 @@ object SparkEntry {
          |            AND NOT (value2 IS NULL OR isnan(value2)) THEN 1
          |       ELSE f2 END AS value2_qcflag
          |FROM p2 ORDER BY event_id""".stripMargin,
+    // the scripted LoggedQcSession replayed as a plain sequential CASE
+    // chain (one CTE per action seq, guards against the RUNNING state —
+    // the mid-script auto-compaction must be semantically invisible);
+    // rid mirrors QcWindows.withRowId's (ts, event_id) row order
+    "qc_session_e2e" ->
+      s"""$SeededCte, $WinCte,
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS rid
+         |  FROM win),
+         |c1 AS (SELECT *, CASE WHEN value2_qcflag <> -1 THEN 0
+         |                      ELSE value2_qcflag END AS f1 FROM r),
+         |c2 AS (SELECT *, CASE WHEN rid % 91 = 0 AND rid < 1000 AND f1 <> -1
+         |                      THEN -2 ELSE f1 END AS f2 FROM c1),
+         |c3 AS (SELECT *, CASE WHEN win_id = 3 AND f2 = 0
+         |                       AND NOT (value2 IS NULL OR isnan(value2))
+         |                      THEN 1 ELSE f2 END AS f3 FROM c2),
+         |c4 AS (SELECT *, CASE WHEN win_id = 5 AND f3 <> -1
+         |                      THEN -2 ELSE f3 END AS f4 FROM c3),
+         |c5 AS (SELECT *, CASE WHEN rid % 182 = 0 AND rid < 1000 AND f4 <> -1
+         |                      THEN 0 ELSE f4 END AS f5 FROM c4),
+         |c6 AS (SELECT *, CASE WHEN rid % 97 = 0 AND rid < 500
+         |                      THEN -2 ELSE f5 END AS f6 FROM c5),
+         |c7 AS (SELECT *, CASE WHEN win_id = 2 AND f6 = 0
+         |                       AND NOT (value2 IS NULL OR isnan(value2))
+         |                      THEN 1 ELSE f6 END AS f7 FROM c6),
+         |c8 AS (SELECT *, CASE WHEN win_id = 5 AND f7 <> -1
+         |                      THEN 0 ELSE f7 END AS f8 FROM c7)
+         |SELECT event_id,
+         |  CASE WHEN rid >= 91 AND rid < 800 AND (rid - 91) % 182 = 0
+         |        AND f8 <> -1 THEN 1
+         |       ELSE f8 END AS value2_qcflag
+         |FROM c8 ORDER BY event_id""".stripMargin,
     "stream_enrich" ->
       """WITH dim AS (
         |  SELECT user_id, min(ts) AS signup_ts
@@ -4529,10 +4701,19 @@ object SparkEntry {
          |z AS (SELECT 1)
          |SELECT node, r FROM r4 ORDER BY node""".stripMargin
     },
-    // shared CTE prefix for the co-supplier graph oracles: distinct
-    // supplier pairs sharing an order (a < b), symmetrized
+    // triangles run on the NODE-SAMPLED projection (suppkey % 5 == 0
+    // induced subgraph — degrees recomputed on the subgraph, matching
+    // Graph.triangleCount which derives degrees from the edges it is
+    // given); the other co-supplier oracles keep the full $CoSupplierCte
     "graph_triangles" ->
-      s"""WITH $CoSupplierCte,
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |    AND l1.l_suppkey < l2.l_suppkey
+         |  WHERE l1.l_suppkey % 5 = 0 AND l2.l_suppkey % 5 = 0),
+         |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+         |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
          |o AS (
          |  SELECT CASE WHEN da.deg < db.deg
          |                OR (da.deg = db.deg AND e0.a < e0.b)

@@ -137,6 +137,64 @@ object QcExport {
     md5Manifest(dir, stem)
   }
 
+  /** S5: XLSX-shaped chunked export (R/qc_exports.R:92-122). A true
+    * `.xlsx` workbook stays out of engine scope (SURVEY §2.1 — a
+    * spreadsheet writer doesn't belong on a cluster classpath and a
+    * 100 TB table is not a workbook); what survives re-expression is
+    * the reference's CONTRACT: the table is split into sheet-sized
+    * chunks of at most `maxRows` data rows (writexl's 1,048,576-row
+    * Excel sheet limit), chunked in deterministic row order — sheet k
+    * holds rows [k·maxRows, (k+1)·maxRows) — with writexl's naming
+    * (R/qc_exports.R:106-110): a single-chunk table keeps the bare
+    * `stem`, multi-chunk sheets are 1-based `<stem>_k`. Timestamps
+    * render ISO-8601 UTC like every text sink (`to_text_time`).
+    *
+    * Layout: ONE distributed `partitionBy(sheet)` CSV write (each
+    * sheet a `sheet=<name>` directory under `<dir>/<stem>_xlsx`) —
+    * not a per-sheet filter loop, which would re-scan the input once
+    * per sheet. Row ids come from [[QcWindows.withRowId]]'s
+    * range-partition + offset plan, so no single-partition pass
+    * touches the data at any scale. The sheet index (one row per
+    * sheet — catalog-sized) is re-derived by READING BACK the written
+    * files, written to `<dir>/<stem>_sheets.csv`, and returned, so
+    * the manifest certifies the files on disk, not the plan.
+    */
+  def writeXlsxChunked(
+      df: DataFrame,
+      dir: String,
+      stem: String,
+      orderCols: Seq[String],
+      timeCol: Option[String] = None,
+      maxRows: Long = 1048576L): DataFrame = {
+    require(maxRows > 0, "writeXlsxChunked: maxRows must be positive")
+    val spark = df.sparkSession
+    // the reference knows nrow(df) up front; one cheap count decides
+    // the single-sheet-keeps-bare-stem naming rule
+    val single = df.count() <= maxRows
+    // row ids BEFORE the ISO text rendering: the render truncates
+    // sub-second precision, and ordering by the rendered string would
+    // silently reorder ties within a second at chunk boundaries
+    val ided = graft.qc.QcWindows.withRowId(df, orderCols,
+      idCol = "__xlsx_rid")
+    val withId = timeCol.fold(ided)(isoUtc(ided, _))
+    val sheetName =
+      if (single) lit(stem)
+      else concat(lit(stem + "_"),
+        (floor(col("__xlsx_rid") / maxRows) + 1).cast("long"))
+    val dataPath = s"$dir/${stem}_xlsx"
+    withId.withColumn("sheet", sheetName).drop("__xlsx_rid")
+      .write.mode("overwrite")
+      .option("header", "true").option("nullValue", "NA")
+      .partitionBy("sheet").csv(dataPath)
+    val index = spark.read.option("header", "true").csv(dataPath)
+      .groupBy(col("sheet").cast("string").as("sheet"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("sheet")
+    index.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/${stem}_sheets.csv")
+    index
+  }
+
   /** S8: MD5 checksum manifest over every regular file under `dir`
     * (R/qc_exports.R:135-145) → `<dir>/<stem>_checksums.md5`, one
     * `<hex>  <relpath>` line per file, sorted for determinism. */

@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.LongType
   * R/ts_viewer.R:59-69).
   *
   * Scale design (100 TB): the per-row operators (`withRowId`,
-  * `withWinId`) are narrow or range-partitioned — no single-partition
-  * global `Window.orderBy`. The window CATALOG (one row per kept window,
+  * `withWinId`) are narrow or bucket-partitioned — no single-partition
+  * global `Window.orderBy` over data. The window CATALOG (one row per kept window,
   * A6/W3/A7) is tiny relative to the data (hours-wide buckets over
   * years of data → thousands of rows), so the dense renumbering runs on
   * the catalog and is joined back with a broadcast hash join — the main
@@ -45,10 +45,31 @@ object QcWindows {
     * and `orderCols` should include a unique tiebreaker (SURVEY §7.6.2).
     *
     * NOT a single-partition `row_number().over(Window.orderBy(...))`:
-    * the data is range-partitioned on the order columns, numbered
-    * per-partition in parallel, and per-partition offsets (a tiny
-    * driver-side cumulative sum over partition counts) are added back —
-    * the same plan at 600k rows or 100 TB.
+    * ids come from VALUE-DETERMINISTIC equi-depth buckets on the
+    * leading order column — boundary literals collected once on the
+    * driver from a hash-residue sample, local rank per bucket via a
+    * bucket-keyed window, per-bucket offsets (a tiny count catalog)
+    * broadcast back. One data shuffle (the bucket hash exchange);
+    * nothing single-partition ever touches the data; the only global
+    * window runs over the bucket-count catalog. Same plan at 600k
+    * rows or 100 TB.
+    *
+    * WHY buckets and not `repartitionByRange` +
+    * `monotonically_increasing_id` (the r1–r14 design): range
+    * partitioning SAMPLES its boundaries with a per-RDD seed, so the
+    * offsets branch and the data branch — two physical executions of
+    * the same logical exchange whenever exchange reuse does not fire
+    * (it stops firing as soon as the two branches prune different
+    * columns) — can disagree on partition boundaries, mismatching the
+    * counts against the data and corrupting ids (measured in r15:
+    * 10,000 rows → 9,779 DISTINCT ids through the partitioned-write
+    * path at 16 shuffle partitions; the w1_rowid oracle had passed
+    * only because its narrow projection made both branches prune to
+    * identical plans that did reuse the exchange). Bucket membership
+    * here depends ONLY on row values and literal boundaries —
+    * re-executing any branch reproduces identical buckets by
+    * construction, so counts always agree with data. RowIdSpec locks
+    * the duplicate-id regression; PlanShapeSpec locks the plan shape.
     */
   def withRowId(
       df: DataFrame,
@@ -56,43 +77,63 @@ object QcWindows {
       idCol: String = RowIdCol): DataFrame = {
     require(orderCols.nonEmpty, "withRowId: need at least one order column")
     val oc = orderCols.map(qcol)
-    // EXPLICIT partition count: an AQE shuffle-read would otherwise be
-    // free to coalesce the offsets branch and the data branch of the
-    // self-referencing exchange DIFFERENTLY, mismatching partition ids
-    // between the two passes (observed: inner join silently dropping
-    // the non-coalesced pids). A user-specified count pins both reads
-    // to the same layout; range boundaries are deterministically
-    // re-derived even if the exchange is not physically reused.
     val nParts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val sorted = df.repartitionByRange(nParts, oc: _*).sortWithinPartitions(oc: _*)
-    // Pure-Catalyst zipWithIndex (no RDD hop — keeps whole-stage
-    // codegen, AQE, and lineage intact): monotonically_increasing_id
-    // encodes (partition << 33 | local position) over the range-sorted
-    // data; per-partition counts (one row per PARTITION — tiny) get a
-    // running-sum offset, broadcast-joined back so
-    // rowid = offset(partition) + local position. Both references to
-    // the sorted subtree hit the SAME range exchange (Spark's exchange
-    // reuse), so partitioning and local order agree between the count
-    // and the data pass. No single-partition pass ever touches the
-    // data; the only global Window runs over the partition-count
-    // catalog. Same plan at 600k rows or 100 TB.
-    val localMask = (1L << 33) - 1
-    val withMid = sorted
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), 33))
-    val offsets = withMid.groupBy("__pid")
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset",
+    // 2× the partition count: enough buckets that hashing buckets onto
+    // partitions stays balanced, few enough that the boundary
+    // when-chain stays a cheap codegen'd per-row expression
+    val nBuckets = 2 * nParts
+    val target = nBuckets * 100L // boundary sample size (driver-bounded)
+    val lead = oc.head
+    // Value-deterministic boundary sample: rows whose xxhash64(leading
+    // key) lands in a fixed residue class. Unlike df.sample/rand, the
+    // predicate re-evaluates to the same rows on any executor or
+    // retry, and the collect is ~target rows by construction at any
+    // data size. Boundary QUALITY only affects balance, never
+    // correctness: Σ when(key > bᵢ) is monotone in key for ANY
+    // boundary multiset, so even a skewed sample (or a driver sort
+    // collation that differs from Spark's) yields correct ids.
+    val n = df.count()
+    val k = math.max(1L, n / target)
+    // driver-sized by construction: the residue predicate keeps
+    // ~n/k ≈ target (= nBuckets·100) keys at ANY data size
+    val sampleKeys = df.select(lead.as("__rid_k"))
+      .filter(col("__rid_k").isNotNull &&
+        pmod(xxhash64(col("__rid_k")), lit(k)) === 0)
+      .collect().map(_.get(0))
+    val sorted = sampleKeys.sortWith { (a, b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0 }
+    val bounds: Seq[Any] =
+      if (sorted.isEmpty) Nil
+      else (1 until nBuckets)
+        .map(j => sorted(((j.toLong * sorted.length) / nBuckets).toInt))
+        .distinct
+    // bucket = how many boundaries sit strictly below the key; null
+    // keys fall through every when() to bucket 0, matching asc
+    // nulls-first sort order
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(lead > lit(b), 1).otherwise(0) }
+    val bucketed = df.withColumn("__rid_b", bucket)
+    // per-bucket counts and running offsets: catalog-sized (nBuckets
+    // rows) — the single-partition window here is over the catalog,
+    // never the data. Counts re-execute the scan, but bucket
+    // membership is value-deterministic, so they MUST agree with the
+    // data pass.
+    val offsets = bucketed.groupBy(col("__rid_b"))
+      .agg(count(lit(1)).as("__rid_cnt"))
+      .withColumn("__rid_off",
         coalesce(
-          sum(col("__cnt")).over(
-            Window.orderBy("__pid")
+          sum(col("__rid_cnt")).over(
+            Window.orderBy("__rid_b")
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    withMid.join(broadcast(offsets), Seq("__pid"))
+      .select(col("__rid_b"), col("__rid_off"))
+    val w = Window.partitionBy(col("__rid_b")).orderBy(oc: _*)
+    bucketed
+      .withColumn("__rid_rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("__rid_b"))
       .withColumn(idCol,
-        (col("__offset") + col("__mid").bitwiseAND(lit(localMask))).cast(LongType))
-      .drop("__mid", "__pid", "__offset")
+        (col("__rid_off") + col("__rid_rn") - 1).cast(LongType))
+      .drop("__rid_b", "__rid_rn", "__rid_off")
   }
 
   /** W2: tumbling window id `floor((t − t0) / winHrs·3600)` with the

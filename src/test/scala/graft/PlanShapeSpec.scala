@@ -70,13 +70,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("row ids never use a single-partition global window, and stay in Catalyst") {
     val p = physical("w1_rowid")
-    assert(!p.contains("Window [row_number()"),
-      s"W1 must be range-partition + per-partition offsets, not Window.orderBy:\n$p")
+    // the rank window must be BUCKET-partitioned (value-deterministic
+    // equi-depth buckets), never a global Window.orderBy over the data
+    val globalRank = p.linesIterator.exists(l =>
+      l.contains("Window [row_number()") &&
+        !l.contains("windowspecdefinition(__rid_b"))
+    assert(!globalRank,
+      s"W1's rank must partition by the value-deterministic bucket:\n$p")
     // the offset join must not sever lineage through an RDD hop
     assert(!p.contains("ExistingRDD"),
       s"W1 must stay in Catalyst (no RDD zipWithIndex boundary):\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"partition offsets must broadcast back onto the data:\n$p")
+      s"bucket offsets must broadcast back onto the data:\n$p")
   }
 
   test("window catalog's dense rank runs on the catalog, data gets a broadcast join") {
@@ -499,6 +504,59 @@ class PlanShapeSpec extends SparkSpec {
       s"span probe must stay a hash equi-join:\n$p")
     assert(!p.contains("SinglePartition"),
       s"interval merge must not gather to one partition:\n$p")
+  }
+
+  test("no registered query plans a data-sized single-partition window " +
+      "(unpartitioned WindowExec only over catalog-sized inputs)") {
+    // r14's bench tail was a wall of `WindowExec: No Partition Defined`
+    // warnings from the two KNOWN catalog-sized windows (QcWindows.scala:87
+    // — running-sum offsets over per-partition counts; QcWindows.scala:157
+    // — dense_rank over the window catalog) — noise that would mask a
+    // future REAL unpartitioned window over data (r14 verdict task 3).
+    // Lock the invariant structurally across EVERY registered query:
+    // a WindowExec with an empty partitionSpec must sit above an
+    // aggregate (catalog-sized by construction — thousands of groups,
+    // not rows) or a driver-local table; anything else moves the whole
+    // dataset to one partition, the canonical 100 TB sort killer.
+    import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // "catalog-sized": an aggregate below the window caps its input at
+    // group-count rows; a ReusedExchangeExec is a LEAF that hides the
+    // original exchange's subtree, so follow its reference explicitly
+    // (cur_mix_report's target_q branch reuses the stratum aggregate's
+    // exchange); a LocalTableScan is a driver-literal table
+    def catalogSized(p: SparkPlan): Boolean = p.find {
+      case _: BaseAggregateExec | _: LocalTableScanExec => true
+      case r: ReusedExchangeExec => catalogSized(r.child)
+      case _ => false
+    }.isDefined
+    // streaming queries drain a real stream per call (slow, and their
+    // batch-side plans are covered by their own specs); AQE is off so
+    // executedPlan is the raw traversable tree, not an adaptive shell
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(_.startsWith("stream_"))
+        .flatMap { name =>
+          scala.util.Try(
+            SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+          ).toOption.toSeq.flatMap { plan =>
+            plan.collect {
+              case w: WindowExec if w.partitionSpec.isEmpty &&
+                  !catalogSized(w.child) =>
+                s"$name: ${w.simpleString(120)}"
+            }
+          }
+        }
+      assert(offenders.isEmpty,
+        s"unpartitioned data-sized WindowExec found:\n${offenders.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
   }
 
   test("bench timing action executes the plan AS WRITTEN: final " +

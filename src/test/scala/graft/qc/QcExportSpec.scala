@@ -49,6 +49,46 @@ class QcExportSpec extends SparkSpec {
       "manifest rows must cover every data file, nothing else")
   }
 
+  test("S5 xlsx-shaped chunked export: exact chunk boundaries, writexl " +
+      "naming, single-sheet keeps the bare stem") {
+    val dir = tmpDir
+    // 10 rows, maxRows 4 → sheets of 4/4/2 (a ragged tail crossing two
+    // exact boundaries); deterministic (t, id) order
+    val ten = (0 until 10).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 00:00:0$i"), i.toLong))
+      .toDF("t", "id")
+    val idx = QcExport.writeXlsxChunked(ten, dir, "tab",
+      orderCols = Seq("t", "id"), timeCol = Some("t"), maxRows = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx == Map("tab_1" -> 4L, "tab_2" -> 4L, "tab_3" -> 2L),
+      s"boundary arithmetic: $idx")
+    // sheet k holds rows [k*maxRows, (k+1)*maxRows) in (t, id) order:
+    // sheet 2 must contain exactly ids 4..7 (the (t,id) sort equals id
+    // order here by construction)
+    val s2 = spark.read.option("header", "true").csv(s"$dir/tab_xlsx")
+      .filter(col("sheet") === "tab_2")
+      .select(col("id").cast("long")).as[Long].collect().sorted
+    assert(s2.toSeq == Seq(4L, 5L, 6L, 7L), s"sheet 2 rows: ${s2.toSeq}")
+    // an exact multiple leaves no ragged sheet; a single chunk keeps
+    // the bare stem (writexl naming, R/qc_exports.R:106-110)
+    val eight = ten.filter(col("id") < 8)
+    val idx8 = QcExport.writeXlsxChunked(eight, dir, "even",
+      orderCols = Seq("id"), maxRows = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx8 == Map("even_1" -> 4L, "even_2" -> 4L), s"exact multiple: $idx8")
+    val idx1 = QcExport.writeXlsxChunked(ten, dir, "one",
+      orderCols = Seq("id"), maxRows = 1048576L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx1 == Map("one" -> 10L), s"single sheet keeps bare stem: $idx1")
+    // the sheet-index manifest CSV exists alongside the data
+    import scala.jdk.CollectionConverters._
+    val manifestRows = Files.list(Paths.get(s"$dir/tab_sheets.csv"))
+      .iterator().asScala.filter(_.toString.endsWith(".csv"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(manifestRows.exists(_.startsWith("tab_3,2")),
+      s"sheet index written: $manifestRows")
+  }
+
   test("S3 CSV sink: ISO-8601 UTC timestamps and NA null marker round-trip") {
     val dir = tmpDir
     QcExport.writeCsv(df, s"$dir/out.csv", timeCol = Some("DateTime"))
