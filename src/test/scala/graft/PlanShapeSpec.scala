@@ -538,19 +538,30 @@ class PlanShapeSpec extends SparkSpec {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      val failed = Seq.newBuilder[String]
       val offenders = SparkEntry.queries.keys.toSeq.sorted
         .filterNot(_.startsWith("stream_"))
         .flatMap { name =>
           scala.util.Try(
             SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
-          ).toOption.toSeq.flatMap { plan =>
-            plan.collect {
-              case w: WindowExec if w.partitionSpec.isEmpty &&
-                  !catalogSized(w.child) =>
-                s"$name: ${w.simpleString(120)}"
-            }
+          ) match {
+            case scala.util.Failure(e) =>
+              // a query that can't even BUILD at the smoke scale must
+              // fail the sweep loudly, not silently shrink its coverage
+              failed += s"$name: ${e.getMessage}"
+              Nil
+            case scala.util.Success(plan) =>
+              plan.collect {
+                case w: WindowExec if w.partitionSpec.isEmpty &&
+                    !catalogSized(w.child) =>
+                  s"$name: ${w.simpleString(120)}"
+              }
           }
         }
+      val builtFailures = failed.result()
+      assert(builtFailures.isEmpty,
+        s"queries failed to plan at sf0.001 (sweep coverage hole):\n${
+          builtFailures.mkString("\n")}")
       assert(offenders.isEmpty,
         s"unpartitioned data-sized WindowExec found:\n${offenders.mkString("\n")}")
     } finally {
