@@ -46,13 +46,15 @@ object QcWindows {
     *
     * NOT a single-partition `row_number().over(Window.orderBy(...))`:
     * ids come from VALUE-DETERMINISTIC equi-depth buckets on the
-    * leading order column — boundary literals collected once on the
-    * driver from a hash-residue sample, local rank per bucket via a
-    * bucket-keyed window, per-bucket offsets (a tiny count catalog)
-    * broadcast back. One data shuffle (the bucket hash exchange);
-    * nothing single-partition ever touches the data; the only global
-    * window runs over the bucket-count catalog. Same plan at 600k
-    * rows or 100 TB.
+    * leading order column — boundary literals computed once on the
+    * driver (one percentile_approx aggregate for numeric/timestamp
+    * keys; a count-sized hash-residue sample collect for string
+    * keys), local rank per bucket via a bucket-keyed window,
+    * per-bucket offsets (a tiny count catalog) broadcast back. One
+    * data shuffle (the bucket hash exchange); nothing
+    * single-partition ever touches the data; the only global window
+    * runs over the bucket-count catalog. Same plan at 600k rows or
+    * 100 TB.
     *
     * WHY buckets and not `repartitionByRange` +
     * `monotonically_increasing_id` (the r1–r14 design): range
@@ -82,36 +84,60 @@ object QcWindows {
     // partitions stays balanced, few enough that the boundary
     // when-chain stays a cheap codegen'd per-row expression
     val nBuckets = 2 * nParts
-    val target = nBuckets * 100L // boundary sample size (driver-bounded)
     val lead = oc.head
-    // Value-deterministic boundary sample: rows whose xxhash64(leading
-    // key) lands in a fixed residue class. Unlike df.sample/rand, the
-    // predicate re-evaluates to the same rows on any executor or
-    // retry, and the collect is ~target rows by construction at any
-    // data size. Boundary QUALITY only affects balance, never
-    // correctness: Σ when(key > bᵢ) is monotone in key for ANY
-    // boundary multiset, so even a skewed sample (or a driver sort
-    // collation that differs from Spark's) yields correct ids.
-    val n = df.count()
-    val k = math.max(1L, n / target)
-    // driver-sized by construction: the residue predicate keeps
-    // ~n/k ≈ target (= nBuckets·100) keys at ANY data size
-    val sampleKeys = df.select(lead.as("__rid_k"))
-      .filter(col("__rid_k").isNotNull &&
-        pmod(xxhash64(col("__rid_k")), lit(k)) === 0)
-      .collect().map(_.get(0))
-    val sorted = sampleKeys.sortWith { (a, b) =>
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0 }
-    val bounds: Seq[Any] =
-      if (sorted.isEmpty) Nil
-      else (1 until nBuckets)
-        .map(j => sorted(((j.toLong * sorted.length) / nBuckets).toInt))
-        .distinct
+    // Boundary literals, computed ONCE on the driver (they become plan
+    // literals, so every later branch sees identical buckets no matter
+    // how often it re-executes). Boundary QUALITY only affects
+    // balance, never correctness: Σ when(key > bᵢ) is monotone in the
+    // key's sort order for ANY boundary multiset.
+    //
+    //  - rangeable leading key (numeric/timestamp — every caller in
+    //    this repo except shuffleOrder): ONE percentile_approx
+    //    aggregate yields equi-depth boundaries on the double
+    //    surrogate; long→double and timestamp→double casts are
+    //    monotone, which is all bucketing needs.
+    //  - otherwise (string keys): a count pass sizes a hash-residue
+    //    rate, then the matching keys are collected and evenly-spaced
+    //    order statistics become the boundaries. Unlike
+    //    df.sample/rand, the residue predicate re-evaluates to the
+    //    same rows on any executor or retry, and the collect is
+    //    driver-sized by construction (~nBuckets·100 keys at any data
+    //    size).
+    val rangeable = df.select(lead.as("__rid_k")).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+    val (keyExpr, bounds): (Column, Seq[Any]) =
+      if (rangeable) {
+        val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+        val q = df.select(percentile_approx(lead.cast("double"),
+            lit(probs.toArray), lit(10000)).as("__rid_q"))
+          .head.getAs[scala.collection.Seq[Double]]("__rid_q")
+        (lead.cast("double"),
+          Option(q).fold(Seq.empty[Any])(_.distinct.toSeq))
+      } else {
+        val target = nBuckets * 100L
+        val n = df.count()
+        val k = math.max(1L, n / target)
+        // driver-sized by construction: ~n/k ≈ target keys
+        val sampleKeys = df.select(lead.as("__rid_k"))
+          .filter(col("__rid_k").isNotNull &&
+            pmod(xxhash64(col("__rid_k")), lit(k)) === 0)
+          .collect().map(_.get(0))
+        val sorted = sampleKeys.sortWith { (a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0 }
+        (lead,
+          if (sorted.isEmpty) Nil
+          else (1 until nBuckets)
+            .map(j => sorted(((j.toLong * sorted.length) / nBuckets).toInt))
+            .distinct)
+      }
     // bucket = how many boundaries sit strictly below the key; null
     // keys fall through every when() to bucket 0, matching asc
     // nulls-first sort order
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(lead > lit(b), 1).otherwise(0) }
+      acc + when(keyExpr > lit(b), 1).otherwise(0) }
     val bucketed = df.withColumn("__rid_b", bucket)
     // per-bucket counts and running offsets: catalog-sized (nBuckets
     // rows) — the single-partition window here is over the catalog,
