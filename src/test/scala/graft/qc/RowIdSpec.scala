@@ -65,4 +65,36 @@ class RowIdSpec extends SparkSpec {
     val ids = ided.select(col("rid")).as[Long].collect().sorted
     assert(ids.toSeq == (0L until 5000L), s"distinct=${ids.distinct.length}")
   }
+
+  test("constant numeric lead key: boundaries collapse to one bucket, " +
+      "ids still follow the tiebreaker order") {
+    val df = (0 until 3000).map(i => (42L, 2999 - i)).toDF("k", "tie")
+    val got = QcWindows.withRowId(df, Seq("k", "tie"), idCol = "rid")
+      .orderBy("rid").select(col("tie")).as[Int].collect()
+    assert(got.toSeq == (0 until 3000), "constant-key ids must sort by tiebreaker")
+  }
+
+  test("null lead keys mix with values: nulls take the lowest ids " +
+      "(asc nulls-first), ids stay a contiguous permutation") {
+    val df = (0 until 4000).map { i =>
+      (if (i % 7 == 0) None else Some(i.toLong % 97), i)
+    }.toDF("k", "tie")
+    val ided = QcWindows.withRowId(df, Seq("k", "tie"), idCol = "rid")
+    val ids = ided.select(col("rid")).as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 4000L), s"distinct=${ids.distinct.length}")
+    val got = ided.orderBy("rid").select(col("k"), col("tie"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getInt(1)))
+    val want = (0 until 4000).map { i =>
+      (if (i % 7 == 0) Option.empty[Long] else Some(i.toLong % 97), i)
+    }.sortBy { case (k, tie) => (k.getOrElse(Long.MinValue), tie) }
+    assert(got.toSeq == want, "null keys must rank first, then (k, tie) asc")
+  }
+
+  test("all-null lead key: percentile boundaries degrade to a single " +
+      "bucket without crashing; tiebreaker still orders the ids") {
+    val df = (0 until 1000).map(i => (Option.empty[Long], 999 - i)).toDF("k", "tie")
+    val got = QcWindows.withRowId(df, Seq("k", "tie"), idCol = "rid")
+      .orderBy("rid").select(col("tie")).as[Int].collect()
+    assert(got.toSeq == (0 until 1000))
+  }
 }
