@@ -475,6 +475,35 @@ object Stress {
           f"($mhPairsB pairs, $mhCandB candidates), per-decade $mhX%.3f")
         s""""dedup_minhash_synth":{"docs_small":600000,"sec_small":${f"$mhS%.2f"},"pairs_small":$mhPairsS,"candidates_small":$mhCandS,"docs_big":6000000,"sec_big":${f"$mhB%.2f"},"pairs_big":$mhPairsB,"candidates_big":$mhCandB,"candidate_ratio":${f"${mhCandB.toDouble / mhCandS}%.3f"},"x_per_decade":${f"$mhX%.3f"}$ccControlJson}"""
       }
+      // withRowId decade point (the r15 bucket redesign at sizes the
+      // replica tables never reach): the operator's claim is ONE data
+      // shuffle — a percentile_approx boundary aggregate, the
+      // bucket-keyed window sort, and a catalog-sized offsets
+      // broadcast, each linear or constant by construction. A decade
+      // bend here would mean one of those stages is quietly
+      // data-sized. Input: two longs, pseudo-random rangeable key +
+      // unique tiebreaker — exactly the (ts, event_id) caller shape.
+      guarded("w1_rowid_synth") {
+        def ridInput(n: Long) = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(1000000000L)).as("k"),
+          col("id").as("event_id"))
+        def ridRun(n: Long): Double = minOf2 {
+          Bench.exec(graft.qc.QcWindows.withRowId(
+            ridInput(n), Seq("k", "event_id")))
+        }
+        ridRun(100000L) // untimed JIT warmup (the cc_star argument)
+        // untimed FULL-SCALE warmup (the semdedup lesson): the first
+        // big execution pays heap expansion + C2 regardless of plan
+        Bench.exec(graft.qc.QcWindows.withRowId(
+          ridInput(10000000L), Seq("k", "event_id")))
+        reclaim()
+        val rS = ridRun(1000000L)
+        val rB = ridRun(10000000L)
+        val rX = rB / (rS * 10)
+        println(f"[stress100] w1_rowid synth: 1M rows $rS%.2f s, " +
+          f"10M rows $rB%.2f s, per-decade $rX%.3f")
+        s""""w1_rowid_synth":{"rows_small":1000000,"sec_small":${f"$rS%.2f"},"rows_big":10000000,"sec_big":${f"$rB%.2f"},"x_per_decade":${f"$rX%.3f"}$ccControlJson}"""
+      }
       // 100× CORPUS queries — now AFTER the cc drift control (and the
       // minhash point, which owns the right-after-control slot for its
       // own r12 reasons): size streaming state partitions to the 100×
