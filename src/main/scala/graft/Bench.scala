@@ -121,8 +121,8 @@ object Bench {
         pf.hostX.fold("?")(x => f"$x%.2f")}x the recorded cold baseline " +
         s"(bound ${BenchDelta.PreflightMaxX}) — this host looks contended; " +
         "the suite will still run; the committed-record overwrite and the " +
-        "floor merge are decided by the post-suite 248-query verdict " +
-        "(floorSafe), which is strictly better evidence than this probe")
+        s"floor merge are decided by the post-suite ${selected.size}-query " +
+        "verdict (floorSafe), which is strictly better evidence than this probe")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -238,10 +238,10 @@ object Bench {
     // object PARSES — even to zero entries (a legitimately empty seed,
     // or a re-dump whose number format escaped the regex) — may be
     // min-merged into; only a present-but-unparseable file (no
-    // well-formed queries object at all) is never overwritten. The
+    // well-formed queries object at all) is never overwritten.
     // The preflight verdict does NOT gate it (it did through r14): the
     // probe is 3 cold queries against accumulated cold minima, the
-    // post-suite floorSafe verdict is a 248-query median — letting the
+    // post-suite floorSafe verdict is a full-suite median — letting the
     // weaker signal veto the stronger one turned accumulated lucky
     // cold starts into refused merges on healthy hosts. The probe
     // stays a recorded WARNING only.

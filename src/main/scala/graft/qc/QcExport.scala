@@ -153,7 +153,7 @@ object QcExport {
     * sheet a `sheet=<name>` directory under `<dir>/<stem>_xlsx`) —
     * not a per-sheet filter loop, which would re-scan the input once
     * per sheet. Row ids come from [[QcWindows.withRowId]]'s
-    * range-partition + offset plan, so no single-partition pass
+    * equi-depth-bucket + offset plan, so no single-partition pass
     * touches the data at any scale. The sheet index (one row per
     * sheet — catalog-sized) is re-derived by READING BACK the written
     * files, written to `<dir>/<stem>_sheets.csv`, and returned, so
@@ -167,10 +167,17 @@ object QcExport {
       timeCol: Option[String] = None,
       maxRows: Long = 1048576L): DataFrame = {
     require(maxRows > 0, "writeXlsxChunked: maxRows must be positive")
+    // 'sheet' is the partition-directory name in the on-disk layout;
+    // silently overwriting a user column of that name would drop data
+    // from the export — refuse loudly instead
+    require(!df.columns.contains("sheet"),
+      "writeXlsxChunked: input must not carry a 'sheet' column (it is " +
+        "the sheet-partition name in the chunked layout) — rename it first")
     val spark = df.sparkSession
     // the reference knows nrow(df) up front; one cheap count decides
     // the single-sheet-keeps-bare-stem naming rule
-    val single = df.count() <= maxRows
+    val nIn = df.count()
+    val single = nIn <= maxRows
     // row ids BEFORE the ISO text rendering: the render truncates
     // sub-second precision, and ordering by the rendered string would
     // silently reorder ties within a second at chunk boundaries
@@ -186,10 +193,28 @@ object QcExport {
       .write.mode("overwrite")
       .option("header", "true").option("nullValue", "NA")
       .partitionBy("sheet").csv(dataPath)
-    val index = spark.read.option("header", "true").csv(dataPath)
-      .groupBy(col("sheet").cast("string").as("sheet"))
-      .agg(count(lit(1)).as("n_rows"))
-      .orderBy("sheet")
+    val index =
+      if (nIn == 0)
+        // an empty input writes no data files (partitionBy emits only
+        // _SUCCESS) and CSV schema inference would throw on the bare
+        // directory; the honest files-on-disk manifest is an empty
+        // sheet index with the same schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sheet",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.option("header", "true")
+        // multiLine: a quoted field containing a newline is ONE row —
+        // without it the line-splitting reader would count it twice
+        // and the manifest would certify a row count the sheet does
+        // not have
+        .option("multiLine", "true").csv(dataPath)
+        .groupBy(col("sheet").cast("string").as("sheet"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("sheet")
     index.coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(s"$dir/${stem}_sheets.csv")
     index

@@ -97,12 +97,14 @@ object QcWindows {
     //    surrogate; long→double and timestamp→double casts are
     //    monotone, which is all bucketing needs.
     //  - otherwise (string keys): a count pass sizes a hash-residue
-    //    rate, then the matching keys are collected and evenly-spaced
-    //    order statistics become the boundaries. Unlike
-    //    df.sample/rand, the residue predicate re-evaluates to the
-    //    same rows on any executor or retry, and the collect is
-    //    driver-sized by construction (~nBuckets·100 keys at any data
-    //    size).
+    //    rate, then the matching DISTINCT keys (executor-side dedup +
+    //    limit: driver-bounded even for hot duplicate keys) are
+    //    collected and evenly-spaced order statistics become the
+    //    boundaries; a low-cardinality key that defeats the residue
+    //    sample falls back to distinct-of-all-keys (cheap exactly in
+    //    that regime — map-side partial agg). Unlike df.sample/rand,
+    //    the residue predicate re-evaluates to the same rows on any
+    //    executor or retry.
     val rangeable = df.select(lead.as("__rid_k")).schema.head.dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.TimestampType => true
@@ -120,11 +122,30 @@ object QcWindows {
         val target = nBuckets * 100L
         val n = df.count()
         val k = math.max(1L, n / target)
-        // driver-sized by construction: ~n/k ≈ target keys
-        val sampleKeys = df.select(lead.as("__rid_k"))
-          .filter(col("__rid_k").isNotNull &&
-            pmod(xxhash64(col("__rid_k")), lit(k)) === 0)
-          .collect().map(_.get(0))
+        // The residue predicate selects key VALUES (all rows of a
+        // matching key match), so the collect must dedup on the
+        // executors — a hot key would otherwise ship every duplicate
+        // row to the driver — and cap via limit as a hard driver-OOM
+        // backstop. Boundary QUALITY is all that's at stake: any
+        // collected subset yields correct (just less balanced) buckets.
+        val cap = (target * 4).toInt
+        def keysOf(sampled: DataFrame): Array[Any] = sampled
+          .filter(col("__rid_k").isNotNull)
+          .distinct().limit(cap).collect().map(_.get(0))
+        val hashed = keysOf(df.select(lead.as("__rid_k"))
+          .filter(pmod(xxhash64(lead), lit(k)) === 0))
+        // Low-cardinality fallback: with few distinct keys the residue
+        // sample usually comes back (near-)empty — every key missing
+        // residue 0 — which would collapse ALL data into one bucket
+        // and hand the bucket window a single-partition sort. Distinct
+        // over a low-cardinality key is cheap at any row count
+        // (map-side partial agg collapses duplicates before the
+        // shuffle), and the limit bounds the rare unlucky-hash case on
+        // a high-cardinality key.
+        val sampleKeys =
+          if (k > 1 && hashed.length < nBuckets)
+            keysOf(df.select(lead.as("__rid_k")))
+          else hashed
         val sorted = sampleKeys.sortWith { (a, b) =>
           a.asInstanceOf[Comparable[Any]].compareTo(b) < 0 }
         (lead,
@@ -154,11 +175,17 @@ object QcWindows {
           lit(0L)))
       .select(col("__rid_b"), col("__rid_off"))
     val w = Window.partitionBy(col("__rid_b")).orderBy(oc: _*)
+    // Long running count, NOT row_number(): row_number is IntegerType
+    // and silently wraps past 2^31-1 rows in one bucket — a skewed
+    // leading key concentrating >2.1B rows on one value would corrupt
+    // ids with no error at the operator's 100 TB contract scale. The
+    // running sum is the same incremental one-pass computation over
+    // the same sorted frame, just 64-bit.
     bucketed
-      .withColumn("__rid_rn", row_number().over(w))
+      .withColumn("__rid_rn", sum(lit(1L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offsets), Seq("__rid_b"))
-      .withColumn(idCol,
-        (col("__rid_off") + col("__rid_rn") - 1).cast(LongType))
+      .withColumn(idCol, col("__rid_off") + col("__rid_rn") - 1L)
       .drop("__rid_b", "__rid_rn", "__rid_off")
   }
 

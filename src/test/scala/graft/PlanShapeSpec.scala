@@ -532,6 +532,21 @@ class PlanShapeSpec extends SparkSpec {
       case r: ReusedExchangeExec => catalogSized(r.child)
       case _ => false
     }.isDefined
+    // The static check alone is too lenient: ANY aggregate below the
+    // window passes it, including a data-sized group-per-row
+    // groupBy(unique_key) — exactly the regression class this sweep
+    // claims to lock. So an aggregate-backed unpartitioned window must
+    // ALSO prove small at runtime: its child may produce at most
+    // CatalogBound rows at the smoke scale (the known catalogs are
+    // ≤64-row bucket counts and ~30-row window catalogs; the smallest
+    // data table is 1,000 rows, so the bound separates cleanly).
+    // Reused-exchange subtrees may not execute standalone outside
+    // their full query — fall back to the static verdict there.
+    val CatalogBound = 500
+    def smallAtRuntime(w: WindowExec): Boolean =
+      scala.util.Try(
+        w.child.executeTake(CatalogBound + 1).length <= CatalogBound
+      ).getOrElse(catalogSized(w.child))
     // streaming queries drain a real stream per call (slow, and their
     // batch-side plans are covered by their own specs); AQE is off so
     // executedPlan is the raw traversable tree, not an adaptive shell
@@ -553,7 +568,7 @@ class PlanShapeSpec extends SparkSpec {
             case scala.util.Success(plan) =>
               plan.collect {
                 case w: WindowExec if w.partitionSpec.isEmpty &&
-                    !catalogSized(w.child) =>
+                    !(catalogSized(w.child) && smallAtRuntime(w)) =>
                   s"$name: ${w.simpleString(120)}"
               }
           }

@@ -89,6 +89,34 @@ class QcExportSpec extends SparkSpec {
       s"sheet index written: $manifestRows")
   }
 
+  test("S5 xlsx edge cases: empty input yields an empty sheet index " +
+      "(no schema-inference crash); newline-in-field counts as ONE row; " +
+      "a pre-existing 'sheet' column is refused loudly") {
+    val dir = tmpDir
+    // empty input: partitionBy writes only _SUCCESS — the read-back
+    // used to die in CSV schema inference
+    val none = Seq.empty[(Long, String)].toDF("id", "v")
+    val idx0 = QcExport.writeXlsxChunked(none, dir, "empty",
+      orderCols = Seq("id"), maxRows = 4L)
+    assert(idx0.columns.toSeq == Seq("sheet", "n_rows") && idx0.count() == 0L,
+      "empty input must yield an empty index, not a crash")
+    // a quoted field containing a newline is one row, not two: without
+    // multiLine the manifest certified a row count the sheet didn't have
+    val multi = Seq((1L, "plain"), (2L, "line1\nline2"), (3L, "x"))
+      .toDF("id", "v")
+    val idxM = QcExport.writeXlsxChunked(multi, dir, "ml",
+      orderCols = Seq("id"), maxRows = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idxM == Map("ml" -> 3L), s"newline field must count once: $idxM")
+    // 'sheet' is the partition-directory name: silently overwriting a
+    // user column of that name would drop data from the export
+    val clash = Seq((1L, "a")).toDF("id", "sheet")
+    val e = intercept[IllegalArgumentException] {
+      QcExport.writeXlsxChunked(clash, dir, "clash", orderCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("sheet"))
+  }
+
   test("S3 CSV sink: ISO-8601 UTC timestamps and NA null marker round-trip") {
     val dir = tmpDir
     QcExport.writeCsv(df, s"$dir/out.csv", timeCol = Some("DateTime"))

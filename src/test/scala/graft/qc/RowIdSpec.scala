@@ -66,6 +66,23 @@ class RowIdSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 5000L), s"distinct=${ids.distinct.length}")
   }
 
+  test("low-cardinality string lead key (duplicate-heavy): executor-side " +
+      "distinct bounds the boundary collect; ids stay a contiguous " +
+      "permutation in (key, tie) order") {
+    // 10 distinct keys over 5000 rows: the residue sample usually
+    // misses every key (k > 1), exercising the distinct-of-all-keys
+    // fallback; before the fix this shape either collapsed all data
+    // into one bucket or collected every duplicate row to the driver
+    val df = (0 until 5000).map(i => (s"key_${i % 10}", i)).toDF("skey", "i")
+    val ided = QcWindows.withRowId(df, Seq("skey", "i"), idCol = "rid")
+    val ids = ided.select(col("rid")).as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 5000L), s"distinct=${ids.distinct.length}")
+    val got = ided.orderBy("rid").select(col("skey"), col("i"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val want = (0 until 5000).map(i => (s"key_${i % 10}", i)).sorted
+    assert(got.toSeq == want, "ids must follow (key, tie) order")
+  }
+
   test("constant numeric lead key: boundaries collapse to one bucket, " +
       "ids still follow the tiebreaker order") {
     val df = (0 until 3000).map(i => (42L, 2999 - i)).toDF("k", "tie")
