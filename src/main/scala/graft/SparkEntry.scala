@@ -64,15 +64,39 @@ object SparkEntry {
     * replicas) is already a directory — symlinking the directory
     * itself would list zero files (the source does not follow nested
     * dirs), the bug that silently zeroed every streaming query on
-    * replica corpora. */
+    * replica corpora.
+    *
+    * The link dir is keyed by the SOURCE path (md5), and an existing
+    * link already pointing at the right target is left untouched:
+    * the earlier fixed per-table path was re-pointed by every caller,
+    * so two CONCURRENT JVMs on different sf dirs silently corrupted
+    * each other's stream source — an sf0.01 verify raced by an
+    * sf0.001 explain drained 88 of 871 stream_join rows (r15,
+    * reproduced then fixed). Same-dir first-creation races fall
+    * through to the FileAlreadyExists check. */
   private def streamPath(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) src.toString
     else {
-      val tmp = java.nio.file.Paths.get(scratch(s"stream_$table"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.toAbsolutePath.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12)
+      val tmp = java.nio.file.Paths.get(scratch(s"stream_${table}_$key"))
       val link = tmp.resolve(s"$table.parquet")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(link, src)
+      val target = src.toAbsolutePath
+      def pointsRight: Boolean =
+        try java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.readSymbolicLink(link) == target
+        catch { case _: java.io.IOException => false }
+      if (!pointsRight) {
+        java.nio.file.Files.deleteIfExists(link)
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException if pointsRight =>
+          // concurrent same-dir creator won the race with the same target
+        }
+      }
       tmp.toString
     }
   }

