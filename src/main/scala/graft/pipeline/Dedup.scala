@@ -1138,44 +1138,58 @@ object Dedup {
     // edge set.
     val base = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .persist()
-    val edges = base
+    val (edges, releaseEdges) = Graph.stageRowBlocks(base
       .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     base.unpersist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
-    var iters = 0
-    var converged = false
-    while (!converged && iters < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")),
-          Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("__nc")).as("__nbr_min"))
-      // Convergence test FUSED into the round's materializing job:
-      // labels only ever decrease (least), so the round changed
-      // something iff some neighborhood min undercut the old label.
-      // Carrying that one boolean through the lazy checkpoint lets a
-      // single scan both cache the round's blocks and decide the
-      // fixpoint — previously a count-like materialization plus a
-      // separate updated⋈old join ran two jobs per iteration.
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("__nbr_min"), col("cluster")))
-            .as("cluster"),
-          (coalesce(col("__nbr_min"), col("cluster")) < col("cluster"))
-            .as("__chg"))
-        .localCheckpoint(false)
-      converged = updated.filter(col("__chg")).isEmpty
-      labels = updated.select(col("id"), col("cluster"))
-      iters += 1
-    }
-    require(converged,
-      s"nearDupClusters: no fixpoint after $maxIters iterations " +
-        "(component diameter exceeds maxIters)")
-    labels
+    try {
+      var (labels, releaseLabels) = Graph.stageRowBlocks(
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("cluster", col("id")))
+      var iters = 0
+      var converged = false
+      while (!converged && iters < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")),
+            Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min(col("__nc")).as("__nbr_min"))
+        // Convergence test FUSED into the round's materializing job via
+        // an OBSERVED metric (the hits L1 pattern): labels only ever
+        // decrease (least), so the round changed something iff some
+        // neighborhood min undercut the old label. The eager checkpoint
+        // materializes the round AND delivers the changed-count in the
+        // SAME job — the previous `filter(__chg).isEmpty` over a lazy
+        // checkpoint ran a take-style probe job (with its incremental
+        // partition rounds) plus the checkpoint backfill job, i.e. two
+        // driver syncs per iteration where one suffices; each sync is a
+        // scheduling barrier whose latency multiplies on a contended
+        // host (r15 verdict item 1). Superseded label blocks release as
+        // soon as the new round materializes (the pageRank pattern) —
+        // GC-deferred cleanup would pin one node-sized copy per round.
+        val updated = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("__nbr_min"), col("cluster")))
+              .as("cluster"),
+            (coalesce(col("__nbr_min"), col("cluster")) < col("cluster"))
+              .as("__chg"))
+          .observe(s"graft_cc_round_$iters",
+            sum(when(col("__chg"), 1L).otherwise(0L)).as("n_chg"))
+        val (staged, rel) = Graph.stageRowBlocks(updated)
+        val m = updated.queryExecution.observedMetrics(s"graft_cc_round_$iters")
+        converged = m.isNullAt(0) || m.getLong(0) == 0L
+        releaseLabels(); labels = staged.select(col("id"), col("cluster"))
+        releaseLabels = rel
+        iters += 1
+      }
+      require(converged,
+        s"nearDupClusters: no fixpoint after $maxIters iterations " +
+          "(component diameter exceeds maxIters)")
+      // the final round's blocks back the returned labels and stay
+      // alive for the caller (GC lifecycle, as before); only the edge
+      // table and superseded rounds release deterministically
+      labels
+    } finally releaseEdges()
   }
 
   /** Entity-resolution matching (record linkage): candidate pairs by

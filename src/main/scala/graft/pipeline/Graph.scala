@@ -125,7 +125,16 @@ object Graph {
     * hits 3.04 → 2.05 s, pageRank 4.99 → 3.22 s warm at sf0.1.
     * Dataset.unpersist only talks to the CacheManager, so release
     * goes through the checkpointed plan's LogicalRDD leaf. */
-  private def stageRowBlocks(df: DataFrame): (DataFrame, () => Unit) = {
+  private[pipeline] def stageRowBlocks(df: DataFrame): (DataFrame, () => Unit) = {
+    // Storage level deliberately the default (MEMORY_AND_DISK,
+    // deserialized): the r15 verdict suggested MEMORY_AND_DISK_SER for
+    // these iteration blocks (§5), but the A/B is decisive the other
+    // way — every iteration re-reads the staged edge table, so the
+    // per-read deserialize copy is paid iters× per query: pagerank
+    // 3.40 → 5.52 s, ppr 3.51 → 5.38 s, kcore 2.83 → 3.60 s at sf0.1
+    // (min-of-6, quiet control). UnsafeRow blocks are already compact
+    // binary; SER only shaves the per-row object headers while adding
+    // a copy to every scan. Rejected r16.
     val staged = df.localCheckpoint(true)
     val backing = staged.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
