@@ -419,6 +419,20 @@ object Dedup {
     // replica snippets share prefix tokens whose df grows with the
     // factor, so candidate volume grows ~factor² by fixture
     // construction — the linear ctoks term drowns in verify noise.)
+    //
+    // The VERIFY stage below (token-set arrays + one O(|Tp|+|Tc|)
+    // sorted merge per candidate) has also been A/B'd against the §2.3
+    // "narrow rows" restructure and KEPT (r16): expanding each
+    // candidate by its probe tokens and counting matches via an
+    // equi-join on (__cid, __tok) — which drops the csets tokenize and
+    // never ships a corpus token-set array — measured 8.4 → 33.1 s at
+    // sf0.1 (min-of-5, matched controls). The candidate set here is
+    // ~1M pairs at sf0.1 (output-bound query: 983K qualifying pairs),
+    // so the ×|T(p)| expansion shuffles ~20M keyed rows where the
+    // merge form ships each candidate once into an in-memory probe of
+    // broadcast/joined arrays. The narrow-rows form only wins when
+    // candidates are SELECTIVE relative to probe fan-out; a
+    // quote-detection workload is the opposite regime.
     val ctoks = corpus.select(col(idCol).as("__cid"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
     val dfreq = ctoks.groupBy("__tok").agg(count(lit(1)).as("__df"))

@@ -99,10 +99,18 @@ object TextAnalysis {
   def langProfilesNgram(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, langCol: String,
-      n: Int = 3, topK: Int = 300): Seq[(String, Seq[String])] = {
+      n: Int = 3, topK: Int = 300): Seq[(String, Seq[String])] =
+    profilesFromGrams(docs.select(col(langCol).as("__lang"),
+      explode(charNgrams(col(textCol), n)).as("__g")), topK)
+
+  /** Train side of the profile model over an ALREADY-EXPLODED
+    * (lang, gram) table — shared by [[langProfilesNgram]] and the
+    * staged single-explode path in [[langIdNgramProfile]]. */
+  private def profilesFromGrams(
+      grams: org.apache.spark.sql.DataFrame,
+      topK: Int): Seq[(String, Seq[String])] = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(col(langCol).as("__lang"),
-        explode(charNgrams(col(textCol), n)).as("__g"))
+    grams
       .groupBy(col("__lang"), col("__g"))
       .agg(count(lit(1)).as("__lc"))
       .withColumn("__r", row_number().over(
@@ -123,11 +131,32 @@ object TextAnalysis {
     * first language; no hits → "und").
     *
     * Scale shape: the profile is a driver-side model (langs × topK
-    * strings); scoring is ONE explode + grouped conditional-count pass
-    * — each gram occurrence probes `langs` broadcast hash sets
-    * (Catalyst `InSet`), no join, no per-doc window, and the argmax is
-    * a `greatest` over (score, priority) structs inside the same
-    * aggregate projection. One shuffle, keyed by document.
+    * strings); scoring is a grouped conditional-count pass — each gram
+    * occurrence probes `langs` broadcast hash sets (Catalyst `InSet`),
+    * no join, no per-doc window, and the argmax is a `greatest` over
+    * (score, priority) structs inside the same aggregate projection.
+    * One shuffle, keyed by document.
+    *
+    * The corpus n-gram explode runs ONCE, staged as eager row blocks
+    * and read by BOTH the train aggregate and the scoring aggregate
+    * (r16, §2.4). Train and score cannot overlap as concurrent
+    * stages — the scoring plan is only BUILT after the profile model
+    * collects to the driver — so this is the shape where staging a
+    * shared subtree wins (unlike the ≤2-consumer lazy-beats-staged
+    * finding for the overlapping self-join family, r15 items 8-10):
+    * A/B lazy two-explode vs row-staged one-explode measured
+    * 32.5 → 24.2 s at the 10× replica (min-of-3) and control-
+    * normalized better at sf0.1 (3.29 @ 0.55 control vs 3.53 @ 0.45).
+    * Row blocks over the COLUMNAR cache deliberately: a plain persist
+    * here is deduped by the CacheManager across repeated invocations
+    * of the same plan, so an un-released cache made bench reps 2+
+    * reuse rep 1's materialized buffers — a 1.6 s sf0.1 reading that
+    * was cache reuse, not computation (the measurement-artifact class
+    * the bench's clearCache-between-queries guard exists for; with an
+    * honest per-call release the columnar form measured 4.0 / 30.4 s,
+    * losing to row blocks at both scales). Blocks release before the
+    * operator returns — the doc-sized score table is cut eagerly so
+    * the returned plan never reads the gram staging.
     *
     * @return (doc_id, lang_pred) one row per input document
     */
@@ -135,7 +164,12 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, langCol: String,
       n: Int = 3, topK: Int = 300): org.apache.spark.sql.DataFrame = {
-    val profiles = langProfilesNgram(docs, textCol, langCol, n, topK)
+    val (shared, releaseShared) = Graph.stageRowBlocks(
+      docs.select(col(idCol), col(langCol),
+        explode(charNgrams(col(textCol), n)).as("__g")))
+    try {
+    val profiles = profilesFromGrams(
+      shared.select(col(langCol).as("__lang"), col("__g")), topK)
     require(profiles.nonEmpty, "langIdNgramProfile: no labeled languages")
     val scores = profiles.zipWithIndex.map { case ((_, grams), i) =>
       sum(when(col("__g").isInCollection(grams), 1L).otherwise(0L))
@@ -149,15 +183,21 @@ object TextAnalysis {
     val best =
       if (structs.length == 1) structs.head
       else greatest(structs: _*)
-    val scored = docs
-      .select(col(idCol), explode(charNgrams(col(textCol), n)).as("__g"))
+    // doc-sized eager cut so the gram blocks release before the caller
+    // ever runs an action (the pageRank result pattern); the final
+    // left join reads these blocks plus one id projection of the input
+    // — the corpus text is never scanned again
+    val scored = shared
+      .select(col(idCol), col("__g"))
       .groupBy(col(idCol))
       .agg(scores.head, scores.tail: _*)
       .select(col(idCol),
         when(best.getField("s") > 0, best.getField("l"))
           .otherwise(lit("und")).as("lang_pred"))
+      .localCheckpoint(true)
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+    } finally releaseShared()
   }
 
   /** GPT-2-style pre-tokenizer pattern, lookahead-free so the same
