@@ -1140,7 +1140,8 @@ object Dedup {
     *         cluster = min id of its component.
     */
   def nearDupClusters(
-      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 25,
+      broadcastNodeLimit: Long = 50L * 1000 * 1000): DataFrame = {
     // Input scanned once + pinned layout (the Graph.pageRank pattern):
     // the narrow pair base is persisted so the symmetrizing union
     // doesn't run the (possibly expensive) upstream pair derivation
@@ -1161,12 +1162,24 @@ object Dedup {
       var (labels, releaseLabels) = Graph.stageRowBlocks(
         edges.select(col("src").as("id")).distinct()
           .withColumn("cluster", col("id")))
+      // node count for the broadcast gate: a cheap scan of the
+      // just-staged label blocks (driver-sized result: one long)
+      val n = labels.count()
+      // The label table is node-sized and BROADCAST while it credibly
+      // fits (the pageRank/hits gate, r16): label tables descend from
+      // checkpoint leaves whose missing stats made Spark sort-merge-
+      // join them — re-exchanging AND re-sorting the full edge set
+      // every round. With the hint each round scans the cached edge
+      // blocks once and the only exchange carries node-sized partial
+      // mins. min() is order-exact, so values are identical either way.
+      def hinted(t: DataFrame): DataFrame =
+        if (n <= broadcastNodeLimit) broadcast(t) else t
       var iters = 0
       var converged = false
       while (!converged && iters < maxIters) {
         val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")),
-            Seq("dst"))
+          .join(hinted(labels.select(col("id").as("dst"),
+            col("cluster").as("__nc"))), Seq("dst"))
           .groupBy(col("src").as("id")).agg(min(col("__nc")).as("__nbr_min"))
         // Convergence test FUSED into the round's materializing job via
         // an OBSERVED metric (the hits L1 pattern): labels only ever

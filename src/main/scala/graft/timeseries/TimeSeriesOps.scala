@@ -450,10 +450,25 @@ object TimeSeriesOps {
     * entropy and take the ordinary round-6 recipe safely.
     *
     * Scale shape: one keyed exchange + in-partition sort for the
-    * centered frame (the [[rollingStats]] profile), one
-    * (key, phase)-keyed aggregate whose result is phase-catalog-sized
-    * and BROADCAST back — the corpus is never self-joined and never
-    * globally sorted. */
+    * centered trend frame (the [[rollingStats]] profile), then ONE
+    * more full-data exchange re-keying the trend output to
+    * (keys, phase) for the seasonal profile, computed as a
+    * whole-partition window average (r15: the previous aggregate +
+    * broadcast-join-back ran the scan + keyed exchange + trend window
+    * TWICE because column pruning defeated exchange reuse; the window
+    * form reads the trend output once — measured 2.81 → 1.61 s at
+    * sf0.1, the only scale regime it has been validated in). The
+    * corpus is never self-joined and never globally sorted; the
+    * (keys, phase) window is strictly finer than the per-key ordered
+    * window the trend already requires, so no new wide-partition
+    * pathology appears at scale.
+    *
+    * Rows with a NULL key or NULL timestamp are DROPPED (they have no
+    * trend frame or phase bucket): this was implicit in the pre-r15
+    * aggregate + inner-join-back formulation — and is what a SQL
+    * replay's JOIN USING computes — so it is now explicit at the
+    * input, keeping the window formulation's null semantics identical
+    * to both. */
   def decompose(
       df: DataFrame,
       keys: Seq[String],
@@ -474,7 +489,13 @@ object TimeSeriesOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tms)
       .rangeBetween(-halfWindowSecs * 1000L, halfWindowSecs * 1000L)
-    val trended = df
+    // null key/timestamp rows dropped (see scaladoc): the r15 window
+    // rewrite would otherwise RETAIN them with a null-group seasonal
+    // where the old join-back (and a SQL JOIN USING replay) dropped
+    // them — a latent cross-engine divergence on null-bearing inputs
+    val clean = df.filter(
+      (keys.map(col(_).isNotNull) :+ col(t).isNotNull).reduce(_ && _))
+    val trended = clean
       .withColumn("__tms", tms)
       .withColumn("trend",
         sum(ticks).over(w).cast("double") /

@@ -346,4 +346,18 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .as[(Long, Double, Double, Double, Double)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("decompose: null key / null timestamp rows are dropped") {
+    // the join-back formulation (and a SQL JOIN USING replay) drops
+    // rows without a key or phase; the window formulation must match
+    val rows = Seq[(Long, String, java.sql.Timestamp, Double)](
+      (1L, "s", ts("2024-01-01 00:00:00"), 10.0),
+      (2L, "s", ts("2024-01-01 01:00:00"), 12.0),
+      (3L, null, ts("2024-01-01 02:00:00"), 99.0), // null key
+      (4L, "s", null, 99.0)) // null timestamp
+    val out = TimeSeriesOps.decompose(rows.toDF("id", "key", "t", "v"),
+        Seq("key"), "t", "v", halfWindowSecs = 43200L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L), s"null key/ts rows must drop, got $out")
+  }
 }
